@@ -1,0 +1,109 @@
+"""ctypes bindings for the C++ tile decoder (native/tiledecode.cpp).
+
+The decoder is a host-side throughput component: a pthread pool that decodes
+batches of JPEG tile blobs (libjpeg) straight into one preallocated
+(N, H, W, 3) uint8 buffer, so tessellation can sustain the ≥333 tiles/s
+host-decode budget (SURVEY.md §7 hard part 5) without Python-loop overhead.
+
+Build with ``python -m path_gene_multimodal_tpu.io.native`` or
+``make -C native``. Falls back gracefully (callers catch ImportError /
+RuntimeError) to the pure-Python cv2 path.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+
+_NATIVE_DIR = Path(__file__).resolve().parents[2] / "native"
+_LIB_PATH = _NATIVE_DIR / "libtiledecode.so"
+
+
+def build_native(force: bool = False) -> Path:
+    """Compile the decoder shared library with g++ (links libjpeg + zlib)."""
+    src = _NATIVE_DIR / "tiledecode.cpp"
+    if _LIB_PATH.exists() and not force:
+        if _LIB_PATH.stat().st_mtime >= src.stat().st_mtime:
+            return _LIB_PATH
+    cmd = [
+        "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+        str(src), "-o", str(_LIB_PATH), "-ljpeg", "-lz", "-lpthread",
+    ]
+    subprocess.run(cmd, check=True, capture_output=True)
+    return _LIB_PATH
+
+
+class NativeTileDecoder:
+    """Threaded batch JPEG/deflate decoder."""
+
+    def __init__(self, num_threads: int = 0):
+        if not _LIB_PATH.exists():
+            build_native()
+        self._lib = ctypes.CDLL(str(_LIB_PATH))
+        self._lib.decode_jpeg_batch.restype = ctypes.c_int
+        self._lib.decode_jpeg_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),   # blobs
+            ctypes.POINTER(ctypes.c_size_t),   # blob sizes
+            ctypes.c_int,                       # n
+            ctypes.c_char_p, ctypes.c_size_t,   # shared jpeg tables (or NULL)
+            ctypes.c_int, ctypes.c_int,         # tile h, w
+            ctypes.c_void_p,                    # out buffer (n*h*w*3)
+            ctypes.c_int,                       # num threads
+        ]
+        self._lib.decode_deflate_batch.restype = ctypes.c_int
+        self._lib.decode_deflate_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.POINTER(ctypes.c_size_t),
+            ctypes.c_int,
+            ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p,
+            ctypes.c_int,
+        ]
+        self._threads = num_threads
+
+    def decode_jpeg_batch(
+        self,
+        blobs: list[bytes],
+        tile_h: int,
+        tile_w: int,
+        jpeg_tables: bytes | None = None,
+    ) -> np.ndarray | None:
+        n = len(blobs)
+        out = np.empty((n, tile_h, tile_w, 3), dtype=np.uint8)
+        arr = (ctypes.c_char_p * n)(*blobs)
+        sizes = (ctypes.c_size_t * n)(*[len(b) for b in blobs])
+        rc = self._lib.decode_jpeg_batch(
+            arr, sizes, n,
+            jpeg_tables if jpeg_tables else None,
+            len(jpeg_tables) if jpeg_tables else 0,
+            tile_h, tile_w,
+            out.ctypes.data_as(ctypes.c_void_p),
+            self._threads,
+        )
+        if rc != 0:
+            return None
+        return out
+
+    def decode_deflate_batch(
+        self, blobs: list[bytes], tile_h: int, tile_w: int
+    ) -> np.ndarray | None:
+        n = len(blobs)
+        out = np.empty((n, tile_h, tile_w, 3), dtype=np.uint8)
+        arr = (ctypes.c_char_p * n)(*blobs)
+        sizes = (ctypes.c_size_t * n)(*[len(b) for b in blobs])
+        rc = self._lib.decode_deflate_batch(
+            arr, sizes, n, tile_h, tile_w,
+            out.ctypes.data_as(ctypes.c_void_p), self._threads,
+        )
+        if rc != 0:
+            return None
+        return out
+
+
+if __name__ == "__main__":
+    path = build_native(force="--force" in sys.argv)
+    print(f"built {path}")

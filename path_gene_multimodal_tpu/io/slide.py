@@ -1,0 +1,222 @@
+"""Pyramidal slide reading.
+
+The reference delegates slide I/O to tiffslide / TIAToolbox ``WSIReader``
+(SURVEY.md §1 L0; e.g. ``create_and_overlay_polygon_from_prediction.py:429-449``,
+``molecular_feature_extraction.py:142-153``). This module owns that layer:
+
+- ``SlideReader`` — the protocol every backend implements, matching the
+  openslide-style surface the reference uses: ``level_dimensions`` (list of
+  (width, height), level 0 first), ``read_region(location, level, size)``
+  with *level-0* location, ``get_thumbnail(max_size)``,
+  ``get_best_level_for_downsample(ds)``.
+- ``ArraySlide`` — an in-memory numpy pyramid (tests, benchmarks, and any
+  image PIL/cv2 can decode whole).
+- ``TiffTileSlide`` (io/tiff.py) — a real tiled-TIFF/SVS reader built on our
+  own IFD parser with per-tile JPEG/deflate decode, optionally accelerated
+  by the native C++ decoder (io/native).
+- ``synthetic_wsi`` — deterministic H&E-like synthetic slide generator used
+  by the test-suite and benchmark harness (the reference has no fixtures at
+  all — SURVEY.md §4).
+
+Design note (TPU-first): readers return uint8 host arrays; batching,
+normalization and dtype conversion happen on-device in ``ops``/``models``.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Protocol, Sequence, runtime_checkable
+
+import numpy as np
+
+
+@runtime_checkable
+class SlideReader(Protocol):
+    @property
+    def level_dimensions(self) -> Sequence[tuple[int, int]]:
+        """Per-level (width, height); level 0 = full resolution."""
+        ...
+
+    @property
+    def level_downsamples(self) -> Sequence[float]:
+        ...
+
+    @property
+    def mpp(self) -> float | None:
+        """Microns per pixel at level 0, if known."""
+        ...
+
+    def read_region(
+        self, location: tuple[int, int], level: int, size: tuple[int, int]
+    ) -> np.ndarray:
+        """RGB uint8 (H, W, 3). ``location`` = (x, y) in LEVEL-0 pixels,
+        ``size`` = (width, height) in LEVEL pixels — openslide semantics."""
+        ...
+
+    def get_thumbnail(self, max_size: tuple[int, int]) -> np.ndarray:
+        ...
+
+    def get_best_level_for_downsample(self, downsample: float) -> int:
+        ...
+
+
+class ArraySlide:
+    """In-memory pyramidal slide over a level-0 RGB uint8 array."""
+
+    def __init__(
+        self,
+        level0: np.ndarray,
+        num_levels: int = 4,
+        mpp: float | None = 0.25,
+        path: str | Path | None = None,
+    ):
+        level0 = np.ascontiguousarray(level0, dtype=np.uint8)
+        if level0.ndim != 3 or level0.shape[2] != 3:
+            raise ValueError(f"level0 must be (H, W, 3) uint8, got {level0.shape}")
+        self._levels = [level0]
+        for _ in range(1, num_levels):
+            prev = self._levels[-1]
+            if min(prev.shape[:2]) < 2:
+                break
+            h, w = prev.shape[0] // 2 * 2, prev.shape[1] // 2 * 2
+            ds = prev[:h, :w].reshape(h // 2, 2, w // 2, 2, 3).mean(axis=(1, 3))
+            self._levels.append(ds.astype(np.uint8))
+        self._mpp = mpp
+        self.path = Path(path) if path is not None else None
+
+    @property
+    def level_dimensions(self) -> list[tuple[int, int]]:
+        return [(lv.shape[1], lv.shape[0]) for lv in self._levels]
+
+    @property
+    def level_downsamples(self) -> list[float]:
+        w0 = self._levels[0].shape[1]
+        return [w0 / lv.shape[1] for lv in self._levels]
+
+    @property
+    def mpp(self) -> float | None:
+        return self._mpp
+
+    def read_region(
+        self, location: tuple[int, int], level: int, size: tuple[int, int]
+    ) -> np.ndarray:
+        x0, y0 = location
+        w, h = size
+        ds = self.level_downsamples[level]
+        lx, ly = int(round(x0 / ds)), int(round(y0 / ds))
+        lv = self._levels[level]
+        out = np.full((h, w, 3), 255, dtype=np.uint8)  # pad beyond bounds with white
+        sy0, sy1 = max(ly, 0), min(ly + h, lv.shape[0])
+        sx0, sx1 = max(lx, 0), min(lx + w, lv.shape[1])
+        if sy1 > sy0 and sx1 > sx0:
+            out[sy0 - ly : sy1 - ly, sx0 - lx : sx1 - lx] = lv[sy0:sy1, sx0:sx1]
+        return out
+
+    def get_thumbnail(self, max_size: tuple[int, int]) -> np.ndarray:
+        """Highest pyramid level that fits, then area-resize to fit max_size
+        preserving aspect (tiffslide get_thumbnail semantics)."""
+        import cv2
+
+        tw, th = max_size
+        w0, h0 = self.level_dimensions[0]
+        scale = min(tw / w0, th / h0, 1.0)
+        out_w, out_h = max(int(w0 * scale), 1), max(int(h0 * scale), 1)
+        level = self.get_best_level_for_downsample(1.0 / scale if scale < 1 else 1.0)
+        src = self._levels[level]
+        return cv2.resize(src, (out_w, out_h), interpolation=cv2.INTER_AREA)
+
+    def get_best_level_for_downsample(self, downsample: float) -> int:
+        best = 0
+        for i, ds in enumerate(self.level_downsamples):
+            if ds <= downsample + 1e-9:
+                best = i
+        return best
+
+    # -- npz persistence (synthetic fixture format) ---------------------------
+
+    def save(self, path: str | Path) -> Path:
+        path = Path(path)
+        np.savez_compressed(
+            path, level0=self._levels[0], mpp=np.float64(self._mpp or np.nan)
+        )
+        return path
+
+    @classmethod
+    def load(cls, path: str | Path) -> "ArraySlide":
+        with np.load(path) as z:
+            mpp = float(z["mpp"])
+            return cls(
+                z["level0"], mpp=None if np.isnan(mpp) else mpp, path=path
+            )
+
+
+def synthetic_wsi(
+    width: int = 4096,
+    height: int = 4096,
+    seed: int = 0,
+    n_blobs: int = 6,
+    nuclei_per_blob: int = 300,
+    mpp: float = 0.25,
+) -> ArraySlide:
+    """Deterministic H&E-like synthetic slide: white background, elliptical
+    pink tissue blobs with purple nuclei dots. Used as the golden fixture for
+    end-to-end tests and benchmarks (the reference ships none — SURVEY.md §4)."""
+    rng = np.random.default_rng(seed)
+    img = np.full((height, width, 3), 243, dtype=np.uint8)
+    yy = np.arange(height, dtype=np.float32)[:, None]
+    xx = np.arange(width, dtype=np.float32)[None, :]
+    tissue_mask = np.zeros((height, width), dtype=bool)
+    for _ in range(n_blobs):
+        cx = rng.uniform(0.15, 0.85) * width
+        cy = rng.uniform(0.15, 0.85) * height
+        rx = rng.uniform(0.08, 0.22) * width
+        ry = rng.uniform(0.08, 0.22) * height
+        theta = rng.uniform(0, np.pi)
+        dx, dy = xx - cx, yy - cy
+        u = dx * np.cos(theta) + dy * np.sin(theta)
+        v = -dx * np.sin(theta) + dy * np.cos(theta)
+        blob = (u / rx) ** 2 + (v / ry) ** 2 <= 1.0
+        tissue_mask |= blob
+    # eosin-pink tissue with low-frequency texture
+    tex = rng.normal(0, 6, size=(height // 16 + 1, width // 16 + 1, 3))
+    tex = np.kron(tex, np.ones((16, 16, 1)))[:height, :width]
+    tissue_color = np.array([228, 160, 185], dtype=np.float32)
+    img_f = img.astype(np.float32)
+    img_f[tissue_mask] = np.clip(tissue_color + tex[tissue_mask], 0, 255)
+    # purple nuclei: small filled disks inside tissue
+    tis_y, tis_x = np.nonzero(tissue_mask)
+    if len(tis_y):
+        n_nuc = n_blobs * nuclei_per_blob
+        pick = rng.integers(0, len(tis_y), size=n_nuc)
+        radii = rng.integers(3, 8, size=n_nuc)
+        nuc_color = np.array([96, 50, 130], dtype=np.float32)
+        for cy, cx, r in zip(tis_y[pick], tis_x[pick], radii):
+            y0, y1 = max(cy - r, 0), min(cy + r + 1, height)
+            x0, x1 = max(cx - r, 0), min(cx + r + 1, width)
+            py = np.arange(y0, y1)[:, None] - cy
+            px = np.arange(x0, x1)[None, :] - cx
+            disk = py**2 + px**2 <= r**2
+            img_f[y0:y1, x0:x1][disk] = nuc_color
+    return ArraySlide(img_f.astype(np.uint8), mpp=mpp)
+
+
+def open_slide(path: str | Path) -> SlideReader:
+    """Open a slide file by extension: ``.npz`` (synthetic fixture), tiled
+    TIFF/SVS via our own reader, else whole-image decode via cv2/PIL."""
+    path = Path(path)
+    suffix = path.suffix.lower()
+    if suffix == ".npz":
+        return ArraySlide.load(path)
+    if suffix in {".svs", ".tif", ".tiff", ".ndpi"}:
+        from path_gene_multimodal_tpu.io.tiff import TiffTileSlide
+
+        try:
+            return TiffTileSlide(path)
+        except Exception:
+            pass  # fall back to whole-image decode below
+    import cv2
+
+    img = cv2.imread(str(path), cv2.IMREAD_COLOR)
+    if img is None:
+        raise ValueError(f"cannot open slide: {path}")
+    return ArraySlide(img[:, :, ::-1], path=path)  # BGR → RGB

@@ -1,0 +1,436 @@
+"""Tiled TIFF / Aperio SVS reader — self-contained IFD parser + tile decode.
+
+The reference reads slides through tiffslide (libtiff). We own this layer:
+a from-scratch TIFF/BigTIFF container parser (IFD walk, tile geometry) with
+per-tile decompression:
+
+- JPEG (compression 7, incl. Aperio's shared ``JPEGTables`` tag 347) via
+  cv2.imdecode (libjpeg-turbo underneath) — or the native C++ decoder
+  (``io/native``) when built, which decodes batches of tiles across threads;
+- Deflate/AdobeDeflate (8, 32946) via zlib;
+- PackBits (32773), LZW (5), and raw (1) in numpy;
+- JPEG2000 (33003/33005, Aperio) via cv2 if its build supports it.
+
+``read_region`` assembles any requested rect from the underlying tile grid,
+decoding only the covered tiles. Level-0 locations, openslide semantics —
+same surface the reference code relies on (SURVEY.md §1 L0).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import BinaryIO
+
+import numpy as np
+
+# TIFF tag ids we care about
+_TAG_IMAGE_WIDTH = 256
+_TAG_IMAGE_LENGTH = 257
+_TAG_BITS_PER_SAMPLE = 258
+_TAG_COMPRESSION = 259
+_TAG_PHOTOMETRIC = 262
+_TAG_IMAGE_DESCRIPTION = 270
+_TAG_STRIP_OFFSETS = 273
+_TAG_SAMPLES_PER_PIXEL = 277
+_TAG_ROWS_PER_STRIP = 278
+_TAG_STRIP_BYTE_COUNTS = 279
+_TAG_X_RESOLUTION = 282
+_TAG_RESOLUTION_UNIT = 296
+_TAG_TILE_WIDTH = 322
+_TAG_TILE_LENGTH = 323
+_TAG_TILE_OFFSETS = 324
+_TAG_TILE_BYTE_COUNTS = 325
+_TAG_JPEG_TABLES = 347
+
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8, 16: 8, 17: 8, 18: 8}
+_TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f", 12: "d", 16: "Q", 17: "q"}
+
+
+@dataclass
+class TiffPage:
+    width: int
+    height: int
+    tile_width: int | None
+    tile_height: int | None
+    compression: int
+    photometric: int
+    samples: int
+    offsets: np.ndarray
+    byte_counts: np.ndarray
+    rows_per_strip: int | None
+    jpeg_tables: bytes | None
+    description: str = ""
+    x_resolution: float | None = None
+    resolution_unit: int | None = None
+
+    @property
+    def is_tiled(self) -> bool:
+        return self.tile_width is not None
+
+    @property
+    def tiles_across(self) -> int:
+        assert self.tile_width
+        return (self.width + self.tile_width - 1) // self.tile_width
+
+    @property
+    def tiles_down(self) -> int:
+        assert self.tile_height
+        return (self.height + self.tile_height - 1) // self.tile_height
+
+
+def _read_ifds(f: BinaryIO) -> tuple[list[dict[int, object]], str]:
+    header = f.read(8)
+    if header[:2] == b"II":
+        endian = "<"
+    elif header[:2] == b"MM":
+        endian = ">"
+    else:
+        raise ValueError("not a TIFF file")
+    magic = struct.unpack(endian + "H", header[2:4])[0]
+    bigtiff = magic == 43
+    if bigtiff:
+        f.seek(8)
+        offset = struct.unpack(endian + "Q", f.read(8))[0]
+        entry_size, count_fmt, off_fmt = 20, "Q", "Q"
+    elif magic == 42:
+        offset = struct.unpack(endian + "I", header[4:8])[0]
+        entry_size, count_fmt, off_fmt = 12, "H", "I"
+    else:
+        raise ValueError(f"bad TIFF magic {magic}")
+
+    ifds: list[dict[int, object]] = []
+    while offset:
+        f.seek(offset)
+        n = struct.unpack(endian + count_fmt, f.read(struct.calcsize(count_fmt)))[0]
+        raw = f.read(n * entry_size)
+        entries: dict[int, tuple[int, int, bytes]] = {}
+        for i in range(n):
+            e = raw[i * entry_size : (i + 1) * entry_size]
+            tag, typ = struct.unpack(endian + "HH", e[:4])
+            if bigtiff:
+                cnt = struct.unpack(endian + "Q", e[4:12])[0]
+                val = e[12:20]
+            else:
+                cnt = struct.unpack(endian + "I", e[4:8])[0]
+                val = e[8:12]
+            entries[tag] = (typ, cnt, val)
+        next_off_raw = f.read(struct.calcsize(off_fmt))
+        offset = struct.unpack(endian + off_fmt, next_off_raw)[0]
+
+        # resolve values
+        resolved: dict[int, object] = {}
+        inline_size = 8 if bigtiff else 4
+        for tag, (typ, cnt, val) in entries.items():
+            size = _TYPE_SIZES.get(typ, 1) * cnt
+            if size > inline_size:
+                ptr = struct.unpack(endian + ("Q" if bigtiff else "I"), val[: 8 if bigtiff else 4])[0]
+                f.seek(ptr)
+                data = f.read(size)
+            else:
+                data = val[:size]
+            if typ == 2:  # ASCII
+                resolved[tag] = data.split(b"\0")[0].decode("latin-1", "replace")
+            elif typ in (5, 10):  # rational
+                fmt = "I" if typ == 5 else "i"
+                vals = struct.unpack(endian + fmt * (2 * cnt), data)
+                resolved[tag] = [
+                    (vals[2 * i] / vals[2 * i + 1]) if vals[2 * i + 1] else 0.0
+                    for i in range(cnt)
+                ]
+            elif typ in (7,):  # undefined bytes
+                resolved[tag] = data
+            elif typ in _TYPE_FMT:
+                fmt = _TYPE_FMT[typ]
+                resolved[tag] = list(struct.unpack(endian + fmt * cnt, data))
+            else:
+                resolved[tag] = data
+        ifds.append(resolved)
+    return ifds, endian
+
+
+def _scalar(ifd: dict, tag: int, default=None):
+    v = ifd.get(tag, default)
+    if isinstance(v, list):
+        return v[0] if v else default
+    return v
+
+
+def _page_from_ifd(ifd: dict) -> TiffPage | None:
+    width = _scalar(ifd, _TAG_IMAGE_WIDTH)
+    height = _scalar(ifd, _TAG_IMAGE_LENGTH)
+    if width is None or height is None:
+        return None
+    tiled = _TAG_TILE_OFFSETS in ifd
+    offsets = np.asarray(
+        ifd.get(_TAG_TILE_OFFSETS if tiled else _TAG_STRIP_OFFSETS, []), dtype=np.int64
+    )
+    counts = np.asarray(
+        ifd.get(_TAG_TILE_BYTE_COUNTS if tiled else _TAG_STRIP_BYTE_COUNTS, []),
+        dtype=np.int64,
+    )
+    jt = ifd.get(_TAG_JPEG_TABLES)
+    return TiffPage(
+        width=int(width),
+        height=int(height),
+        tile_width=int(_scalar(ifd, _TAG_TILE_WIDTH)) if tiled else None,
+        tile_height=int(_scalar(ifd, _TAG_TILE_LENGTH)) if tiled else None,
+        compression=int(_scalar(ifd, _TAG_COMPRESSION, 1)),
+        photometric=int(_scalar(ifd, _TAG_PHOTOMETRIC, 2)),
+        samples=int(_scalar(ifd, _TAG_SAMPLES_PER_PIXEL, 3)),
+        offsets=offsets,
+        byte_counts=counts,
+        rows_per_strip=int(_scalar(ifd, _TAG_ROWS_PER_STRIP)) if _TAG_ROWS_PER_STRIP in ifd else None,
+        jpeg_tables=bytes(jt) if isinstance(jt, (bytes, bytearray)) else None,
+        description=str(ifd.get(_TAG_IMAGE_DESCRIPTION, "")),
+        x_resolution=float(_scalar(ifd, _TAG_X_RESOLUTION)) if _TAG_X_RESOLUTION in ifd else None,
+        resolution_unit=int(_scalar(ifd, _TAG_RESOLUTION_UNIT)) if _TAG_RESOLUTION_UNIT in ifd else None,
+    )
+
+
+def _lzw_decode(data: bytes) -> bytes:
+    """TIFF-variant LZW (MSB-first codes, EarlyChange=1)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    bitbuf = bitcnt = 0
+    width = 9
+    prev: bytes | None = None
+    for byte in data:
+        bitbuf = (bitbuf << 8) | byte
+        bitcnt += 8
+        while bitcnt >= width:
+            code = (bitbuf >> (bitcnt - width)) & ((1 << width) - 1)
+            bitcnt -= width
+            if code == CLEAR:
+                table = table[:258]
+                width = 9
+                prev = None
+                continue
+            if code == EOI:
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            else:
+                entry = prev + prev[:1]
+                table.append(entry)
+            out += entry
+            prev = entry
+            if len(table) + 1 >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        b = data[i]
+        i += 1
+        if b < 128:
+            out += data[i : i + b + 1]
+            i += b + 1
+        elif b > 128:
+            if i < n:
+                out += bytes([data[i]]) * (257 - b)
+                i += 1
+    return bytes(out)
+
+
+class TiffTileSlide:
+    """Pyramidal reader over a tiled TIFF/SVS file."""
+
+    def __init__(self, path: str | Path, use_native: bool = True):
+        self.path = Path(path)
+        self._f = open(self.path, "rb")
+        ifds, self._endian = _read_ifds(self._f)
+        pages = [p for p in (_page_from_ifd(i) for i in ifds) if p is not None]
+        # pyramid = tiled pages sorted by width desc (SVS: page 0 base, then
+        # thumbnail (stripped), then pyramid levels, label, macro)
+        tiled = [p for p in pages if p.is_tiled]
+        if not tiled:
+            raise ValueError(f"{path}: no tiled pages")
+        base_w = max(p.width for p in tiled)
+        self._pages = sorted(
+            (p for p in tiled if _is_pyramid_level(p, base_w)),
+            key=lambda p: -p.width,
+        )
+        self._mpp = _parse_mpp(self._pages[0])
+        self._native = None
+        if use_native:
+            try:
+                from path_gene_multimodal_tpu.io.native import NativeTileDecoder
+
+                self._native = NativeTileDecoder()
+            except Exception:
+                self._native = None
+
+    # -- SlideReader surface --------------------------------------------------
+
+    @property
+    def level_dimensions(self) -> list[tuple[int, int]]:
+        return [(p.width, p.height) for p in self._pages]
+
+    @property
+    def level_downsamples(self) -> list[float]:
+        w0 = self._pages[0].width
+        return [w0 / p.width for p in self._pages]
+
+    @property
+    def mpp(self) -> float | None:
+        return self._mpp
+
+    def read_region(
+        self, location: tuple[int, int], level: int, size: tuple[int, int]
+    ) -> np.ndarray:
+        x0_l0, y0_l0 = location
+        w, h = size
+        ds = self.level_downsamples[level]
+        x0, y0 = int(round(x0_l0 / ds)), int(round(y0_l0 / ds))
+        page = self._pages[level]
+        out = np.full((h, w, 3), 255, dtype=np.uint8)
+        tw, th = page.tile_width, page.tile_height
+        tx0, tx1 = max(x0 // tw, 0), min((x0 + w - 1) // tw, page.tiles_across - 1)
+        ty0, ty1 = max(y0 // th, 0), min((y0 + h - 1) // th, page.tiles_down - 1)
+        for ty in range(ty0, ty1 + 1):
+            for tx in range(tx0, tx1 + 1):
+                tile = self._decode_tile(page, ty * page.tiles_across + tx)
+                if tile is None:
+                    continue
+                gx, gy = tx * tw, ty * th  # tile origin in level px
+                sy0, sy1 = max(y0 - gy, 0), min(y0 + h - gy, tile.shape[0])
+                sx0, sx1 = max(x0 - gx, 0), min(x0 + w - gx, tile.shape[1])
+                if sy1 <= sy0 or sx1 <= sx0:
+                    continue
+                out[gy + sy0 - y0 : gy + sy1 - y0, gx + sx0 - x0 : gx + sx1 - x0] = tile[
+                    sy0:sy1, sx0:sx1, :3
+                ]
+        return out
+
+    def get_thumbnail(self, max_size: tuple[int, int]) -> np.ndarray:
+        import cv2
+
+        tw_max, th_max = max_size
+        w0, h0 = self.level_dimensions[0]
+        scale = min(tw_max / w0, th_max / h0, 1.0)
+        level = self.get_best_level_for_downsample(1.0 / scale if scale < 1 else 1.0)
+        pw, ph = self.level_dimensions[level]
+        full = self.read_region((0, 0), level, (pw, ph))
+        out_w, out_h = max(int(w0 * scale), 1), max(int(h0 * scale), 1)
+        return cv2.resize(full, (out_w, out_h), interpolation=cv2.INTER_AREA)
+
+    def get_best_level_for_downsample(self, downsample: float) -> int:
+        best = 0
+        for i, ds in enumerate(self.level_downsamples):
+            if ds <= downsample + 1e-9:
+                best = i
+        return best
+
+    # -- decoding -------------------------------------------------------------
+
+    def read_tiles_batch(self, level: int, tile_ids: np.ndarray) -> np.ndarray:
+        """Decode a batch of tiles (by linear tile id) — the fast path used by
+        tessellation; dispatches to the C++ threaded decoder when available."""
+        page = self._pages[level]
+        if self._native is not None and page.compression == 7:
+            blobs, shapes = [], []
+            for tid in tile_ids:
+                blobs.append(self._tile_bytes(page, int(tid)))
+            arr = self._native.decode_jpeg_batch(
+                blobs, page.tile_height, page.tile_width, page.jpeg_tables
+            )
+            if arr is not None:
+                return arr
+        return np.stack([self._decode_tile(page, int(t)) for t in tile_ids])
+
+    def _tile_bytes(self, page: TiffPage, idx: int) -> bytes:
+        off, cnt = int(page.offsets[idx]), int(page.byte_counts[idx])
+        self._f.seek(off)
+        return self._f.read(cnt)
+
+    def _decode_tile(self, page: TiffPage, idx: int) -> np.ndarray | None:
+        if idx < 0 or idx >= len(page.offsets):
+            return None
+        data = self._tile_bytes(page, idx)
+        tw, th = page.tile_width, page.tile_height
+        comp = page.compression
+        if comp == 7:  # new-style JPEG
+            return _decode_jpeg(data, page.jpeg_tables, th, tw)
+        if comp in (8, 32946):  # deflate
+            raw = zlib.decompress(data)
+            return _raw_to_rgb(raw, th, tw, page.samples)
+        if comp == 5:
+            return _raw_to_rgb(_lzw_decode(data), th, tw, page.samples)
+        if comp == 32773:
+            return _raw_to_rgb(_packbits_decode(data), th, tw, page.samples)
+        if comp == 1:
+            return _raw_to_rgb(data, th, tw, page.samples)
+        if comp in (33003, 33005, 34712):  # JPEG2000 (Aperio / generic)
+            import cv2
+
+            img = cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_COLOR)
+            if img is None:
+                raise ValueError(f"JPEG2000 tile decode failed (compression {comp})")
+            return img[:, :, ::-1]
+        raise ValueError(f"unsupported TIFF compression {comp}")
+
+    def close(self) -> None:
+        self._f.close()
+
+
+def _is_pyramid_level(page: TiffPage, base_width: int) -> bool:
+    """Heuristic: pyramid levels are tiled pages whose width divides the base
+    within rounding; excludes label/macro images (far off any power scale)."""
+    ratio = base_width / page.width
+    near = round(ratio)
+    return near >= 1 and abs(ratio - near) / max(near, 1) < 0.05
+
+
+def _parse_mpp(page: TiffPage) -> float | None:
+    desc = page.description or ""
+    # Aperio: "...|MPP = 0.2520|..."
+    for part in desc.replace("\n", "|").split("|"):
+        if "MPP" in part and "=" in part:
+            try:
+                return float(part.split("=")[1].strip())
+            except ValueError:
+                pass
+    if page.x_resolution and page.resolution_unit == 3:  # pixels per cm
+        return 10000.0 / page.x_resolution
+    return None
+
+
+def _decode_jpeg(
+    data: bytes, tables: bytes | None, height: int, width: int
+) -> np.ndarray:
+    import cv2
+
+    if tables and len(tables) > 4 and not data.startswith(b"\xff\xd8\xff\xdb"):
+        # merge shared quant/huffman tables: tables = FFD8 ... FFD9,
+        # tile = FFD8 <scan>; splice: FFD8 + tables-body + tile-body
+        merged = data[:2] + tables[2:-2] + data[2:]
+        img = cv2.imdecode(np.frombuffer(merged, np.uint8), cv2.IMREAD_COLOR)
+        if img is None:
+            img = cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_COLOR)
+    else:
+        img = cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_COLOR)
+    if img is None:
+        raise ValueError("JPEG tile decode failed")
+    return img[:, :, ::-1]
+
+
+def _raw_to_rgb(raw: bytes, height: int, width: int, samples: int) -> np.ndarray:
+    arr = np.frombuffer(raw, np.uint8)
+    expect = height * width * samples
+    if arr.size < expect:
+        arr = np.pad(arr, (0, expect - arr.size), constant_values=255)
+    arr = arr[:expect].reshape(height, width, samples)
+    if samples >= 3:
+        return np.ascontiguousarray(arr[:, :, :3])
+    return np.repeat(arr[:, :, :1], 3, axis=2)

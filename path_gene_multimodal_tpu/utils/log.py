@@ -1,0 +1,92 @@
+"""Structured stage logging + profiling.
+
+The reference instruments with bare ``print`` + ``timeit.default_timer``
+(``hovernet_inference.py:10-11,122-167``) and numbered ``[N/8]`` step logs
+(``main.py:177-288``). Here every pipeline stage runs inside a
+``StageTimer`` that (a) logs wall time and items/sec, (b) optionally opens a
+``jax.profiler.TraceAnnotation`` so stages show up in TPU profiles, and
+(c) accumulates a per-run stage report for the benchmark harness.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import logging
+import time
+from dataclasses import dataclass, field
+from typing import Iterator
+
+_LOGGER_NAME = "pgm_tpu"
+
+
+def get_logger() -> logging.Logger:
+    logger = logging.getLogger(_LOGGER_NAME)
+    if not logger.handlers:
+        handler = logging.StreamHandler()
+        handler.setFormatter(
+            logging.Formatter("%(asctime)s %(name)s %(levelname)s %(message)s", "%H:%M:%S")
+        )
+        logger.addHandler(handler)
+        logger.setLevel(logging.INFO)
+        logger.propagate = False
+    return logger
+
+
+@dataclass
+class StageRecord:
+    name: str
+    seconds: float
+    items: int | None = None
+
+    @property
+    def items_per_sec(self) -> float | None:
+        if self.items is None or self.seconds <= 0:
+            return None
+        return self.items / self.seconds
+
+
+@dataclass
+class StageTimer:
+    """Collects per-stage timings across one slide run."""
+
+    records: list[StageRecord] = field(default_factory=list)
+
+    @contextlib.contextmanager
+    def stage(self, name: str, step: tuple[int, int] | None = None) -> Iterator[dict]:
+        """``with timer.stage("embed", step=(2, 8)) as info: info["items"] = N``"""
+        logger = get_logger()
+        prefix = f"[{step[0]}/{step[1]}] " if step else ""
+        logger.info("%s%s ...", prefix, name)
+        info: dict = {"items": None}
+        t0 = time.perf_counter()
+        ctx = _trace_annotation(name)
+        with ctx:
+            yield info
+        dt = time.perf_counter() - t0
+        rec = StageRecord(name=name, seconds=dt, items=info.get("items"))
+        self.records.append(rec)
+        rate = f" ({rec.items_per_sec:.1f}/s)" if rec.items_per_sec else ""
+        logger.info("%s✓ %s: %.2fs%s", prefix, name, dt, rate)
+
+    def report(self) -> dict[str, dict]:
+        return {
+            r.name: {"seconds": r.seconds, "items": r.items, "items_per_sec": r.items_per_sec}
+            for r in self.records
+        }
+
+
+def _trace_annotation(name: str):
+    try:
+        import jax.profiler
+
+        return jax.profiler.TraceAnnotation(name)
+    except Exception:  # pragma: no cover - profiler unavailable
+        return contextlib.nullcontext()
+
+
+@contextlib.contextmanager
+def stage(name: str) -> Iterator[None]:
+    """Standalone stage context (no record collection)."""
+    timer = StageTimer()
+    with timer.stage(name):
+        yield

@@ -1,0 +1,30 @@
+"""Test configuration: force an 8-device virtual CPU mesh BEFORE jax import
+so multi-chip sharding paths are exercised without TPU hardware
+(SURVEY.md §4 test strategy)."""
+
+import os
+
+# The image environment pins JAX_PLATFORMS=axon (single real TPU via a
+# tunnel); tests must override it — they validate semantics + sharding on an
+# 8-device virtual CPU mesh, and the TPU tunnel makes per-test compiles slow.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def small_slide():
+    from path_gene_multimodal_tpu.io.slide import synthetic_wsi
+
+    return synthetic_wsi(width=2048, height=1536, seed=7, n_blobs=3, nuclei_per_blob=60)
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)

@@ -1,0 +1,131 @@
+"""Artifact store round-trips + the 5-variant H5 coordinate schema tolerance
+(reference load_annotation_with_coordinates.py:122-170)."""
+
+import json
+
+import h5py
+import numpy as np
+import pandas as pd
+import pytest
+
+from path_gene_multimodal_tpu.core.artifacts import (
+    export_geojson,
+    infer_tile_size_from_attrs,
+    json_safe,
+    load_geojson,
+    polygon_ring_area_perimeter,
+    read_features_h5,
+    read_tessellation_h5,
+    sanitize_for_filename,
+    write_features_h5,
+    write_nuclei_table,
+    write_tessellation_h5,
+)
+
+COORDS = np.array([[0, 0], [224, 0], [0, 224], [448, 224]], dtype=np.int64)
+
+
+def test_h5_roundtrip(tmp_path):
+    p = write_tessellation_h5(tmp_path / "s.h5", COORDS, tile_size=224, mpp=0.25)
+    out = read_tessellation_h5(p)
+    np.testing.assert_array_equal(out["coords"], COORDS)
+    assert infer_tile_size_from_attrs(out["attrs"]) == 224
+    assert abs(out["attrs"]["mpp"] - 0.25) < 1e-9
+
+
+@pytest.mark.parametrize("variant", ["coords", "locations", "tiles/coords", "xy", "tiles_xy", "wildcard"])
+def test_h5_schema_variants(tmp_path, variant):
+    p = tmp_path / f"{variant.replace('/', '_')}.h5"
+    with h5py.File(p, "w") as f:
+        if variant in ("coords", "locations", "tiles/coords"):
+            f.create_dataset(variant, data=COORDS)
+        elif variant == "xy":
+            f.create_dataset("x", data=COORDS[:, 0])
+            f.create_dataset("y", data=COORDS[:, 1])
+        elif variant == "tiles_xy":
+            f.create_dataset("tiles/x", data=COORDS[:, 0])
+            f.create_dataset("tiles/y", data=COORDS[:, 1])
+        else:
+            f.create_dataset("some/odd/patch_coords", data=COORDS)
+    out = read_tessellation_h5(p)
+    np.testing.assert_array_equal(out["coords"], COORDS)
+
+
+def test_h5_level_column(tmp_path):
+    c3 = np.concatenate([COORDS, np.ones((4, 1), np.int64)], axis=1)
+    p = tmp_path / "lv.h5"
+    with h5py.File(p, "w") as f:
+        f.create_dataset("coords", data=c3)
+    out = read_tessellation_h5(p)
+    np.testing.assert_array_equal(out["coords"], COORDS)
+    np.testing.assert_array_equal(out["level"], np.ones(4, np.int64))
+
+
+def test_h5_missing_raises(tmp_path):
+    p = tmp_path / "bad.h5"
+    with h5py.File(p, "w") as f:
+        f.create_dataset("unrelated", data=np.arange(5))
+    with pytest.raises(ValueError, match="no tile-coordinate"):
+        read_tessellation_h5(p)
+
+
+def test_features_roundtrip(tmp_path):
+    feats = np.random.default_rng(0).normal(size=(10, 512)).astype(np.float32)
+    p = write_features_h5(tmp_path / "f.h5", feats, model_type="CLIP")
+    out = read_features_h5(p)
+    np.testing.assert_allclose(out["features"], feats)
+    assert out["attrs"]["model_type"] == "CLIP"
+    np.testing.assert_array_equal(out["tile_index"], np.arange(10))
+
+
+def test_geojson_roundtrip(tmp_path):
+    square = np.array([[0, 0], [100, 0], [100, 100], [0, 100]], float)
+    p = export_geojson(
+        tmp_path / "s.geojson",
+        [{"class_name": "Tumor-associated stroma", "exterior": square}],
+    )
+    polys = load_geojson(p)
+    assert len(polys) == 1
+    assert polys[0]["class_name"] == "Tumor-associated stroma"
+    assert polys[0]["area_px2"] == pytest.approx(10000.0)
+    assert polys[0]["perimeter_px"] == pytest.approx(400.0)
+    # geometry ring closed
+    ring = polys[0]["exterior"]
+    np.testing.assert_array_equal(ring[0], ring[-1])
+
+
+def test_ring_area_perimeter():
+    tri = np.array([[0, 0], [4, 0], [0, 3]], float)
+    area, perim = polygon_ring_area_perimeter(tri)
+    assert area == pytest.approx(6.0)
+    assert perim == pytest.approx(12.0)
+
+
+def test_nuclei_table_roundtrip(tmp_path):
+    df = pd.DataFrame(
+        {
+            "nuc_id": ["a", "b"],
+            "inst_id": [1, 2],
+            "type": [1, 2],
+            "type_name": ["neoplastic", "inflammatory"],
+            "bounding_box": [[0, 0, 5, 5], [3, 3, 9, 9]],
+            "centroid": [[2.5, 2.5], [6.0, 6.0]],
+            "wsi_centroid_x": [226.5, 230.0],
+        }
+    )
+    csv_path, pq_path = write_nuclei_table(tmp_path / "n", df)
+    back_pq = pd.read_parquet(pq_path)
+    assert list(back_pq["bounding_box"][0]) == [0, 0, 5, 5]
+    back_csv = pd.read_csv(csv_path)
+    assert json.loads(back_csv["centroid"][1]) == [6.0, 6.0]
+
+
+def test_json_safe():
+    out = json_safe({"a": np.int64(3), "b": np.float32(1.5), "c": np.array([1, 2])})
+    assert json.dumps(out)  # serializable
+    assert out == {"a": 3, "b": 1.5, "c": [1, 2]}
+
+
+def test_sanitize_for_filename():
+    s = sanitize_for_filename("Necrosis / other non-viable tissue")
+    assert "/" not in s and s

@@ -1,0 +1,158 @@
+"""Slide readers: ArraySlide pyramid semantics, synthetic fixture, TIFF
+round-trip through our own writer + parser, native decoder parity."""
+
+import numpy as np
+import pytest
+
+from path_gene_multimodal_tpu.io.slide import ArraySlide, open_slide, synthetic_wsi
+from path_gene_multimodal_tpu.io.tiff import TiffTileSlide
+from path_gene_multimodal_tpu.io.tiff_write import write_tiled_tiff
+
+
+def test_array_slide_pyramid(small_slide):
+    dims = small_slide.level_dimensions
+    assert dims[0] == (2048, 1536)
+    assert dims[1] == (1024, 768)
+    ds = small_slide.level_downsamples
+    assert ds[0] == 1.0 and ds[1] == 2.0
+
+
+def test_read_region_level0(small_slide):
+    region = small_slide.read_region((100, 200), 0, (64, 32))
+    assert region.shape == (32, 64, 3)
+    np.testing.assert_array_equal(region, small_slide._levels[0][200:232, 100:164])
+
+
+def test_read_region_level1_uses_level0_coords(small_slide):
+    region = small_slide.read_region((200, 400), 1, (50, 50))
+    np.testing.assert_array_equal(region, small_slide._levels[1][200:250, 100:150])
+
+
+def test_read_region_out_of_bounds_pads_white(small_slide):
+    region = small_slide.read_region((2048 - 10, 0), 0, (20, 20))
+    assert (region[:, 10:] == 255).all()
+
+
+def test_thumbnail_aspect(small_slide):
+    thumb = small_slide.get_thumbnail((512, 512))
+    assert thumb.shape == (384, 512, 3)  # aspect preserved
+
+
+def test_best_level():
+    s = ArraySlide(np.zeros((512, 512, 3), np.uint8), num_levels=4)
+    assert s.get_best_level_for_downsample(1.0) == 0
+    assert s.get_best_level_for_downsample(2.0) == 1
+    assert s.get_best_level_for_downsample(3.0) == 1
+    assert s.get_best_level_for_downsample(100.0) == 3
+
+
+def test_synthetic_deterministic():
+    a = synthetic_wsi(512, 512, seed=3, n_blobs=2, nuclei_per_blob=20)
+    b = synthetic_wsi(512, 512, seed=3, n_blobs=2, nuclei_per_blob=20)
+    np.testing.assert_array_equal(a._levels[0], b._levels[0])
+
+
+def test_npz_roundtrip(tmp_path, small_slide):
+    p = tmp_path / "s.npz"
+    small_slide.save(p)
+    loaded = open_slide(p)
+    np.testing.assert_array_equal(
+        loaded.read_region((0, 0), 0, (100, 100)),
+        small_slide.read_region((0, 0), 0, (100, 100)),
+    )
+    assert loaded.mpp == small_slide.mpp
+
+
+@pytest.mark.parametrize("compression", [8, 7])
+def test_tiff_roundtrip(tmp_path, compression):
+    rng = np.random.default_rng(1)
+    # smooth-ish image so JPEG stays close
+    base = np.kron(
+        rng.integers(60, 200, size=(16, 20, 3), dtype=np.uint8), np.ones((40, 40, 1), np.uint8)
+    )
+    levels = [base, base[::2, ::2]]
+    p = write_tiled_tiff(
+        tmp_path / "t.svs", levels, tile_size=256, compression=compression,
+        description="Aperio fake |MPP = 0.2520|",
+    )
+    slide = TiffTileSlide(p)
+    assert slide.level_dimensions[0] == (800, 640)
+    assert slide.level_dimensions[1] == (400, 320)
+    assert slide.mpp == pytest.approx(0.252)
+    region = slide.read_region((128, 64), 0, (256, 256))
+    golden = base[64:320, 128:384]
+    if compression == 8:
+        np.testing.assert_array_equal(region, golden)
+    else:
+        assert np.abs(region.astype(int) - golden.astype(int)).mean() < 6.0
+    # cross-tile read at level 1
+    r1 = slide.read_region((100, 100), 1, (200, 200))
+    g1 = levels[1][50:250, 50:250]
+    if compression == 8:
+        np.testing.assert_array_equal(r1, g1)
+
+
+def test_open_slide_dispatch_tiff(tmp_path):
+    img = np.full((300, 300, 3), 128, np.uint8)
+    p = write_tiled_tiff(tmp_path / "x.tif", [img], tile_size=256, compression=8)
+    slide = open_slide(p)
+    assert slide.level_dimensions[0] == (300, 300)
+    region = slide.read_region((0, 0), 0, (300, 300))
+    np.testing.assert_array_equal(region, img)
+
+
+def test_native_decoder_jpeg(tmp_path):
+    import cv2
+
+    from path_gene_multimodal_tpu.io.native import NativeTileDecoder
+
+    try:
+        dec = NativeTileDecoder()
+    except Exception:
+        pytest.skip("native decoder unavailable")
+    rng = np.random.default_rng(2)
+    tiles = [
+        np.kron(rng.integers(0, 255, (8, 8, 3), np.uint8), np.ones((32, 32, 1), np.uint8))
+        for _ in range(8)
+    ]
+    blobs = []
+    for t in tiles:
+        ok, enc = cv2.imencode(".jpg", t[:, :, ::-1], [cv2.IMWRITE_JPEG_QUALITY, 95])
+        assert ok
+        blobs.append(enc.tobytes())
+    out = dec.decode_jpeg_batch(blobs, 256, 256)
+    assert out is not None and out.shape == (8, 256, 256, 3)
+    for ours, golden_src in zip(out, blobs):
+        ref = cv2.imdecode(np.frombuffer(golden_src, np.uint8), cv2.IMREAD_COLOR)[:, :, ::-1]
+        assert np.abs(ours.astype(int) - ref.astype(int)).max() <= 2
+
+
+def test_native_decoder_deflate():
+    import zlib
+
+    from path_gene_multimodal_tpu.io.native import NativeTileDecoder
+
+    try:
+        dec = NativeTileDecoder()
+    except Exception:
+        pytest.skip("native decoder unavailable")
+    rng = np.random.default_rng(3)
+    tiles = [rng.integers(0, 255, (64, 64, 3), np.uint8) for _ in range(4)]
+    blobs = [zlib.compress(t.tobytes()) for t in tiles]
+    out = dec.decode_deflate_batch(blobs, 64, 64)
+    assert out is not None
+    np.testing.assert_array_equal(out, np.stack(tiles))
+
+
+def test_tiff_native_batch_matches_python(tmp_path):
+    rng = np.random.default_rng(4)
+    base = np.kron(
+        rng.integers(40, 220, size=(8, 8, 3), dtype=np.uint8), np.ones((64, 64, 1), np.uint8)
+    )
+    p = write_tiled_tiff(tmp_path / "j.svs", [base], tile_size=256, compression=7)
+    slide = TiffTileSlide(p, use_native=True)
+    page = slide._pages[0]
+    ids = np.arange(len(page.offsets))
+    batch = slide.read_tiles_batch(0, ids)
+    ref = np.stack([slide._decode_tile(page, int(i)) for i in ids])
+    assert np.abs(batch.astype(int) - ref.astype(int)).max() <= 16  # decoder rounding
