@@ -1,0 +1,196 @@
+"""torch→Flax weight conversion.
+
+The reference consumes published torch checkpoints (OpenAI CLIP /
+Virchow2 via Mussel, ``pannuke_convnextv2_tiny_3`` via HoverNeXt,
+``resnet34-idars-*`` via TIAToolbox). This module converts those
+state_dicts into our Flax parameter trees so the TPU build loads the *same
+weights* and meets the ≥0.999 embedding-cosine parity bar (BASELINE.md).
+
+Supported CLIP naming schemes:
+- HuggingFace ``transformers`` ``CLIPModel`` (``vision_model.encoder.layers.N...``)
+- OpenAI original (``visual.transformer.resblocks.N...`` with fused
+  ``in_proj_weight``)
+
+Conversion rules: torch Conv (O, I, kh, kw) → flax (kh, kw, I, O);
+torch Linear (O, I) → flax kernel (I, O); LayerNorm weight/bias →
+scale/bias; Embedding stays (V, D).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Mapping
+
+import numpy as np
+
+from path_gene_multimodal_tpu.models.clip import TextConfig, VisionConfig
+
+
+def _np(t) -> np.ndarray:
+    """torch tensor / array → numpy float32."""
+    if hasattr(t, "detach"):
+        t = t.detach().cpu().numpy()
+    return np.asarray(t, dtype=np.float32)
+
+
+def load_torch_checkpoint(path: str | Path) -> dict[str, np.ndarray]:
+    import torch
+
+    sd = torch.load(str(path), map_location="cpu", weights_only=False)
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    if isinstance(sd, dict) and "state_dict" in sd and isinstance(sd["state_dict"], dict):
+        sd = sd["state_dict"]
+    if isinstance(sd, dict) and "model" in sd and isinstance(sd["model"], dict):
+        sd = sd["model"]
+    return {k: _np(v) for k, v in sd.items() if hasattr(v, "shape")}
+
+
+def _linear(sd: Mapping[str, np.ndarray], prefix: str) -> dict:
+    out = {"kernel": _np(sd[f"{prefix}.weight"]).T}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = _np(sd[f"{prefix}.bias"])
+    return out
+
+
+def _ln(sd: Mapping[str, np.ndarray], prefix: str) -> dict:
+    return {"scale": _np(sd[f"{prefix}.weight"]), "bias": _np(sd[f"{prefix}.bias"])}
+
+
+def _hf_block(sd: Mapping[str, np.ndarray], prefix: str) -> dict:
+    return {
+        "ln1": _ln(sd, f"{prefix}.layer_norm1"),
+        "ln2": _ln(sd, f"{prefix}.layer_norm2"),
+        "attn": {
+            "q_proj": _linear(sd, f"{prefix}.self_attn.q_proj"),
+            "k_proj": _linear(sd, f"{prefix}.self_attn.k_proj"),
+            "v_proj": _linear(sd, f"{prefix}.self_attn.v_proj"),
+            "out_proj": _linear(sd, f"{prefix}.self_attn.out_proj"),
+        },
+        "fc1": _linear(sd, f"{prefix}.mlp.fc1"),
+        "fc2": _linear(sd, f"{prefix}.mlp.fc2"),
+    }
+
+
+def _openai_block(sd: Mapping[str, np.ndarray], prefix: str) -> dict:
+    w = _np(sd[f"{prefix}.attn.in_proj_weight"])  # (3d, d)
+    b = _np(sd[f"{prefix}.attn.in_proj_bias"])
+    d = w.shape[1]
+    qw, kw, vw = w[:d], w[d : 2 * d], w[2 * d :]
+    qb, kb, vb = b[:d], b[d : 2 * d], b[2 * d :]
+    return {
+        "ln1": _ln(sd, f"{prefix}.ln_1"),
+        "ln2": _ln(sd, f"{prefix}.ln_2"),
+        "attn": {
+            "q_proj": {"kernel": qw.T, "bias": qb},
+            "k_proj": {"kernel": kw.T, "bias": kb},
+            "v_proj": {"kernel": vw.T, "bias": vb},
+            "out_proj": _linear(sd, f"{prefix}.attn.out_proj"),
+        },
+        "fc1": _linear(sd, f"{prefix}.mlp.c_fc"),
+        "fc2": _linear(sd, f"{prefix}.mlp.c_proj"),
+    }
+
+
+def convert_clip_vision(sd: Mapping[str, np.ndarray], cfg: VisionConfig) -> dict:
+    """CLIP vision-tower state_dict → ``VisionTower`` params (``{"params": ...}``)."""
+    hf = any(k.startswith("vision_model.") for k in sd)
+    p: dict = {}
+    if hf:
+        p["patch_embed"] = {
+            "kernel": _np(sd["vision_model.embeddings.patch_embedding.weight"]).transpose(2, 3, 1, 0)
+        }
+        p["cls_token"] = _np(sd["vision_model.embeddings.class_embedding"]).reshape(-1)
+        p["pos_embed"] = _np(sd["vision_model.embeddings.position_embedding.weight"])
+        p["ln_pre"] = _ln(sd, "vision_model.pre_layrnorm")
+        p["transformer"] = {
+            f"block{i}": _hf_block(sd, f"vision_model.encoder.layers.{i}")
+            for i in range(cfg.layers)
+        }
+        p["ln_post"] = _ln(sd, "vision_model.post_layernorm")
+        if cfg.out_dim is not None and "visual_projection.weight" in sd:
+            p["proj"] = {"kernel": _np(sd["visual_projection.weight"]).T}
+    else:
+        p["patch_embed"] = {
+            "kernel": _np(sd["visual.conv1.weight"]).transpose(2, 3, 1, 0)
+        }
+        p["cls_token"] = _np(sd["visual.class_embedding"]).reshape(-1)
+        p["pos_embed"] = _np(sd["visual.positional_embedding"])
+        p["ln_pre"] = _ln(sd, "visual.ln_pre")
+        p["transformer"] = {
+            f"block{i}": _openai_block(sd, f"visual.transformer.resblocks.{i}")
+            for i in range(cfg.layers)
+        }
+        p["ln_post"] = _ln(sd, "visual.ln_post")
+        if cfg.out_dim is not None and "visual.proj" in sd:
+            p["proj"] = {"kernel": _np(sd["visual.proj"])}  # already (width, out)
+    return {"params": p}
+
+
+def convert_clip_text(sd: Mapping[str, np.ndarray], cfg: TextConfig) -> dict:
+    hf = any(k.startswith("text_model.") for k in sd)
+    p: dict = {}
+    if hf:
+        p["token_embed"] = {"embedding": _np(sd["text_model.embeddings.token_embedding.weight"])}
+        p["pos_embed"] = _np(sd["text_model.embeddings.position_embedding.weight"])
+        p["transformer"] = {
+            f"block{i}": _hf_block(sd, f"text_model.encoder.layers.{i}")
+            for i in range(cfg.layers)
+        }
+        p["ln_final"] = _ln(sd, "text_model.final_layer_norm")
+        p["proj"] = {"kernel": _np(sd["text_projection.weight"]).T}
+    else:
+        p["token_embed"] = {"embedding": _np(sd["token_embedding.weight"])}
+        p["pos_embed"] = _np(sd["positional_embedding"])
+        p["transformer"] = {
+            f"block{i}": _openai_block(sd, f"transformer.resblocks.{i}")
+            for i in range(cfg.layers)
+        }
+        p["ln_final"] = _ln(sd, "ln_final")
+        p["proj"] = {"kernel": _np(sd["text_projection"])}  # (width, out)
+    return {"params": p}
+
+
+def infer_vision_config(sd: Mapping[str, np.ndarray]) -> VisionConfig:
+    """Derive a VisionConfig from a CLIP checkpoint's shapes."""
+    hf = any(k.startswith("vision_model.") for k in sd)
+    if hf:
+        conv = sd["vision_model.embeddings.patch_embedding.weight"]
+        width, _, patch, _ = conv.shape
+        n_pos = sd["vision_model.embeddings.position_embedding.weight"].shape[0]
+        layers = (
+            max(
+                int(k.split(".")[3])
+                for k in sd
+                if k.startswith("vision_model.encoder.layers.")
+            )
+            + 1
+        )
+        out_dim = (
+            int(sd["visual_projection.weight"].shape[0])
+            if "visual_projection.weight" in sd
+            else None
+        )
+    else:
+        conv = sd["visual.conv1.weight"]
+        width, _, patch, _ = conv.shape
+        n_pos = sd["visual.positional_embedding"].shape[0]
+        layers = (
+            max(
+                int(k.split(".")[3])
+                for k in sd
+                if k.startswith("visual.transformer.resblocks.")
+            )
+            + 1
+        )
+        out_dim = int(sd["visual.proj"].shape[1]) if "visual.proj" in sd else None
+    grid = int(round((n_pos - 1) ** 0.5))
+    head_dim = 64
+    return VisionConfig(
+        image_size=grid * int(patch),
+        patch_size=int(patch),
+        width=int(width),
+        layers=layers,
+        heads=int(width) // head_dim,
+        out_dim=out_dim,
+    )

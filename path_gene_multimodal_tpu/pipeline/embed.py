@@ -1,0 +1,133 @@
+"""Steps 2-4 of 8 — tile embeddings, class text embeddings, zero-shot
+annotation.
+
+TPU-native rebuild of the reference's Mussel wrappers:
+
+- step 2 ``run_extract_features`` (ref ``extract_embedding_from_tiles.py:9-70``):
+  decode tiles on the host (double-buffered against device compute), run the
+  CLIP/Virchow2 image tower batched in bf16 under jit (optionally sharded
+  over the mesh tile axis), write ``<slide>_features.h5`` (+ ``.npy``
+  sidecar replacing the reference's torch ``.pt``).
+- step 3 ``run_create_class_embeddings`` (ref ``create_embedding.py:13-69``):
+  tokenize the class prompts, run the text tower once, save
+  ``<slide>_classes.npy``.
+- step 4 ``run_annotation`` (ref ``find_annotation_from_embedding.py:9-72``):
+  cosine similarity tile×class on device → per-class score columns +
+  ``predicted_class`` argmax → ``<slide>_annotations.csv``.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from path_gene_multimodal_tpu.config import PipelineConfig
+from path_gene_multimodal_tpu.core.artifacts import write_features_h5
+from path_gene_multimodal_tpu.io.slide import SlideReader
+from path_gene_multimodal_tpu.models.clip import ImageEncoder, TextEncoder
+from path_gene_multimodal_tpu.pipeline.tessellate import iter_tile_batches
+from path_gene_multimodal_tpu.utils.log import StageTimer
+
+
+def run_extract_features(
+    slide: SlideReader,
+    coords: np.ndarray,
+    encoder: ImageEncoder,
+    out_dir: str | Path,
+    stem: str,
+    cfg: PipelineConfig,
+    timer: StageTimer | None = None,
+    write_artifacts: bool = True,
+) -> np.ndarray:
+    """Embed every tile; returns (N, D) float32. Host decode overlaps device
+    compute: jax dispatch is async, so the Python loop decodes batch k+1
+    while the TPU runs batch k."""
+    batch = cfg.embedding.batch_size
+    tile = cfg.patch_size
+    outs: list[jax.Array] = []
+    valids: list[np.ndarray] = []
+    for tiles_u8, valid in iter_tile_batches(slide, coords, tile, batch):
+        outs.append(encoder(jnp.asarray(tiles_u8)))  # async dispatch
+        valids.append(valid)
+    if not outs:
+        feats = np.zeros((0, 512), np.float32)
+    else:
+        feats = np.concatenate(
+            [np.asarray(o)[v] for o, v in zip(outs, valids)], axis=0
+        ).astype(np.float32)
+    if timer is not None and timer.records:
+        timer.records[-1].items = len(feats)
+    if write_artifacts:
+        out_dir = Path(out_dir)
+        out_dir.mkdir(parents=True, exist_ok=True)
+        h5_path = out_dir / f"{stem}_features.h5"
+        write_features_h5(h5_path, feats, model_type=cfg.model_type)
+        np.save(out_dir / f"{stem}_features.npy", feats)
+        if not h5_path.exists():  # output oracle (extract_embedding_from_tiles.py:61-62)
+            raise RuntimeError(f"feature extraction failed to produce {h5_path}")
+    return feats
+
+
+def run_create_class_embeddings(
+    class_names: list[str],
+    text_encoder: TextEncoder,
+    tokenizer,
+    out_dir: str | Path,
+    stem: str,
+    prompt_template: str = "{}",
+    write_artifacts: bool = True,
+) -> np.ndarray:
+    """One text embedding per class label (ref create_embedding.py:13-69).
+    Returns (C, D) float32."""
+    prompts = [prompt_template.format(c) for c in class_names]
+    ids = tokenizer(prompts)
+    embs = np.asarray(text_encoder(jnp.asarray(ids))).astype(np.float32)
+    if write_artifacts:
+        out_dir = Path(out_dir)
+        out_dir.mkdir(parents=True, exist_ok=True)
+        path = out_dir / f"{stem}_classes.npy"
+        np.save(path, embs)
+        if not path.exists():
+            raise RuntimeError(f"class-embedding step failed to produce {path}")
+    return embs
+
+
+@jax.jit
+def _cosine_scores(tile_embs: jnp.ndarray, class_embs: jnp.ndarray) -> jnp.ndarray:
+    a = tile_embs / jnp.maximum(jnp.linalg.norm(tile_embs, axis=-1, keepdims=True), 1e-8)
+    b = class_embs / jnp.maximum(jnp.linalg.norm(class_embs, axis=-1, keepdims=True), 1e-8)
+    return jnp.matmul(a, b.T, preferred_element_type=jnp.float32)
+
+
+def run_annotation(
+    tile_features: np.ndarray,
+    class_embeddings: np.ndarray,
+    class_names: list[str],
+    out_dir: str | Path,
+    stem: str,
+    write_artifacts: bool = True,
+) -> pd.DataFrame:
+    """Cosine-similarity zero-shot annotation (ref
+    find_annotation_from_embedding.py:9-72): per-class score columns +
+    ``predicted_class`` argmax. Returns the annotation frame indexed by
+    ``tile_index``."""
+    if len(tile_features) == 0:
+        raise ValueError("no tile features to annotate (empty slide?)")
+    scores = np.asarray(
+        _cosine_scores(jnp.asarray(tile_features), jnp.asarray(class_embeddings))
+    )
+    df = pd.DataFrame(scores, columns=list(class_names))
+    df.insert(0, "tile_index", np.arange(len(df), dtype=np.int64))
+    df["predicted_class"] = [class_names[i] for i in scores.argmax(axis=1)]
+    if write_artifacts:
+        out_dir = Path(out_dir)
+        out_dir.mkdir(parents=True, exist_ok=True)
+        path = out_dir / f"{stem}_annotations.csv"
+        df.to_csv(path, index=False)
+        if not path.exists():
+            raise RuntimeError(f"annotation step failed to produce {path}")
+    return df

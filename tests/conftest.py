@@ -7,12 +7,19 @@ import os
 # The image environment pins JAX_PLATFORMS=axon (single real TPU via a
 # tunnel); tests must override it — they validate semantics + sharding on an
 # 8-device virtual CPU mesh, and the TPU tunnel makes per-test compiles slow.
+# NOTE: the axon sitecustomize calls jax.config.update("jax_platforms",
+# "axon,cpu") at interpreter start, overriding the env var — so we must
+# update the config AFTER importing jax, before any backend initializes.
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
