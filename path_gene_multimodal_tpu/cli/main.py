@@ -1,0 +1,69 @@
+"""Primary CLI — the reference's ``main.py`` entry point.
+
+Contract parity (``main.py:320-364``): the slide to process comes from the
+``WSI_PATH`` environment variable (set per-task by an LSF/Slurm array job)
+or ``--wsi``; output root from config or ``--outroot``. Lock/done/error
+files coordinate a fleet of independent workers over a shared filesystem.
+
+Usage:
+    WSI_PATH=/data/slide.svs python -m path_gene_multimodal_tpu.cli.main
+    python -m path_gene_multimodal_tpu.cli.main --wsi slide.svs --outroot out/
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from pathlib import Path
+
+from path_gene_multimodal_tpu.config import WSI_EXTS, default_config
+from path_gene_multimodal_tpu.pipeline.runner import PipelineModels, run_one_wsi
+from path_gene_multimodal_tpu.utils.log import get_logger
+
+
+def validate_wsi_path(wsi_path: str | Path) -> Path:
+    """Existence + extension check (reference main.py:129-140)."""
+    p = Path(wsi_path)
+    if not p.exists():
+        raise FileNotFoundError(f"WSI not found: {p}")
+    if p.suffix.lower() not in WSI_EXTS | {".npz"}:
+        raise ValueError(
+            f"unsupported WSI extension {p.suffix!r} (expected one of {sorted(WSI_EXTS)})"
+        )
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--wsi", default=None, help="slide path (default: $WSI_PATH)")
+    ap.add_argument("--outroot", default=None, help="output root directory")
+    ap.add_argument("--no-locks", action="store_true", help="skip lock files")
+    args = ap.parse_args(argv)
+
+    from path_gene_multimodal_tpu.utils.jaxsetup import setup_jax
+
+    setup_jax()
+    logger = get_logger()
+    wsi = args.wsi or os.environ.get("WSI_PATH")
+    if not wsi:
+        logger.error("no slide given: set WSI_PATH or pass --wsi")
+        return 2
+    cfg = default_config()
+    outroot = args.outroot or cfg.outroot or "out"
+
+    try:
+        wsi_path = validate_wsi_path(wsi)
+    except (FileNotFoundError, ValueError) as e:
+        logger.error("%s", e)
+        return 2
+
+    models = PipelineModels.build(cfg)
+    result = run_one_wsi(wsi_path, outroot, cfg, models=models, use_locks=not args.no_locks)
+    logger.info("slide %s: %s (%d tiles, %d polygons)",
+                result.stem, result.status, result.num_tiles, result.num_polygons)
+    return 0 if result.status in ("done", "already_done") else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -157,6 +157,10 @@ class CompatConfig:
     legacy_png_names: bool = False
     # tme_classes default = ALL classes (load_annotation_with_coordinates.py:195).
     tme_classes_default_all: bool = True
+    # tiles_to_grid maps tiles by RANK of unique x/y (gaps collapse) —
+    # create_and_overlay_polygon_from_prediction.py:111-124; False = dense
+    # (x - x0) // tile mapping (geometrically correct for gappy grids).
+    rank_compressed_grid: bool = True
 
 
 @dataclass(frozen=True)

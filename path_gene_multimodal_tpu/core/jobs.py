@@ -54,9 +54,8 @@ class SlideJob:
 
     @property
     def done_path(self) -> Path:
-        return self.out_dir / f"{self.stem}.{self.done_flag_name.lstrip('.')}" \
-            if not self.done_flag_name.startswith("_") \
-            else self.out_dir / f"{self.stem}{self.done_flag_name}"
+        # reference main.py:65-66: "<stem>.<flag>" → e.g. "SLIDE123._DONE.json"
+        return self.out_dir / f"{self.stem}.{self.done_flag_name.lstrip('.')}"
 
     @property
     def error_path(self) -> Path:

@@ -1,0 +1,41 @@
+"""Process-level JAX setup: persistent compilation cache + platform helpers.
+
+The axon-tunnel TPU environment compiles remotely (minutes per new program
+shape), so the persistent compilation cache is the difference between a
+4-minute and a 4-second tessellation step on every process start. Call
+``setup_jax()`` once from every entry point (CLI, bench, workers) before
+building models.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+_DONE = False
+
+
+def setup_jax(cache_dir: str | Path | None = None, platform: str | None = None) -> None:
+    """Enable the persistent compilation cache (idempotent). ``platform``
+    forces a backend ("cpu" for semantic tools) — must run before any JAX
+    backend initialization."""
+    global _DONE
+    import jax
+
+    if platform:
+        jax.config.update("jax_platforms", platform)
+    if _DONE:
+        return
+    cache = Path(
+        cache_dir
+        or os.environ.get("PGM_TPU_JAX_CACHE")
+        or Path.home() / ".cache" / "pgm_tpu_jax"
+    )
+    cache.mkdir(parents=True, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", str(cache))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass  # older jax without these flags
+    _DONE = True
