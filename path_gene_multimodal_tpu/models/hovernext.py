@@ -1,0 +1,122 @@
+"""HoverNeXt nuclei segmentation model (Flax): ConvNeXtV2 encoder +
+U-Net decoder + NP/HV/TP heads.
+
+TPU-native rebuild of the model the reference drives through the
+HoverNeXt repo (``hovernet_inference.py:82-170``, checkpoint
+``pannuke_convnextv2_tiny_3``). Three output branches (HoVer-Net family):
+
+- **NP** (2 ch): nuclei-pixel softmax (background / nucleus)
+- **HV** (2 ch): horizontal/vertical distance-to-centroid regression
+- **TP** (1 + num_types ch): per-pixel type softmax (PanNuke: 5 types +
+  background, ``aggregated_hovernet_run.py:76-82`` TYPE_NAMES)
+
+Decoder: top-down FPN/U-Net — upsample 2×, concat skip, two 3×3
+conv+LN+GELU blocks per level, then one shared 2× upsample to input
+resolution feeding the three 1×1 heads.
+
+The full forward (encode → decode → heads) runs as one jitted bf16
+program; sliding-window WSI inference + TTA lives in
+``pipeline.nuclei``; the watershed post-processing in ``ops.watershed``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from path_gene_multimodal_tpu.models.convnext import (
+    CONVNEXTV2_TINY,
+    ConvNeXtConfig,
+    ConvNeXtV2,
+)
+
+
+@dataclass(frozen=True)
+class HoverNeXtConfig:
+    encoder: ConvNeXtConfig = field(default_factory=lambda: CONVNEXTV2_TINY)
+    decoder_dims: tuple[int, ...] = (384, 192, 96, 64)
+    num_types: int = 5  # PanNuke nucleus types (ids 1..5)
+    input_size: int = 256
+
+    @property
+    def tp_channels(self) -> int:
+        return self.num_types + 1
+
+
+HOVERNEXT_TINY = HoverNeXtConfig()
+
+
+class DecoderBlock(nn.Module):
+    dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, skip: jnp.ndarray | None) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+        if skip is not None:
+            x = jnp.concatenate([x, skip], axis=-1)
+        for i in range(2):
+            x = nn.Conv(self.dim, (3, 3), padding=1, dtype=self.dtype, name=f"conv{i}")(x)
+            x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name=f"norm{i}")(x)
+            x = nn.gelu(x, approximate=False)
+        return x
+
+
+class HoverNeXt(nn.Module):
+    cfg: HoverNeXtConfig = HOVERNEXT_TINY
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, pixels: jnp.ndarray) -> dict[str, jnp.ndarray]:
+        """pixels: (B, H, W, 3) float in [0, 1] (HoverNeXt's normalization).
+        Returns {"np": (B,H,W,2), "hv": (B,H,W,2), "tp": (B,H,W,T+1)} —
+        logits for np/tp, raw regression for hv, all at input resolution."""
+        c = self.cfg
+        feats = ConvNeXtV2(c.encoder, dtype=self.dtype, name="encoder")(
+            pixels.astype(self.dtype)
+        )
+        # feats: [/4, /8, /16, /32]
+        x = feats[-1]
+        skips = [feats[2], feats[1], feats[0], None]
+        for i, dim in enumerate(c.decoder_dims):
+            x = DecoderBlock(dim, dtype=self.dtype, name=f"dec{i}")(x, skips[i])
+        # x is now at /2 resolution (three skip merges + one plain upsample)
+        b, h, w, ch = x.shape
+        x = jax.image.resize(x, (b, h * 2, w * 2, ch), method="bilinear")
+        x = nn.Conv(c.decoder_dims[-1], (3, 3), padding=1, dtype=self.dtype, name="final_conv")(x)
+        x = nn.gelu(x, approximate=False)
+        out_np = nn.Conv(2, (1, 1), dtype=self.dtype, name="head_np")(x)
+        out_hv = nn.Conv(2, (1, 1), dtype=self.dtype, name="head_hv")(x)
+        out_tp = nn.Conv(c.tp_channels, (1, 1), dtype=self.dtype, name="head_tp")(x)
+        f32 = lambda t: t.astype(jnp.float32)
+        return {"np": f32(out_np), "hv": f32(out_hv), "tp": f32(out_tp)}
+
+
+def tta_forward(apply_fn, params, pixels: jnp.ndarray, tta: int = 4) -> dict[str, jnp.ndarray]:
+    """Test-time augmentation over the dihedral subgroup {id, rot90, rot180,
+    rot270} (the reference's ``tta=4``, hovernet_inference.py:195). Outputs
+    are inverse-transformed and averaged; HV channels are rotated AND
+    swapped/negated to stay in the slide frame."""
+    accum: dict[str, jnp.ndarray] | None = None
+    for k in range(tta):
+        rot = jnp.rot90(pixels, k=k, axes=(1, 2))
+        out = apply_fn(params, rot)
+        np_b = jnp.rot90(out["np"], k=-k, axes=(1, 2))
+        tp_b = jnp.rot90(out["tp"], k=-k, axes=(1, 2))
+        hv_b = jnp.rot90(out["hv"], k=-k, axes=(1, 2))
+        h, v = hv_b[..., 0], hv_b[..., 1]
+        # rot90 by k in image space permutes/negates the (h, v) vector field
+        if k % 4 == 1:
+            h, v = -v, h
+        elif k % 4 == 2:
+            h, v = -h, -v
+        elif k % 4 == 3:
+            h, v = v, -h
+        hv_b = jnp.stack([h, v], axis=-1)
+        out_b = {"np": np_b, "hv": hv_b, "tp": tp_b}
+        accum = out_b if accum is None else {k2: accum[k2] + out_b[k2] for k2 in accum}
+    return {k2: v / tta for k2, v in accum.items()}

@@ -1,0 +1,115 @@
+"""Vectorized per-instance features from instance label maps.
+
+Replaces the reference's worst hot loop — per-nucleus ``regionprops`` +
+``find_contours`` on the CPU (``aggregated_hovernet_run.py:172-198``,
+SURVEY.md §2 C12) — with one scatter pass on device: areas, centroids,
+bboxes and type votes for ALL instances of a tile batch at once. Contour
+tracing (inherently sequential) stays on host but runs on tiny per-instance
+bbox crops.
+
+Label maps are dense 0-background int32 with ids < ``max_instances``
+(static). Padded/absent ids yield area 0 and are filtered downstream.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@partial(jax.jit, static_argnames=("max_instances", "num_types"))
+def instance_features(
+    inst_map: jnp.ndarray,
+    type_map: jnp.ndarray,
+    max_instances: int = 512,
+    num_types: int = 6,
+) -> dict[str, jnp.ndarray]:
+    """inst_map: (H, W) int32, 0 = background, ids 1..max_instances-1.
+    type_map: (H, W) int32 per-pixel type (0 = background class).
+
+    Returns per-id arrays of length ``max_instances`` (id 0 = background
+    slot, ignore): area, centroid_x/y (pixel coords, x = column), bbox
+    [xmin, ymin, xmax, ymax] (max-exclusive), type (majority vote over
+    non-background pixel types; 0 if none).
+    """
+    h, w = inst_map.shape
+    flat = inst_map.reshape(-1)
+    ys = (jnp.arange(h * w, dtype=jnp.int32) // w).astype(jnp.float32)
+    xs = (jnp.arange(h * w, dtype=jnp.int32) % w).astype(jnp.float32)
+
+    ones = jnp.ones_like(flat, jnp.float32)
+    area = jnp.zeros(max_instances, jnp.float32).at[flat].add(ones, mode="drop")
+    sum_x = jnp.zeros(max_instances, jnp.float32).at[flat].add(xs, mode="drop")
+    sum_y = jnp.zeros(max_instances, jnp.float32).at[flat].add(ys, mode="drop")
+    safe_area = jnp.maximum(area, 1.0)
+    cx = sum_x / safe_area
+    cy = sum_y / safe_area
+
+    big = jnp.float32(1e9)
+    xmin = jnp.full(max_instances, big).at[flat].min(xs, mode="drop")
+    ymin = jnp.full(max_instances, big).at[flat].min(ys, mode="drop")
+    xmax = jnp.full(max_instances, -big).at[flat].max(xs, mode="drop")
+    ymax = jnp.full(max_instances, -big).at[flat].max(ys, mode="drop")
+
+    # majority type vote: scatter-add into (max_instances, num_types)
+    tflat = jnp.clip(type_map.reshape(-1), 0, num_types - 1)
+    votes = jnp.zeros((max_instances, num_types), jnp.float32)
+    votes = votes.at[flat, tflat].add(jnp.where(tflat > 0, 1.0, 0.0), mode="drop")
+    inst_type = jnp.where(
+        jnp.sum(votes[:, 1:], axis=1) > 0,
+        jnp.argmax(votes[:, 1:], axis=1) + 1,
+        0,
+    ).astype(jnp.int32)
+
+    return {
+        "area": area,
+        "centroid_x": cx,
+        "centroid_y": cy,
+        "bbox_xmin": jnp.where(area > 0, xmin, 0.0),
+        "bbox_ymin": jnp.where(area > 0, ymin, 0.0),
+        "bbox_xmax": jnp.where(area > 0, xmax + 1.0, 0.0),
+        "bbox_ymax": jnp.where(area > 0, ymax + 1.0, 0.0),
+        "type": inst_type,
+    }
+
+
+# batched over tiles
+instance_features_batch = jax.vmap(
+    instance_features, in_axes=(0, 0), out_axes=0,
+)
+
+
+def instance_contours(
+    inst_map: np.ndarray,
+    features: dict[str, np.ndarray],
+    simplify_tol: float = 0.5,
+    max_vertices: int | None = None,
+) -> dict[int, np.ndarray]:
+    """Host-side: per-instance exterior contour on the instance's bbox crop
+    (reference: longest find_contours + approximate_polygon(tol=0.5),
+    aggregated_hovernet_run.py:184-198). Returns {inst_id: (K, 2) [x, y]}."""
+    from path_gene_multimodal_tpu.ops.contours import douglas_peucker, exterior_ring
+
+    out: dict[int, np.ndarray] = {}
+    area = features["area"]
+    for inst_id in range(1, len(area)):
+        if area[inst_id] <= 0:
+            continue
+        x0 = int(features["bbox_xmin"][inst_id])
+        y0 = int(features["bbox_ymin"][inst_id])
+        x1 = int(features["bbox_xmax"][inst_id])
+        y1 = int(features["bbox_ymax"][inst_id])
+        crop = inst_map[y0:y1, x0:x1] == inst_id
+        ring = exterior_ring(crop)
+        if ring is None or len(ring) < 3:
+            continue
+        ring = douglas_peucker(ring, simplify_tol, closed=True)
+        xy = np.stack([ring[:, 1] + x0, ring[:, 0] + y0], axis=1)
+        if max_vertices and len(xy) > max_vertices:
+            step = int(np.ceil(len(xy) / max_vertices))
+            xy = xy[::step]
+        out[inst_id] = xy
+    return out

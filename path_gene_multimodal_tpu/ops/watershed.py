@@ -1,0 +1,162 @@
+"""HoVer-map watershed post-processing, on-device.
+
+TPU-native rebuild of the HoVer-Net/HoverNeXt instance-segmentation
+post-processing the reference runs as a CPU multiprocessing stage
+(``hovernet_inference.py:150`` ``post_process_main`` → ``pinst_pp.zip``;
+SURVEY.md §7 hard part 1). Pipeline (classic HoVer-Net recipe):
+
+1. ``blb``: NP softmax foreground > 0.5, small objects removed;
+2. Sobel gradients of the H and V maps, each min-max normalized, combined
+   as ``overall = max(|∂x h|, |∂y v|)`` — high at instance boundaries;
+3. energy ``dist = (1 - overall) * blb``; markers = interior pixels
+   (``overall < marker_threshold`` inside ``blb``), small markers removed,
+   connected-component labeled;
+4. marker-based watershed of ``-dist`` restricted to ``blb``.
+
+The watershed itself is reformulated for XLA (no priority queue): the
+energy is quantized into L descending level sets; within each level,
+labels dilate iteratively (8-neighborhood, min-label tie-break) into
+unlabeled foreground pixels of that level until a fixed point. This is the
+standard parallel level-set watershed; with L=64 levels it matches the
+serial heap algorithm up to plateau tie-breaking (validated instance-wise
+against a numpy priority-queue golden in tests).
+
+All steps are jit-compatible with static shapes; batching over tiles via
+``vmap``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from path_gene_multimodal_tpu.ops.components import (
+    INF,
+    component_sizes,
+    label_components,
+)
+
+_SOBEL_X = jnp.asarray([[-1.0, 0.0, 1.0], [-2.0, 0.0, 2.0], [-1.0, 0.0, 1.0]]) / 8.0
+_SOBEL_Y = _SOBEL_X.T
+
+
+def _conv3(img: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
+    return jax.lax.conv_general_dilated(
+        img[None, None], k[None, None], (1, 1), "SAME",
+        preferred_element_type=jnp.float32,
+    )[0, 0]
+
+
+def _minmax_norm(x: jnp.ndarray) -> jnp.ndarray:
+    lo, hi = jnp.min(x), jnp.max(x)
+    return (x - lo) / jnp.maximum(hi - lo, 1e-8)
+
+
+def hv_energy(
+    h_map: jnp.ndarray, v_map: jnp.ndarray, blb: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """→ (overall boundary response ∈ [0,1], dist energy)."""
+    sh = _minmax_norm(jnp.abs(_conv3(h_map.astype(jnp.float32), _SOBEL_X)))
+    sv = _minmax_norm(jnp.abs(_conv3(v_map.astype(jnp.float32), _SOBEL_Y)))
+    overall = jnp.maximum(sh, sv)
+    overall = jnp.where(blb, overall, 0.0)
+    dist = (1.0 - overall) * blb.astype(jnp.float32)
+    return overall, dist
+
+
+def _neighbor_min_label(lbl: jnp.ndarray) -> jnp.ndarray:
+    """Min labeled value among 8 neighbors (INF where none)."""
+    best = jnp.full_like(lbl, INF)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            shifted = jnp.roll(lbl, (dy, dx), axis=(0, 1))
+            if dy == 1:
+                shifted = shifted.at[0, :].set(INF)
+            if dy == -1:
+                shifted = shifted.at[-1, :].set(INF)
+            if dx == 1:
+                shifted = shifted.at[:, 0].set(INF)
+            if dx == -1:
+                shifted = shifted.at[:, -1].set(INF)
+            best = jnp.minimum(best, shifted)
+    return best
+
+
+@partial(jax.jit, static_argnames=("levels", "max_rounds"))
+def marker_watershed(
+    dist: jnp.ndarray,
+    markers: jnp.ndarray,
+    mask: jnp.ndarray,
+    levels: int = 64,
+    max_rounds: int = 64,
+) -> jnp.ndarray:
+    """Flood ``markers`` (int32, INF = unlabeled) over ``mask`` following
+    descending ``dist`` (higher = flooded earlier). Returns int32 labels,
+    INF outside/unreached."""
+    q = jnp.clip((dist * (levels - 1)).astype(jnp.int32), 0, levels - 1)
+    lbl0 = jnp.where(markers < INF, markers, INF)
+
+    def flood_level(level, lbl):
+        eligible = mask & (q >= level) & (lbl == INF)
+
+        def cond(state):
+            i, lbl, changed = state
+            return changed & (i < max_rounds)
+
+        def body(state):
+            i, lbl, _ = state
+            # serial-heap parity: a labeled pixel only seeds growth once the
+            # flood level has descended to its own quantized energy —
+            # otherwise low-energy markers would expand prematurely
+            active = jnp.where((lbl < INF) & (q >= level), lbl, INF)
+            nb = _neighbor_min_label(active)
+            grow = eligible & (lbl == INF) & (nb < INF)
+            new = jnp.where(grow, nb, lbl)
+            return i + 1, new, jnp.any(new != lbl)
+
+        _, lbl, _ = jax.lax.while_loop(cond, body, (0, lbl, jnp.bool_(True)))
+        return lbl
+
+    lbl = jax.lax.fori_loop(
+        0, levels, lambda i, l: flood_level(levels - 1 - i, l), lbl0
+    )
+    return lbl
+
+
+@partial(jax.jit, static_argnames=("min_object_size", "min_marker_size", "levels"))
+def hover_instances(
+    np_prob: jnp.ndarray,
+    hv: jnp.ndarray,
+    np_threshold: float = 0.5,
+    marker_threshold: float = 0.4,
+    min_object_size: int = 10,
+    min_marker_size: int = 3,
+    levels: int = 64,
+) -> jnp.ndarray:
+    """NP foreground prob (H, W) + HV maps (H, W, 2) → instance labels
+    (H, W) int32, INF = background. The full HoVer-Net post-proc chain as
+    one jitted program."""
+    blb = np_prob > np_threshold
+    blb = blb & (component_sizes(label_components(blb, 1)) >= min_object_size)
+    overall, dist = hv_energy(hv[..., 0], hv[..., 1], blb)
+    marker_mask = blb & (overall < marker_threshold)
+    marker_lbl = label_components(marker_mask, 1)
+    marker_lbl = jnp.where(
+        component_sizes(marker_lbl) >= min_marker_size, marker_lbl, INF
+    )
+    return marker_watershed(dist, marker_lbl, blb, levels=levels)
+
+
+def instances_to_dense(lbl: jnp.ndarray) -> jnp.ndarray:
+    """INF-background labels → 0-background uint32 map (artifact format,
+    parity with the reference's ``pinst_pp.zip`` uint32 instance map)."""
+    import numpy as np
+
+    from path_gene_multimodal_tpu.ops.components import compact_labels
+
+    out, _ = compact_labels(np.asarray(lbl))
+    return out.astype(np.uint32)

@@ -1,0 +1,278 @@
+"""Nuclei pipeline: batched HoverNeXt inference + watershed + WSI
+aggregation.
+
+TPU-native rebuild of the reference's nuclei stack
+(``aggregated_hovernet_run.py`` + ``hovernet_inference.py``), fixing its
+documented anti-pattern (a full model re-setup per 224-px tile, SURVEY.md
+§3.2) — here the model is jitted once and tiles stream through in batches:
+
+1. select TME-ROI tiles from the annotations CSV
+   (``select_tiles_for_hovernet`` :51-70);
+2. decode each tile, reflect-pad 224→256 (HoverNeXt's input size), batch;
+3. one jitted forward (optionally ×4 TTA) → NP/HV/TP maps;
+4. ``ops.watershed.hover_instances`` per tile (vmapped) → instance maps;
+5. ``ops.instances`` scatter pass → areas/centroids/bboxes/types; host
+   marching-squares contours per instance;
+6. rows with tile-local AND WSI coordinates (one broadcast add — the
+   reference's ``add_wsi_coords_to_nuclei`` :263-336);
+7. artifacts: ``<stem>_hovernet_nuclei_wsi.csv`` + ``.parquet``; per-tile
+   ``class_inst.json`` ``{inst_id: [type, [0, cx, cy]]}`` and an ``.npz``
+   uint32 instance map (replacing the reference's zarr ``pinst_pp.zip`` —
+   zarr is not in this environment; the array contract is identical).
+
+TYPE_NAMES parity: {1 neoplastic, 2 inflammatory, 3 connective, 4 dead,
+5 epithelial} (``aggregated_hovernet_run.py:76-82``).
+"""
+
+from __future__ import annotations
+
+import json
+import uuid
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from path_gene_multimodal_tpu.config import TYPE_NAMES, PipelineConfig
+from path_gene_multimodal_tpu.core.artifacts import write_nuclei_table
+from path_gene_multimodal_tpu.io.slide import SlideReader
+from path_gene_multimodal_tpu.models.hovernext import (
+    HOVERNEXT_TINY,
+    HoverNeXt,
+    HoverNeXtConfig,
+    tta_forward,
+)
+from path_gene_multimodal_tpu.ops import watershed as ws
+from path_gene_multimodal_tpu.ops.components import compact_labels
+from path_gene_multimodal_tpu.ops.instances import instance_contours, instance_features
+from path_gene_multimodal_tpu.utils.log import get_logger
+
+REQUIRED_COLUMNS = ("tile_index", "x", "y", "predicted_class", "in_tme_roi")
+
+
+def load_tile_annotations(csv_path: str | Path) -> pd.DataFrame:
+    """Required-column check (aggregated_hovernet_run.py:30-45)."""
+    df = pd.read_csv(csv_path)
+    missing = [c for c in REQUIRED_COLUMNS if c not in df.columns]
+    if missing:
+        raise ValueError(f"{csv_path} missing required columns: {missing}")
+    return df
+
+
+def select_tiles_for_hovernet(df: pd.DataFrame) -> pd.DataFrame:
+    """in_tme_roi == True, unique by (x, y), sorted (ref :51-70)."""
+    sel = df[df["in_tme_roi"] == True]  # noqa: E712
+    sel = sel.drop_duplicates(subset=["x", "y"]).sort_values(["y", "x"])
+    return sel.reset_index(drop=True)
+
+
+@dataclass
+class NucleiModel:
+    """Jitted HoverNeXt bundle built once per process."""
+
+    cfg: HoverNeXtConfig
+    params: Any
+    tta: int = 4
+    np_threshold: float = 0.5
+    marker_threshold: float = 0.4
+    max_instances: int = 512
+
+    @classmethod
+    def build(
+        cls, cfg: HoverNeXtConfig = HOVERNEXT_TINY, params=None, seed: int = 0,
+        dtype=jnp.bfloat16, tta: int = 4, **kw,
+    ) -> "NucleiModel":
+        model = HoverNeXt(cfg, dtype=dtype)
+        if params is None:
+            dummy = jnp.zeros((1, cfg.input_size, cfg.input_size, 3), jnp.float32)
+            params = model.init(jax.random.PRNGKey(seed), dummy)
+        self = cls(cfg=cfg, params=params, tta=tta, **kw)
+        apply_fn = model.apply
+
+        @jax.jit
+        def _infer(params, tiles_u8):
+            pixels = tiles_u8.astype(jnp.float32) / 255.0
+            out = tta_forward(apply_fn, params, pixels, tta=self.tta)
+            np_prob = jax.nn.softmax(out["np"], axis=-1)[..., 1]
+            tp_cls = jnp.argmax(out["tp"], axis=-1).astype(jnp.int32)
+            return np_prob, out["hv"], tp_cls
+
+        @jax.jit
+        def _postproc(np_prob, hv):
+            def one(p, h):
+                return ws.hover_instances(
+                    p, h,
+                    np_threshold=self.np_threshold,
+                    marker_threshold=self.marker_threshold,
+                )
+            return jax.vmap(one)(np_prob, hv)
+
+        self._infer = _infer
+        self._postproc = _postproc
+        return self
+
+    def segment(self, tiles_u8: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(B, S, S, 3) uint8 → (instance maps (B, S, S) int32 dense labels,
+        type maps (B, S, S) int32)."""
+        np_prob, hv, tp_cls = self._infer(self.params, jnp.asarray(tiles_u8))
+        lbl = self._postproc(np_prob, hv)
+        lbl_np = np.asarray(lbl)
+        out = np.zeros(lbl_np.shape, np.int32)
+        for b in range(lbl_np.shape[0]):
+            out[b], _ = compact_labels(lbl_np[b])
+        return out, np.asarray(tp_cls)
+
+
+def _pad_tile_to_input(tile: np.ndarray, input_size: int) -> tuple[np.ndarray, int]:
+    """Reflect-pad a (T, T, 3) tile to the model input size; returns
+    (padded, offset) where offset is the crop origin to undo."""
+    t = tile.shape[0]
+    if t == input_size:
+        return tile, 0
+    pad = (input_size - t) // 2
+    out = np.pad(tile, ((pad, input_size - t - pad), (pad, input_size - t - pad), (0, 0)),
+                 mode="reflect")
+    return out, pad
+
+
+def run_hovernet_pipeline_on_wsi_tiles(
+    slide: SlideReader,
+    annotations_csv: str | Path,
+    out_dir: str | Path,
+    stem: str,
+    model: NucleiModel,
+    cfg: PipelineConfig,
+    batch_size: int | None = None,
+    save_tile_artifacts: bool = False,
+    write_artifacts: bool = True,
+) -> pd.DataFrame:
+    """The reference's end-to-end nuclei stage (:342-407) — returns (and
+    writes) the WSI-space nuclei table."""
+    logger = get_logger()
+    df = load_tile_annotations(annotations_csv)
+    sel = select_tiles_for_hovernet(df)
+    if len(sel) == 0:
+        logger.warning("no TME-ROI tiles for %s; empty nuclei table", stem)
+        return _write_empty(out_dir, stem, write_artifacts)
+
+    tile_size = cfg.patch_size
+    input_size = model.cfg.input_size
+    batch = batch_size or cfg.hovernext.batch_size
+    out_dir = Path(out_dir)
+    rows: list[dict[str, Any]] = []
+
+    coords = sel[["x", "y"]].to_numpy(np.int64)
+    for start in range(0, len(coords), batch):
+        chunk = coords[start : start + batch]
+        tiles, offsets = [], []
+        for x, y in chunk:
+            tile = slide.read_region((int(x), int(y)), 0, (tile_size, tile_size))
+            padded, off = _pad_tile_to_input(tile, input_size)
+            tiles.append(padded)
+            offsets.append(off)
+        batch_u8 = np.stack(tiles)
+        if len(chunk) < batch:  # pad batch to static shape
+            batch_u8 = np.concatenate(
+                [batch_u8, np.zeros((batch - len(chunk), input_size, input_size, 3), np.uint8)]
+            )
+        inst_maps, type_maps = model.segment(batch_u8)
+        for bi, (x, y) in enumerate(chunk):
+            off = offsets[bi]
+            inst = inst_maps[bi, off : off + tile_size, off : off + tile_size]
+            types = type_maps[bi, off : off + tile_size, off : off + tile_size]
+            inst, _ = compact_labels(np.where(inst > 0, inst, 2**30))
+            rows.extend(
+                _tile_rows(inst, types, int(x), int(y), tile_size, out_dir, stem,
+                           model.max_instances, save_tile_artifacts, cfg)
+            )
+    nuclei = pd.DataFrame(rows)
+    if write_artifacts:
+        if len(nuclei) == 0:
+            return _write_empty(out_dir, stem, True)
+        write_nuclei_table(out_dir / f"{stem}_hovernet_nuclei_wsi", nuclei)
+    return nuclei
+
+
+def _tile_rows(
+    inst: np.ndarray,
+    types: np.ndarray,
+    tile_x: int,
+    tile_y: int,
+    tile_size: int,
+    out_dir: Path,
+    stem: str,
+    max_instances: int,
+    save_tile_artifacts: bool,
+    cfg: PipelineConfig,
+) -> list[dict[str, Any]]:
+    feats = {k: np.asarray(v) for k, v in instance_features(
+        jnp.asarray(inst), jnp.asarray(types), max_instances=max_instances
+    ).items()}
+    contours = instance_contours(inst, feats, simplify_tol=0.5)
+    tile_name = f"{tile_x}_{tile_y}"
+    rows = []
+    class_inst: dict[str, list] = {}
+    for inst_id in range(1, max_instances):
+        if feats["area"][inst_id] <= 0:
+            continue
+        t = int(feats["type"][inst_id])
+        cx = float(feats["centroid_x"][inst_id])
+        cy = float(feats["centroid_y"][inst_id])
+        bbox = [
+            float(feats["bbox_xmin"][inst_id]), float(feats["bbox_ymin"][inst_id]),
+            float(feats["bbox_xmax"][inst_id]), float(feats["bbox_ymax"][inst_id]),
+        ]
+        poly = contours.get(inst_id)
+        poly_list = poly.tolist() if poly is not None else []
+        wsi_poly = (poly + np.array([tile_x, tile_y])).tolist() if poly is not None else []
+        rows.append(
+            {
+                "nuc_id": str(uuid.uuid4()),
+                "inst_id": inst_id,
+                "type": t,
+                "type_name": TYPE_NAMES.get(t, "unknown"),
+                "bounding_box": bbox,
+                "centroid": [cx, cy],
+                "polygon": poly_list,
+                "tile_name": tile_name,
+                "tile_path": str(out_dir / "patches" / f"{tile_name}.png"),
+                "tile_x": tile_x,
+                "tile_y": tile_y,
+                "centroid_x": cx,
+                "centroid_y": cy,
+                "wsi_centroid_x": cx + tile_x,
+                "wsi_centroid_y": cy + tile_y,
+                "bbox_xmin": bbox[0], "bbox_ymin": bbox[1],
+                "bbox_xmax": bbox[2], "bbox_ymax": bbox[3],
+                "wsi_bbox_xmin": bbox[0] + tile_x, "wsi_bbox_ymin": bbox[1] + tile_y,
+                "wsi_bbox_xmax": bbox[2] + tile_x, "wsi_bbox_ymax": bbox[3] + tile_y,
+                "wsi_polygon": wsi_poly,
+            }
+        )
+        class_inst[str(inst_id)] = [t, [0, cx, cy]]
+    if save_tile_artifacts:
+        tdir = out_dir / "hovernet" / tile_name
+        tdir.mkdir(parents=True, exist_ok=True)
+        (tdir / "class_inst.json").write_text(json.dumps(class_inst))
+        np.savez_compressed(tdir / "pinst_pp.npz", inst_map=inst.astype(np.uint32))
+    return rows
+
+
+def _write_empty(out_dir: str | Path, stem: str, write: bool) -> pd.DataFrame:
+    empty = pd.DataFrame(
+        columns=[
+            "nuc_id", "inst_id", "type", "type_name", "bounding_box", "centroid",
+            "polygon", "tile_name", "tile_path", "tile_x", "tile_y",
+            "centroid_x", "centroid_y", "wsi_centroid_x", "wsi_centroid_y",
+            "bbox_xmin", "bbox_ymin", "bbox_xmax", "bbox_ymax",
+            "wsi_bbox_xmin", "wsi_bbox_ymin", "wsi_bbox_xmax", "wsi_bbox_ymax",
+            "wsi_polygon",
+        ]
+    )
+    if write:
+        write_nuclei_table(Path(out_dir) / f"{stem}_hovernet_nuclei_wsi", empty)
+    return empty
