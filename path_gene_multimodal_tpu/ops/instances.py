@@ -54,6 +54,27 @@ def instance_features(
     xmax = jnp.full(max_instances, -big).at[flat].max(xs, mode="drop")
     ymax = jnp.full(max_instances, -big).at[flat].max(ys, mode="drop")
 
+    # central second moments (for regionprops-style shape features):
+    # scatter x², y², xy then subtract centroid terms
+    sum_xx = jnp.zeros(max_instances, jnp.float32).at[flat].add(xs * xs, mode="drop")
+    sum_yy = jnp.zeros(max_instances, jnp.float32).at[flat].add(ys * ys, mode="drop")
+    sum_xy = jnp.zeros(max_instances, jnp.float32).at[flat].add(xs * ys, mode="drop")
+    # + 1/12 per-pixel square correction (regionprops uses pixel centers;
+    # we keep raw point moments — documented, self-consistent)
+    mu_xx = sum_xx / safe_area - cx * cx
+    mu_yy = sum_yy / safe_area - cy * cy
+    mu_xy = sum_xy / safe_area - cx * cy
+    # eigenvalues of the covariance matrix → axis lengths / eccentricity
+    common = jnp.sqrt(jnp.maximum(((mu_xx - mu_yy) / 2) ** 2 + mu_xy**2, 0.0))
+    lam1 = (mu_xx + mu_yy) / 2 + common   # major
+    lam2 = (mu_xx + mu_yy) / 2 - common   # minor
+    lam1 = jnp.maximum(lam1, 0.0)
+    lam2 = jnp.maximum(lam2, 0.0)
+    major_axis = 4.0 * jnp.sqrt(lam1)
+    minor_axis = 4.0 * jnp.sqrt(lam2)
+    eccentricity = jnp.sqrt(jnp.maximum(1.0 - lam2 / jnp.maximum(lam1, 1e-12), 0.0))
+    orientation = 0.5 * jnp.arctan2(2.0 * mu_xy, mu_xx - mu_yy)
+
     # majority type vote: scatter-add into (max_instances, num_types)
     tflat = jnp.clip(type_map.reshape(-1), 0, num_types - 1)
     votes = jnp.zeros((max_instances, num_types), jnp.float32)
@@ -73,6 +94,10 @@ def instance_features(
         "bbox_xmax": jnp.where(area > 0, xmax + 1.0, 0.0),
         "bbox_ymax": jnp.where(area > 0, ymax + 1.0, 0.0),
         "type": inst_type,
+        "major_axis": major_axis,
+        "minor_axis": minor_axis,
+        "eccentricity": eccentricity,
+        "orientation": orientation,
     }
 
 

@@ -229,6 +229,9 @@ def _tile_rows(
         poly = contours.get(inst_id)
         poly_list = poly.tolist() if poly is not None else []
         wsi_poly = (poly + np.array([tile_x, tile_y])).tolist() if poly is not None else []
+        # morphology (notebook cells 18-21: regionprops_table + derived)
+        perimeter = _ring_length(poly) if poly is not None else 0.0
+        solidity = _solidity(poly, float(feats["area"][inst_id])) if poly is not None else 1.0
         rows.append(
             {
                 "nuc_id": str(uuid.uuid4()),
@@ -251,6 +254,13 @@ def _tile_rows(
                 "wsi_bbox_xmin": bbox[0] + tile_x, "wsi_bbox_ymin": bbox[1] + tile_y,
                 "wsi_bbox_xmax": bbox[2] + tile_x, "wsi_bbox_ymax": bbox[3] + tile_y,
                 "wsi_polygon": wsi_poly,
+                "area": float(feats["area"][inst_id]),
+                "perimeter": perimeter,
+                "eccentricity": float(feats["eccentricity"][inst_id]),
+                "solidity": solidity,
+                "major_axis_length": float(feats["major_axis"][inst_id]),
+                "minor_axis_length": float(feats["minor_axis"][inst_id]),
+                "orientation": float(feats["orientation"][inst_id]),
             }
         )
         class_inst[str(inst_id)] = [t, [0, cx, cy]]
@@ -262,6 +272,47 @@ def _tile_rows(
     return rows
 
 
+def _ring_length(poly: np.ndarray) -> float:
+    d = np.diff(np.concatenate([poly, poly[:1]], axis=0), axis=0)
+    return float(np.sum(np.hypot(d[:, 0], d[:, 1])))
+
+
+def _convex_hull(points: np.ndarray) -> np.ndarray:
+    """Andrew monotone chain (host; tiny per-nucleus point sets)."""
+    pts = np.unique(points, axis=0)
+    if len(pts) <= 2:
+        return pts
+    pts = pts[np.lexsort((pts[:, 1], pts[:, 0]))]
+
+    def half(seq):
+        out: list[np.ndarray] = []
+        for p in seq:
+            while len(out) >= 2:
+                a, b = out[-1] - out[-2], p - out[-2]
+                if a[0] * b[1] - a[1] * b[0] <= 0:
+                    out.pop()
+                else:
+                    break
+            out.append(p)
+        return out
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    return np.array(lower[:-1] + upper[:-1])
+
+
+def _solidity(poly: np.ndarray, area: float) -> float:
+    """area / convex-hull area (regionprops solidity)."""
+    hull = _convex_hull(poly)
+    if len(hull) < 3:
+        return 1.0
+    x, y = hull[:, 0], hull[:, 1]
+    hull_area = 0.5 * abs(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
+    if hull_area <= 0:
+        return 1.0
+    return float(min(area / hull_area, 1.0))
+
+
 def _write_empty(out_dir: str | Path, stem: str, write: bool) -> pd.DataFrame:
     empty = pd.DataFrame(
         columns=[
@@ -270,7 +321,8 @@ def _write_empty(out_dir: str | Path, stem: str, write: bool) -> pd.DataFrame:
             "centroid_x", "centroid_y", "wsi_centroid_x", "wsi_centroid_y",
             "bbox_xmin", "bbox_ymin", "bbox_xmax", "bbox_ymax",
             "wsi_bbox_xmin", "wsi_bbox_ymin", "wsi_bbox_xmax", "wsi_bbox_ymax",
-            "wsi_polygon",
+            "wsi_polygon", "area", "perimeter", "eccentricity", "solidity",
+            "major_axis_length", "minor_axis_length", "orientation",
         ]
     )
     if write:

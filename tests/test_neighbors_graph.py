@@ -1,0 +1,132 @@
+"""Neighbor search vs scipy cKDTree goldens + cell-graph construction."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from scipy.spatial import cKDTree
+
+from path_gene_multimodal_tpu.config import GraphConfig
+from path_gene_multimodal_tpu.ops.neighbors import knn, radius_graph
+from path_gene_multimodal_tpu.pipeline.graph import (
+    build_cell_graph,
+    morphology_features,
+    to_networkx,
+    to_pyg_data,
+)
+
+
+def test_knn_matches_ckdtree(rng):
+    pts = rng.uniform(0, 1000, size=(500, 2)).astype(np.float32)
+    d, i = knn(pts, k=5)
+    tree = cKDTree(pts)
+    gd, gi = tree.query(pts, k=6)  # self + 5
+    np.testing.assert_allclose(np.sort(d, axis=1), np.sort(gd[:, 1:], axis=1), rtol=1e-4, atol=1e-2)
+    # neighbor sets match (ties may reorder)
+    for r in range(0, 500, 37):
+        assert set(i[r]) == set(gi[r, 1:]), r
+
+
+def test_knn_chunked_consistency(rng):
+    pts = rng.uniform(0, 100, size=(300, 2)).astype(np.float32)
+    d1, i1 = knn(pts, k=3, q_chunk=64, db_chunk=128)
+    d2, i2 = knn(pts, k=3, q_chunk=512, db_chunk=512)
+    np.testing.assert_allclose(d1, d2, rtol=1e-5, atol=1e-3)
+
+
+def test_radius_graph_matches_ckdtree(rng):
+    pts = rng.uniform(0, 200, size=(300, 2)).astype(np.float32)
+    r = 15.0
+    ei, ed = radius_graph(pts, radius=r, max_degree=64)
+    tree = cKDTree(pts)
+    pairs = tree.query_pairs(r, output_type="ndarray")
+    golden = set()
+    for a, b in pairs:
+        golden.add((a, b))
+        golden.add((b, a))
+    ours = set(zip(ei[0].tolist(), ei[1].tolist()))
+    assert ours == golden
+    # distances correct
+    for (a, b), dist in zip(zip(ei[0], ei[1]), ed):
+        assert dist == pytest.approx(np.linalg.norm(pts[a] - pts[b]), rel=1e-4, abs=1e-2)
+
+
+def test_radius_graph_empty():
+    pts = np.array([[0, 0], [1000, 1000]], np.float32)
+    ei, ed = radius_graph(pts, radius=5.0)
+    assert ei.shape == (2, 0) and len(ed) == 0
+
+
+@pytest.fixture
+def nuclei_df(rng):
+    n = 60
+    rows = []
+    for i in range(n):
+        rows.append(
+            {
+                "nuc_id": f"n{i}",
+                "type": int(rng.integers(1, 6)),
+                "wsi_centroid_x": float(rng.uniform(0, 4000)),
+                "wsi_centroid_y": float(rng.uniform(0, 4000)),
+                "area": float(rng.uniform(40, 200)),
+                "perimeter": float(rng.uniform(20, 70)),
+                "eccentricity": float(rng.uniform(0, 0.9)),
+                "solidity": float(rng.uniform(0.7, 1.0)),
+                "major_axis_length": float(rng.uniform(8, 20)),
+                "minor_axis_length": float(rng.uniform(4, 10)),
+                "orientation": float(rng.uniform(-1.5, 1.5)),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def test_morphology_features_zscored(nuclei_df):
+    z, names = morphology_features(nuclei_df)
+    assert z.shape == (60, 11)
+    assert len(names) == 11 and names[0] == "area_z"
+    np.testing.assert_allclose(z.mean(axis=0), 0, atol=1e-5)
+    np.testing.assert_allclose(z.std(axis=0), 1, atol=1e-4)
+
+
+def test_build_cell_graph(nuclei_df, tmp_path):
+    g = build_cell_graph(nuclei_df, GraphConfig(), tmp_path, "s")
+    assert g.x.shape == (60, 5 + 11)
+    assert g.knn_index.shape == (60, 5)
+    # µm conversion + median centering
+    assert np.abs(np.median(g.pos_um, axis=0)).max() < 1e-9
+    span = g.pos_um.max() - g.pos_um.min()
+    assert span < 4000 * 0.25 * 1.1  # µm scale, not px
+    assert (tmp_path / "s_cell_graph.npz").exists()
+    with np.load(tmp_path / "s_cell_graph.npz", allow_pickle=False) as z:
+        assert z["edge_index"].shape[0] == 2
+        assert z["x"].shape == (60, 16)
+
+
+def test_type_filter(nuclei_df):
+    g = build_cell_graph(nuclei_df, GraphConfig(), None, "s",
+                         type_filter=(1, 2), write_artifacts=False)
+    assert set(np.unique(g.types)).issubset({1, 2})
+
+
+def test_to_networkx(nuclei_df):
+    g = build_cell_graph(nuclei_df, GraphConfig(), None, "s", write_artifacts=False)
+    nx_g = to_networkx(g)
+    assert nx_g.number_of_nodes() == 60
+    assert nx_g.number_of_edges() > 0
+    node = list(nx_g.nodes(data=True))[0]
+    assert "pos" in node[1] and "cell_type" in node[1]
+
+
+def test_to_pyg_data_fallback(nuclei_df):
+    g = build_cell_graph(nuclei_df, GraphConfig(), None, "s", write_artifacts=False)
+    data = to_pyg_data(g)
+    # torch_geometric absent in this env → dict with the Data contract keys
+    if isinstance(data, dict):
+        assert set(data) == {"x", "edge_index", "edge_attr", "pos"}
+    else:
+        assert data.x.shape[0] == 60
+
+
+def test_empty_raises():
+    with pytest.raises(ValueError, match="no nuclei"):
+        build_cell_graph(pd.DataFrame({"type": []}), GraphConfig(), None, "s",
+                         write_artifacts=False)
