@@ -113,6 +113,11 @@ class NucleiModel:
 
         self._infer = _infer
         self._postproc = _postproc
+        # unjitted versions for callers that fuse further (bench, WSI mode)
+        self._infer_raw = _infer.__wrapped__ if hasattr(_infer, "__wrapped__") else _infer
+        self._postproc_raw = (
+            _postproc.__wrapped__ if hasattr(_postproc, "__wrapped__") else _postproc
+        )
         return self
 
     def segment(self, tiles_u8: np.ndarray) -> tuple[np.ndarray, np.ndarray]:

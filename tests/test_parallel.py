@@ -1,0 +1,119 @@
+"""Mesh sharding, halo exchange, DP training step, and the driver entry
+points — on the 8-device virtual CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from path_gene_multimodal_tpu.parallel.halo import sharded_stencil
+from path_gene_multimodal_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    pad_to_multiple,
+    shard_batch,
+    shard_params,
+)
+from path_gene_multimodal_tpu.parallel.train import (
+    make_linear_probe_step,
+    shard_step_over_mesh,
+)
+
+
+def test_eight_virtual_devices():
+    assert len(jax.devices()) == 8  # conftest contract
+
+
+def test_make_mesh():
+    mesh = make_mesh(8)
+    assert mesh.devices.shape == (8,)
+    assert mesh.axis_names == ("tiles",)
+    with pytest.raises(ValueError, match="requested"):
+        make_mesh(99)
+
+
+def test_sharded_matches_single_device(rng):
+    """A sharded forward must be numerically identical to unsharded."""
+    from path_gene_multimodal_tpu.models.clip import VisionConfig, VisionTower, preprocess_tiles
+
+    vcfg = VisionConfig(image_size=32, patch_size=16, width=32, layers=1, heads=2, out_dim=16)
+    tower = VisionTower(vcfg, dtype=jnp.float32)
+    tiles = jnp.asarray(rng.integers(0, 256, (16, 32, 32, 3), dtype=np.uint8))
+    params = tower.init(jax.random.PRNGKey(0), preprocess_tiles(tiles))
+
+    single = tower.apply(params, preprocess_tiles(tiles))
+
+    mesh = make_mesh(8)
+    p_sh = shard_params(params, mesh)
+    t_sh = jax.device_put(tiles, batch_sharding(mesh, 4))
+    fwd = jax.jit(lambda p, t: tower.apply(p, preprocess_tiles(t)))
+    sharded = fwd(p_sh, t_sh)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(single), atol=1e-5)
+    # output really is sharded over the mesh
+    assert len(sharded.sharding.device_set) == 8
+
+
+def test_pad_to_multiple():
+    arr = np.ones((13, 4))
+    padded, n = pad_to_multiple(arr, 8)
+    assert padded.shape == (16, 4) and n == 13
+    assert (padded[13:] == 0).all()
+
+
+def test_halo_stencil_matches_dense(rng):
+    mesh = make_mesh(8)
+    field = rng.normal(size=(32, 16)).astype(np.float32)
+
+    def dense_3row_mean(x):
+        xp = np.pad(x, ((1, 1), (0, 0)), mode="edge")
+        return (xp[:-2] + xp[1:-1] + xp[2:]) / 3.0
+
+    smooth = sharded_stencil(
+        lambda x: (x + jnp.roll(x, 1, 0) + jnp.roll(x, -1, 0)) / 3.0, mesh, halo=1
+    )
+    out = np.asarray(smooth(jnp.asarray(field)))
+    np.testing.assert_allclose(out, dense_3row_mean(field), atol=1e-6)
+
+
+def test_linear_probe_training_step_sharded(rng):
+    from path_gene_multimodal_tpu.models.clip import VisionConfig, VisionTower, preprocess_tiles
+
+    vcfg = VisionConfig(image_size=32, patch_size=16, width=32, layers=1, heads=2, out_dim=16)
+    tower = VisionTower(vcfg, dtype=jnp.float32)
+    tiles = rng.integers(0, 256, (16, 32, 32, 3), dtype=np.uint8)
+    pixels = np.asarray(preprocess_tiles(jnp.asarray(tiles)))
+    labels = rng.integers(0, 5, 16).astype(np.int32)
+    params = tower.init(jax.random.PRNGKey(0), jnp.asarray(pixels))
+
+    init_state, step = make_linear_probe_step(
+        lambda p, px: tower.apply(p, px), params, feature_dim=16, num_classes=5,
+    )
+    mesh = make_mesh(8)
+    run, state = shard_step_over_mesh(step, mesh, init_state(jax.random.PRNGKey(1)))
+    losses = []
+    for _ in range(5):
+        state, loss = run(state, pixels, labels)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]  # actually learns
+
+    # sharded loss == single-device loss on the same data/params
+    state1 = init_state(jax.random.PRNGKey(1))
+    _, loss1 = step(state1, jnp.asarray(pixels), jnp.asarray(labels))
+    state2 = init_state(jax.random.PRNGKey(1))
+    run2, state2 = shard_step_over_mesh(step, mesh, state2)
+    _, loss2 = run2(state2, pixels, labels)
+    assert float(loss1) == pytest.approx(float(loss2), rel=1e-5)
+
+
+def test_graft_entry_and_dryrun():
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "__graft_entry__", Path(__file__).resolve().parents[1] / "__graft_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(8)
+    mod.dryrun_multichip(4)  # non-full mesh also works
