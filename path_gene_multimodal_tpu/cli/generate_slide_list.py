@@ -34,7 +34,7 @@ def main(argv: list[str] | None = None) -> int:
         logger.info("  %s: %d", ext, n)
     logger.info(
         "next: submit an array job of size %d where task i runs\n"
-        "  WSI_PATH=$(sed -n \"${{i}}p\" %s) python -m path_gene_multimodal_tpu.cli.main",
+        '  WSI_PATH=$(sed -n "${i}p" %s) python -m path_gene_multimodal_tpu.cli.main',
         len(wsis), out,
     )
     return 0
