@@ -151,6 +151,46 @@ def hover_instances(
     return marker_watershed(dist, marker_lbl, blb, levels=levels)
 
 
+@partial(
+    jax.jit,
+    static_argnames=("min_object_size", "min_marker_size", "levels", "use_pallas"),
+)
+def hover_instances_batch(
+    np_prob: jnp.ndarray,
+    hv: jnp.ndarray,
+    np_threshold: float = 0.5,
+    marker_threshold: float = 0.4,
+    min_object_size: int = 10,
+    min_marker_size: int = 3,
+    levels: int = 64,
+    use_pallas: bool = False,
+) -> jnp.ndarray:
+    """Batched ``hover_instances``: (B, H, W) probs + (B, H, W, 2) HV →
+    (B, H, W) labels. When ``use_pallas`` (TPU), the flood runs in the
+    VMEM-resident Pallas kernel (2-3× faster than the vmapped XLA flood);
+    mask/marker preparation stays vmapped XLA either way."""
+
+    def prep(p, h):
+        blb = p > np_threshold
+        blb = blb & (component_sizes(label_components(blb, 1)) >= min_object_size)
+        overall, dist = hv_energy(h[..., 0], h[..., 1], blb)
+        marker_mask = blb & (overall < marker_threshold)
+        marker_lbl = label_components(marker_mask, 1)
+        marker_lbl = jnp.where(
+            component_sizes(marker_lbl) >= min_marker_size, marker_lbl, INF
+        )
+        return dist, marker_lbl, blb
+
+    dist, markers, blb = jax.vmap(prep)(np_prob, hv)
+    if use_pallas:
+        from path_gene_multimodal_tpu.ops.pallas.flood import pallas_marker_watershed
+
+        return pallas_marker_watershed(dist, markers, blb, levels=levels)
+    return jax.vmap(lambda d, m, k: marker_watershed(d, m, k, levels=levels))(
+        dist, markers, blb
+    )
+
+
 def instances_to_dense(lbl: jnp.ndarray) -> jnp.ndarray:
     """INF-background labels → 0-background uint32 map (artifact format,
     parity with the reference's ``pinst_pp.zip`` uint32 instance map)."""

@@ -101,15 +101,18 @@ class NucleiModel:
             tp_cls = jnp.argmax(out["tp"], axis=-1).astype(jnp.int32)
             return np_prob, out["hv"], tp_cls
 
+        from path_gene_multimodal_tpu.ops.pallas.flood import pallas_supported
+
+        use_pallas = pallas_supported()
+
         @jax.jit
         def _postproc(np_prob, hv):
-            def one(p, h):
-                return ws.hover_instances(
-                    p, h,
-                    np_threshold=self.np_threshold,
-                    marker_threshold=self.marker_threshold,
-                )
-            return jax.vmap(one)(np_prob, hv)
+            return ws.hover_instances_batch(
+                np_prob, hv,
+                np_threshold=self.np_threshold,
+                marker_threshold=self.marker_threshold,
+                use_pallas=use_pallas,
+            )
 
         self._infer = _infer
         self._postproc = _postproc

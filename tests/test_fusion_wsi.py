@@ -1,0 +1,152 @@
+"""Multimodal fusion head + whole-WSI sliding-window nuclei mode."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from path_gene_multimodal_tpu.config import default_config
+from path_gene_multimodal_tpu.io.slide import synthetic_wsi
+from path_gene_multimodal_tpu.models.fusion import (
+    AttentionPool,
+    FusionHead,
+    GeneExpressionTable,
+    make_fusion_trainer,
+    slide_embedding,
+)
+from path_gene_multimodal_tpu.pipeline.nuclei_wsi import iter_windows, run_hovernext_wsi
+
+
+def test_slide_embedding_methods(rng):
+    f = rng.normal(size=(50, 16)).astype(np.float32)
+    np.testing.assert_allclose(slide_embedding(f, "mean"), f.mean(0), rtol=1e-6)
+    np.testing.assert_allclose(slide_embedding(f, "max"), f.max(0), rtol=1e-6)
+    assert slide_embedding(f, "mean_max").shape == (32,)
+    with pytest.raises(ValueError, match="no tile features"):
+        slide_embedding(np.zeros((0, 16)))
+
+
+def test_attention_pool_weighted(rng):
+    pool = AttentionPool(hidden=8)
+    tiles = jnp.asarray(rng.normal(size=(10, 16)).astype(np.float32))
+    params = pool.init(jax.random.PRNGKey(0), tiles)
+    out = pool.apply(params, tiles)
+    assert out.shape == (16,)
+    # mask removes influence of masked tiles
+    mask = jnp.asarray([True] * 5 + [False] * 5)
+    out_m = pool.apply(params, tiles, mask)
+    out_m2 = pool.apply(params, tiles.at[5:].set(999.0), mask)
+    np.testing.assert_allclose(np.asarray(out_m), np.asarray(out_m2), atol=1e-4)
+
+
+def test_gene_expression_table(tmp_path):
+    df = pd.DataFrame(
+        {"s1": [10.0, 0.0, 5.0], "s2": [20.0, 1.0, 5.0], "s3": [0.0, 2.0, 5.0]},
+        index=["TP53", "BRCA1", "EGFR"],
+    )
+    p = tmp_path / "expr.tsv"
+    df.to_csv(p, sep="\t")
+    tbl = GeneExpressionTable.from_csv(p)
+    assert tbl.genes == ["TP53", "BRCA1", "EGFR"]
+    assert tbl.samples == ["s1", "s2", "s3"]
+    assert tbl.values.shape == (3, 3)
+    # z-scored per gene
+    np.testing.assert_allclose(tbl.values.mean(axis=0), 0, atol=1e-6)
+    v = tbl.vector_for("s2")
+    assert v.shape == (3,)
+    with pytest.raises(KeyError):
+        tbl.vector_for("nope")
+
+
+def test_fusion_trainer_learns(rng):
+    hist_dim, gene_dim, n = 32, 20, 64
+    hist = rng.normal(size=(n, hist_dim)).astype(np.float32)
+    genes = rng.normal(size=(n, gene_dim)).astype(np.float32)
+    # label depends on both modalities → fusion must use both
+    labels = ((hist[:, 0] + genes[:, 0]) > 0).astype(np.int32)
+    model = FusionHead(num_outputs=2, proj_dim=16, hidden=16, dropout=0.0)
+    state, step, predict = make_fusion_trainer(model, hist_dim, gene_dim, 1e-2)
+    losses = []
+    for _ in range(60):
+        state, loss = step(state, jnp.asarray(hist), jnp.asarray(genes), jnp.asarray(labels))
+        losses.append(float(loss))
+    assert losses[-1] < 0.35 < losses[0]
+    probs = np.asarray(predict(state, jnp.asarray(hist), jnp.asarray(genes)))
+    acc = ((probs[:, 1] > 0.5).astype(int) == labels).mean()
+    assert acc > 0.85
+
+
+# --- WSI sliding-window nuclei --------------------------------------------
+
+
+def test_iter_windows_cover():
+    ws = iter_windows(1000, 600, 256, 248)
+    xs = sorted({x for x, _ in ws})
+    ys = sorted({y for _, y in ws})
+    assert xs[0] == 0 and xs[-1] == 1000 - 256  # clamped final window
+    assert ys[-1] == 600 - 256
+    # full coverage
+    covered_x = np.zeros(1000, bool)
+    for x in xs:
+        covered_x[x : x + 256] = True
+    assert covered_x.all()
+
+
+def test_iter_windows_small_slide():
+    assert iter_windows(100, 100, 256, 248) == [(0, 0)]
+
+
+class StripeFakeModel:
+    """Deterministic: one nucleus per window at a window-local position that
+    maps to a unique WSI location; windows overlapping the same nucleus
+    region produce it identically so dedup must keep exactly one."""
+
+    def __init__(self, input_size=256):
+        from path_gene_multimodal_tpu.models.hovernext import HoverNeXtConfig
+
+        self.cfg = HoverNeXtConfig(input_size=input_size)
+        self.max_instances = 16
+
+    def segment(self, tiles_u8):
+        b, s, _, _ = tiles_u8.shape
+        inst = np.zeros((b, s, s), np.int32)
+        types = np.zeros((b, s, s), np.int32)
+        # nucleus = red-channel blob marker painted on the slide; find it
+        for bi in range(b):
+            mask = tiles_u8[bi, :, :, 0] > 200
+            if mask.sum() > 20:
+                inst[bi][mask] = 1
+                types[bi][mask] = 1
+        return inst, types
+
+
+def test_run_hovernext_wsi_dedup(tmp_path):
+    cfg = default_config()
+    # slide with two bright-red square "nuclei" at known level-0 positions
+    img = np.full((600, 1000, 3), 30, np.uint8)
+    img[100:110, 120:130] = [255, 0, 0]
+    img[400:410, 700:710] = [255, 0, 0]
+    from path_gene_multimodal_tpu.io.slide import ArraySlide
+
+    slide = ArraySlide(img)
+    model = StripeFakeModel()
+    map_path, nuclei = run_hovernext_wsi(
+        slide, tmp_path, "w", model, cfg, batch_size=4
+    )
+    # exactly 2 unique nuclei despite overlapping windows
+    assert len(nuclei) == 2, nuclei[["tile_x", "tile_y", "centroid_x", "centroid_y"]]
+    cents = sorted(
+        (round(r["wsi_centroid_x"]), round(r["wsi_centroid_y"]))
+        for _, r in nuclei.iterrows()
+    )
+    assert cents == [(124, 104), (704, 404)]  # centroid of 10px squares (.5 mean)
+    assert sorted(nuclei["inst_id"]) == [1, 2]  # globally unique ids
+    # instance map artifact
+    with np.load(map_path) as z:
+        m = z["inst_map"]
+        assert m.shape == (600, 1000)
+        assert set(np.unique(m)) == {0, 1, 2}
+        assert m[104, 124] > 0
+    assert (tmp_path / "w_hovernet_nuclei_wsi.parquet").exists()

@@ -1,0 +1,64 @@
+"""Pallas kernels (interpret mode on the CPU backend) vs XLA references."""
+
+import numpy as np
+import pytest
+from scipy.ndimage import gaussian_filter
+
+import jax
+import jax.numpy as jnp
+
+from path_gene_multimodal_tpu.ops import watershed as ws
+from path_gene_multimodal_tpu.ops.components import INF
+from path_gene_multimodal_tpu.ops.pallas.flood import (
+    pallas_marker_watershed,
+    pallas_supported,
+)
+
+
+def test_pallas_not_supported_on_cpu():
+    assert pallas_supported() is False  # tests run on the CPU backend
+
+
+def test_pallas_flood_matches_xla(rng):
+    b, h, w = 2, 48, 64
+    dist = np.stack(
+        [gaussian_filter(rng.random((h, w)).astype(np.float32), 3) for _ in range(b)]
+    )
+    dist = (dist - dist.min()) / (dist.max() - dist.min())
+    mask = dist > 0.15
+    markers = np.full((b, h, w), int(INF), np.int32)
+    for bi in range(b):
+        ys, xs = rng.integers(0, h, 6), rng.integers(0, w, 6)
+        markers[bi, ys, xs] = np.arange(1, 7)
+        markers[bi][~mask[bi]] = int(INF)
+    xla = np.stack(
+        [
+            np.asarray(
+                ws.marker_watershed(
+                    jnp.asarray(dist[bi]), jnp.asarray(markers[bi]), jnp.asarray(mask[bi]),
+                    levels=32,
+                )
+            )
+            for bi in range(b)
+        ]
+    )
+    pls = np.asarray(
+        pallas_marker_watershed(
+            jnp.asarray(dist), jnp.asarray(markers), jnp.asarray(mask),
+            levels=32, interpret=True,
+        )
+    )
+    np.testing.assert_array_equal(pls, xla)
+
+
+def test_hover_instances_batch_consistent(rng):
+    """Batched postproc (XLA path) == per-tile hover_instances."""
+    from tests.test_hovernext import _two_blob_fixture
+
+    np_prob, hv, _ = _two_blob_fixture()
+    batch_p = jnp.asarray(np.stack([np_prob, np_prob]))
+    batch_h = jnp.asarray(np.stack([hv, hv]))
+    batched = np.asarray(ws.hover_instances_batch(batch_p, batch_h))
+    single = np.asarray(ws.hover_instances(jnp.asarray(np_prob), jnp.asarray(hv)))
+    np.testing.assert_array_equal(batched[0], single)
+    np.testing.assert_array_equal(batched[1], single)
