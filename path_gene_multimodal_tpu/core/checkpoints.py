@@ -1,0 +1,116 @@
+"""Model checkpoint persistence (orbax) + torch-checkpoint ingestion.
+
+The reference only ever *consumes* external torch checkpoints
+(``pannuke_convnextv2_tiny_3``, ``resnet34-idars-*``, CLIP — SURVEY.md §5
+checkpoint/resume). This module owns both directions for the TPU build:
+
+- ``save_params`` / ``load_params``: orbax-backed pytree checkpoints for
+  our Flax params (fine-tuned probes, fusion heads, converted weights),
+  with a numpy ``.npz`` fallback when orbax is unavailable;
+- ``load_clip_from_torch`` / ``load_resnet_from_torch``: one-call
+  ingestion of published torch checkpoints via the converters in
+  ``models.weights`` / ``models.weights_resnet``.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any
+
+import jax
+import numpy as np
+
+
+def save_params(params: Any, path: str | Path) -> Path:
+    path = Path(path)
+    try:
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path.resolve(), jax.device_get(params), force=True)
+        ckptr.wait_until_finished()
+        return path
+    except Exception:
+        # flat-npz fallback
+        flat = {}
+        for kp, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+            key = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in kp)
+            flat[key] = np.asarray(leaf)
+        np.savez_compressed(path.with_suffix(".npz"), **flat)
+        return path.with_suffix(".npz")
+
+
+def load_params(path: str | Path, like: Any | None = None) -> Any:
+    path = Path(path)
+    if path.suffix == ".npz" or (not path.exists() and path.with_suffix(".npz").exists()):
+        npz_path = path if path.suffix == ".npz" else path.with_suffix(".npz")
+        with np.load(npz_path) as z:
+            flat = {k: z[k] for k in z.files}
+        if like is None:
+            return _unflatten(flat)
+        leaves_with_paths = jax.tree_util.tree_flatten_with_path(like)[0]
+        treedef = jax.tree_util.tree_structure(like)
+        leaves = []
+        for kp, _ in leaves_with_paths:
+            key = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in kp)
+            leaves.append(flat[key])
+        return jax.tree_util.tree_unflatten(treedef, leaves)
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    if like is not None:
+        abstract = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype), like
+        )
+        return ckptr.restore(path.resolve(), abstract)
+    return ckptr.restore(path.resolve())
+
+
+def _unflatten(flat: dict[str, np.ndarray]) -> dict:
+    out: dict = {}
+    for key, val in flat.items():
+        parts = key.split("/")
+        node = out
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = val
+    return out
+
+
+# ---------------------------------------------------------------------------
+# torch checkpoint ingestion
+# ---------------------------------------------------------------------------
+
+
+def load_clip_from_torch(path: str | Path):
+    """torch CLIP checkpoint → (vision_cfg, vision_params, text_cfg|None,
+    text_params|None). Accepts transformers CLIPModel or OpenAI naming."""
+    from path_gene_multimodal_tpu.models.weights import (
+        convert_clip_text,
+        convert_clip_vision,
+        infer_text_config,
+        infer_vision_config,
+        load_torch_checkpoint,
+    )
+
+    sd = load_torch_checkpoint(path)
+    vcfg = infer_vision_config(sd)
+    vparams = convert_clip_vision(sd, vcfg)
+    has_text = any(
+        k.startswith(("text_model.", "transformer.resblocks.", "token_embedding"))
+        for k in sd
+    )
+    if has_text:
+        tcfg = infer_text_config(sd)
+        tparams = convert_clip_text(sd, tcfg)
+    else:
+        tcfg = tparams = None
+    return vcfg, vparams, tcfg, tparams
+
+
+def load_resnet_from_torch(path: str | Path):
+    """torchvision/TIAToolbox ResNet34 checkpoint → Flax variables."""
+    from path_gene_multimodal_tpu.models.weights import load_torch_checkpoint
+    from path_gene_multimodal_tpu.models.weights_resnet import convert_resnet34
+
+    return convert_resnet34(load_torch_checkpoint(path))

@@ -41,6 +41,7 @@ class VisionConfig:
     heads: int = 12
     out_dim: int | None = 512      # projection dim (None = return pooled width)
     num_registers: int = 0          # Virchow2-style register tokens
+    mlp_ratio: float = 4.0
     use_quick_gelu: bool = True
     pool: str = "cls"               # "cls" | "cls+mean" (Virchow2 concat)
 
@@ -60,6 +61,7 @@ class TextConfig:
     width: int = 512
     layers: int = 12
     heads: int = 8
+    mlp_ratio: float = 4.0
     out_dim: int = 512
 
 
@@ -111,6 +113,7 @@ class VisionTower(nn.Module):
         x = Transformer(
             layers=c.layers,
             num_heads=c.heads,
+            mlp_ratio=c.mlp_ratio,
             act=quick_gelu if c.use_quick_gelu else nn.gelu,
             dtype=self.dtype,
             name="transformer",
@@ -147,8 +150,8 @@ class TextTower(nn.Module):
         x = tok + pos.astype(self.dtype)[None, :n]
         causal = jnp.triu(jnp.full((n, n), -jnp.inf, jnp.float32), k=1)[None, None]
         x = Transformer(
-            layers=c.layers, num_heads=c.heads, act=quick_gelu, dtype=self.dtype,
-            name="transformer",
+            layers=c.layers, num_heads=c.heads, mlp_ratio=c.mlp_ratio,
+            act=quick_gelu, dtype=self.dtype, name="transformer",
         )(x, mask=causal)
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_final")(x)
         eot = jnp.argmax(ids, axis=-1)  # EOT has the highest id in CLIP's vocab

@@ -151,6 +151,38 @@ def convert_clip_text(sd: Mapping[str, np.ndarray], cfg: TextConfig) -> dict:
     return {"params": p}
 
 
+def infer_text_config(sd: Mapping[str, np.ndarray]) -> TextConfig:
+    """Derive a TextConfig from a CLIP checkpoint's shapes."""
+    hf = any(k.startswith("text_model.") for k in sd)
+    if hf:
+        vocab, width = sd["text_model.embeddings.token_embedding.weight"].shape
+        ctx = sd["text_model.embeddings.position_embedding.weight"].shape[0]
+        layers = (
+            max(int(k.split(".")[3]) for k in sd if k.startswith("text_model.encoder.layers."))
+            + 1
+        )
+        out_dim = int(sd["text_projection.weight"].shape[0])
+    else:
+        vocab, width = sd["token_embedding.weight"].shape
+        ctx = sd["positional_embedding"].shape[0]
+        layers = (
+            max(int(k.split(".")[2]) for k in sd if k.startswith("transformer.resblocks."))
+            + 1
+        )
+        out_dim = int(sd["text_projection"].shape[1])
+    fc1_key = (
+        "text_model.encoder.layers.0.mlp.fc1.weight"
+        if hf
+        else "transformer.resblocks.0.mlp.c_fc.weight"
+    )
+    ratio = float(sd[fc1_key].shape[0]) / float(width)
+    return TextConfig(
+        vocab_size=int(vocab), context_length=int(ctx), width=int(width),
+        layers=layers, heads=max(int(width) // 64, 1), mlp_ratio=ratio,
+        out_dim=out_dim,
+    )
+
+
 def infer_vision_config(sd: Mapping[str, np.ndarray]) -> VisionConfig:
     """Derive a VisionConfig from a CLIP checkpoint's shapes."""
     hf = any(k.startswith("vision_model.") for k in sd)
@@ -184,6 +216,12 @@ def infer_vision_config(sd: Mapping[str, np.ndarray]) -> VisionConfig:
             + 1
         )
         out_dim = int(sd["visual.proj"].shape[1]) if "visual.proj" in sd else None
+    fc1_key = (
+        "vision_model.encoder.layers.0.mlp.fc1.weight"
+        if hf
+        else "visual.transformer.resblocks.0.mlp.c_fc.weight"
+    )
+    ratio = float(sd[fc1_key].shape[0]) / float(width)
     grid = int(round((n_pos - 1) ** 0.5))
     head_dim = 64
     return VisionConfig(
@@ -192,5 +230,6 @@ def infer_vision_config(sd: Mapping[str, np.ndarray]) -> VisionConfig:
         width=int(width),
         layers=layers,
         heads=int(width) // head_dim,
+        mlp_ratio=ratio,
         out_dim=out_dim,
     )

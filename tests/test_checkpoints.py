@@ -1,0 +1,102 @@
+"""Checkpoint persistence round-trips + torch ingestion end-to-end."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from path_gene_multimodal_tpu.core.checkpoints import (
+    load_clip_from_torch,
+    load_params,
+    load_resnet_from_torch,
+    save_params,
+)
+
+
+def _tree_equal(a, b):
+    jax.tree.map(lambda x, y: np.testing.assert_allclose(np.asarray(x), np.asarray(y)), a, b)
+
+
+def test_save_load_roundtrip(tmp_path, rng):
+    params = {
+        "layer1": {"kernel": rng.normal(size=(4, 8)).astype(np.float32), "bias": np.zeros(8, np.float32)},
+        "head": {"w": rng.normal(size=(8, 2)).astype(np.float32)},
+    }
+    path = save_params(params, tmp_path / "ckpt")
+    restored = load_params(path, like=params)
+    _tree_equal(params, restored)
+
+
+def test_npz_fallback_roundtrip(tmp_path, rng):
+    from path_gene_multimodal_tpu.core import checkpoints as ck
+
+    params = {"a": {"b": rng.normal(size=(3, 3)).astype(np.float32)}}
+    # force the npz path
+    flat_path = tmp_path / "fallback.npz"
+    import jax as _jax
+
+    flat = {}
+    for kp, leaf in _jax.tree_util.tree_flatten_with_path(params)[0]:
+        key = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in kp)
+        flat[key] = np.asarray(leaf)
+    np.savez_compressed(flat_path, **flat)
+    restored = load_params(flat_path, like=params)
+    _tree_equal(params, restored)
+    # structure-free load
+    loose = load_params(flat_path)
+    assert "a" in loose and "b" in loose["a"]
+
+
+def test_torch_clip_ingestion_end_to_end(tmp_path):
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+
+    # head counts are not recoverable from a state_dict; inference assumes
+    # the CLIP convention head_dim=64, so the fixture follows it
+    cfg = transformers.CLIPConfig(
+        text_config=dict(vocab_size=49408, hidden_size=64, intermediate_size=128,
+                         num_hidden_layers=2, num_attention_heads=1,
+                         max_position_embeddings=77, projection_dim=24),
+        vision_config=dict(hidden_size=128, intermediate_size=256, num_hidden_layers=2,
+                           num_attention_heads=2, image_size=32, patch_size=16,
+                           projection_dim=24),
+        projection_dim=24,
+    )
+    torch.manual_seed(0)
+    model = transformers.CLIPModel(cfg).eval()
+    ckpt = tmp_path / "clip.pt"
+    torch.save(model.state_dict(), ckpt)
+
+    vcfg, vparams, tcfg, tparams = load_clip_from_torch(ckpt)
+    assert vcfg.width == 128 and vcfg.patch_size == 16 and vcfg.out_dim == 24
+    assert tparams is not None
+    from path_gene_multimodal_tpu.models.clip import VisionTower
+
+    rng = np.random.default_rng(0)
+    imgs = rng.normal(size=(2, 32, 32, 3)).astype(np.float32)
+    ours = VisionTower(vcfg, dtype=jnp.float32).apply(vparams, jnp.asarray(imgs))
+    with torch.no_grad():
+        ref = model.get_image_features(
+            pixel_values=torch.from_numpy(imgs.transpose(0, 3, 1, 2))
+        ).numpy()
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=2e-4)
+
+
+def test_torch_resnet_ingestion(tmp_path):
+    torch = pytest.importorskip("torch")
+    from tests.test_molecular import _torch_resnet34
+
+    torch.manual_seed(1)
+    tmodel = _torch_resnet34(torch).eval()
+    ckpt = tmp_path / "idars.pt"
+    torch.save({"state_dict": tmodel.state_dict()}, ckpt)  # nested like TIAToolbox
+    variables = load_resnet_from_torch(ckpt)
+    from path_gene_multimodal_tpu.models.resnet import ResNet
+
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(1, 224, 224, 3)).astype(np.float32)
+    ours = np.asarray(ResNet(dtype=jnp.float32).apply(variables, jnp.asarray(x)))
+    with torch.no_grad():
+        ref = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    np.testing.assert_allclose(ours, ref, atol=2e-3, rtol=1e-3)
