@@ -43,7 +43,7 @@ def main() -> None:
     from path_gene_multimodal_tpu.io.slide import synthetic_wsi
     from path_gene_multimodal_tpu.models.clip import CLIP_VIT_B16, ImageEncoder
     from path_gene_multimodal_tpu.models.hovernext import HOVERNEXT_TINY
-    from path_gene_multimodal_tpu.ops.instances import instance_features
+    from path_gene_multimodal_tpu.ops.instances import instance_features_batch
     from path_gene_multimodal_tpu.pipeline.nuclei import NucleiModel
 
     rng = np.random.default_rng(0)
@@ -57,10 +57,11 @@ def main() -> None:
             for x, y in rng.integers(0, 4096 - 224, size=(embed_batch, 2))
         ]
     )
+    nuclei_batch = 32
     tiles256 = np.stack(
         [
             slide.read_region((int(x), int(y)), 0, (256, 256))
-            for x, y in rng.integers(0, 4096 - 256, size=(8, 2))
+            for x, y in rng.integers(0, 4096 - 256, size=(nuclei_batch, 2))
         ]
     )
 
@@ -81,10 +82,10 @@ def main() -> None:
     def _full_nuclei(params, t):
         np_prob, hv, tp = seg._infer_raw(params, t)
         lbl = seg._postproc_raw(np_prob, hv)
-        feats = jax.vmap(lambda l, tp_: instance_features(
-            jnp.where(l < 2**30, l % seg.max_instances, 0), tp_,
+        feats = instance_features_batch(
+            jnp.where(lbl < 2**30, lbl % seg.max_instances, 0), tp,
             max_instances=seg.max_instances,
-        ))(lbl, tp)
+        )
         return feats["area"]
 
     def run_nuclei():

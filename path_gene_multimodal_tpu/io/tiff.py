@@ -351,8 +351,11 @@ class TiffTileSlide:
 
     def _tile_bytes(self, page: TiffPage, idx: int) -> bytes:
         off, cnt = int(page.offsets[idx]), int(page.byte_counts[idx])
-        self._f.seek(off)
-        return self._f.read(cnt)
+        # positional read: stateless, so concurrent prefetch threads can
+        # decode batches without racing a shared seek cursor
+        import os
+
+        return os.pread(self._f.fileno(), cnt, off)
 
     def _decode_tile(self, page: TiffPage, idx: int) -> np.ndarray | None:
         if idx < 0 or idx >= len(page.offsets):

@@ -96,27 +96,46 @@ class HoverNeXt(nn.Module):
         return {"np": f32(out_np), "hv": f32(out_hv), "tp": f32(out_tp)}
 
 
-def tta_forward(apply_fn, params, pixels: jnp.ndarray, tta: int = 4) -> dict[str, jnp.ndarray]:
-    """Test-time augmentation over the dihedral subgroup {id, rot90, rot180,
-    rot270} (the reference's ``tta=4``, hovernet_inference.py:195). Outputs
-    are inverse-transformed and averaged; HV channels are rotated AND
-    swapped/negated to stay in the slide frame."""
+def _tta_invert(out: dict[str, jnp.ndarray], k: int) -> dict[str, jnp.ndarray]:
+    """Undo a rot90-by-k augmentation on model outputs; HV channels are
+    rotated AND swapped/negated to stay in the slide frame."""
+    np_b = jnp.rot90(out["np"], k=-k, axes=(1, 2))
+    tp_b = jnp.rot90(out["tp"], k=-k, axes=(1, 2))
+    hv_b = jnp.rot90(out["hv"], k=-k, axes=(1, 2))
+    h, v = hv_b[..., 0], hv_b[..., 1]
+    if k % 4 == 1:
+        h, v = -v, h
+    elif k % 4 == 2:
+        h, v = -h, -v
+    elif k % 4 == 3:
+        h, v = v, -h
+    return {"np": np_b, "hv": jnp.stack([h, v], axis=-1), "tp": tp_b}
+
+
+def tta_forward(
+    apply_fn, params, pixels: jnp.ndarray, tta: int = 4, fold_batch: bool = False
+) -> dict[str, jnp.ndarray]:
+    """Test-time augmentation over {id, rot90, rot180, rot270} (the
+    reference's ``tta=4``, hovernet_inference.py:195), inverse-transformed
+    and averaged. ``fold_batch`` stacks the rotations into ONE forward of
+    batch ``tta×B`` (better MXU utilization at small batch) instead of
+    ``tta`` sequential forwards."""
+    if fold_batch and tta > 1:
+        b = pixels.shape[0]
+        stacked = jnp.concatenate(
+            [jnp.rot90(pixels, k=k, axes=(1, 2)) for k in range(tta)], axis=0
+        )
+        out = apply_fn(params, stacked)
+        parts = [
+            _tta_invert({n: t[k * b : (k + 1) * b] for n, t in out.items()}, k)
+            for k in range(tta)
+        ]
+        return {
+            n: sum(p[n] for p in parts) / tta for n in parts[0]
+        }
     accum: dict[str, jnp.ndarray] | None = None
     for k in range(tta):
         rot = jnp.rot90(pixels, k=k, axes=(1, 2))
-        out = apply_fn(params, rot)
-        np_b = jnp.rot90(out["np"], k=-k, axes=(1, 2))
-        tp_b = jnp.rot90(out["tp"], k=-k, axes=(1, 2))
-        hv_b = jnp.rot90(out["hv"], k=-k, axes=(1, 2))
-        h, v = hv_b[..., 0], hv_b[..., 1]
-        # rot90 by k in image space permutes/negates the (h, v) vector field
-        if k % 4 == 1:
-            h, v = -v, h
-        elif k % 4 == 2:
-            h, v = -h, -v
-        elif k % 4 == 3:
-            h, v = v, -h
-        hv_b = jnp.stack([h, v], axis=-1)
-        out_b = {"np": np_b, "hv": hv_b, "tp": tp_b}
+        out_b = _tta_invert(apply_fn(params, rot), k)
         accum = out_b if accum is None else {k2: accum[k2] + out_b[k2] for k2 in accum}
     return {k2: v / tta for k2, v in accum.items()}

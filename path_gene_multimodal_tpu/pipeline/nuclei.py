@@ -48,7 +48,11 @@ from path_gene_multimodal_tpu.models.hovernext import (
 )
 from path_gene_multimodal_tpu.ops import watershed as ws
 from path_gene_multimodal_tpu.ops.components import compact_labels
-from path_gene_multimodal_tpu.ops.instances import instance_contours, instance_features
+from path_gene_multimodal_tpu.ops.instances import (
+    instance_contours,
+    instance_features,
+    instance_features_batch,
+)
 from path_gene_multimodal_tpu.utils.log import get_logger
 
 REQUIRED_COLUMNS = ("tile_index", "x", "y", "predicted_class", "in_tme_roi")
@@ -96,7 +100,7 @@ class NucleiModel:
         @jax.jit
         def _infer(params, tiles_u8):
             pixels = tiles_u8.astype(jnp.float32) / 255.0
-            out = tta_forward(apply_fn, params, pixels, tta=self.tta)
+            out = tta_forward(apply_fn, params, pixels, tta=self.tta, fold_batch=True)
             np_prob = jax.nn.softmax(out["np"], axis=-1)[..., 1]
             tp_cls = jnp.argmax(out["tp"], axis=-1).astype(jnp.int32)
             return np_prob, out["hv"], tp_cls
@@ -188,14 +192,28 @@ def run_hovernet_pipeline_on_wsi_tiles(
                 [batch_u8, np.zeros((batch - len(chunk), input_size, input_size, 3), np.uint8)]
             )
         inst_maps, type_maps = model.segment(batch_u8)
-        for bi, (x, y) in enumerate(chunk):
+        # crop back to tile frame + compact ids, then ONE batched feature
+        # scatter for the whole chunk
+        insts = np.zeros((len(chunk), tile_size, tile_size), np.int32)
+        typs = np.zeros((len(chunk), tile_size, tile_size), np.int32)
+        for bi in range(len(chunk)):
             off = offsets[bi]
             inst = inst_maps[bi, off : off + tile_size, off : off + tile_size]
-            types = type_maps[bi, off : off + tile_size, off : off + tile_size]
-            inst, _ = compact_labels(np.where(inst > 0, inst, 2**30))
+            typs[bi] = type_maps[bi, off : off + tile_size, off : off + tile_size]
+            insts[bi], _ = compact_labels(np.where(inst > 0, inst, 2**30))
+        chunk_feats = {
+            k: np.asarray(v)
+            for k, v in instance_features_batch(
+                jnp.asarray(insts), jnp.asarray(typs),
+                max_instances=model.max_instances,
+            ).items()
+        }
+        for bi, (x, y) in enumerate(chunk):
+            feats_bi = {k: v[bi] for k, v in chunk_feats.items()}
             rows.extend(
-                _tile_rows(inst, types, int(x), int(y), tile_size, out_dir, stem,
-                           model.max_instances, save_tile_artifacts, cfg)
+                _tile_rows(insts[bi], typs[bi], int(x), int(y), tile_size, out_dir,
+                           stem, model.max_instances, save_tile_artifacts, cfg,
+                           feats=feats_bi)
             )
     nuclei = pd.DataFrame(rows)
     if write_artifacts:
@@ -216,10 +234,12 @@ def _tile_rows(
     max_instances: int,
     save_tile_artifacts: bool,
     cfg: PipelineConfig,
+    feats: dict[str, np.ndarray] | None = None,
 ) -> list[dict[str, Any]]:
-    feats = {k: np.asarray(v) for k, v in instance_features(
-        jnp.asarray(inst), jnp.asarray(types), max_instances=max_instances
-    ).items()}
+    if feats is None:
+        feats = {k: np.asarray(v) for k, v in instance_features(
+            jnp.asarray(inst), jnp.asarray(types), max_instances=max_instances
+        ).items()}
     contours = instance_contours(inst, feats, simplify_tol=0.5)
     tile_name = f"{tile_x}_{tile_y}"
     rows = []

@@ -113,32 +113,67 @@ def _save_png(path: Path, img: np.ndarray) -> None:
         cv2.imwrite(str(path), img)
 
 
+def _decode_batch(
+    slide: SlideReader,
+    chunk: np.ndarray,
+    tile_size: int,
+    batch_size: int,
+    pad_to_batch: bool,
+) -> tuple[np.ndarray, np.ndarray]:
+    tiles = np.stack(
+        [
+            slide.read_region((int(x), int(y)), 0, (tile_size, tile_size))
+            for x, y in chunk
+        ]
+    )
+    valid = np.ones(len(chunk), dtype=bool)
+    if pad_to_batch and len(chunk) < batch_size:
+        pad = batch_size - len(chunk)
+        tiles = np.concatenate(
+            [tiles, np.zeros((pad, tile_size, tile_size, 3), np.uint8)]
+        )
+        valid = np.concatenate([valid, np.zeros(pad, dtype=bool)])
+    return tiles, valid
+
+
 def iter_tile_batches(
     slide: SlideReader,
     coords: np.ndarray,
     tile_size: int,
     batch_size: int,
     pad_to_batch: bool = True,
+    prefetch: int = 2,
 ):
-    """Yield (batch_rgb_u8 (B, T, T, 3), valid_mask (B,)) decoding tiles on
-    the host while the device consumes the previous batch. Fast path: if the
-    slide exposes a native batch decoder aligned to its internal tile grid,
-    use it; else per-tile ``read_region``.
+    """Yield (batch_rgb_u8 (B, T, T, 3), valid_mask (B,)).
+
+    Host decode runs in a background thread pool ``prefetch`` batches ahead
+    of the consumer, so JPEG decode overlaps device compute (the reference
+    gets the same overlap from torch DataLoader workers,
+    extract_embedding_from_tiles.py:16). Set ``prefetch=0`` for synchronous
+    decoding.
     """
     n = len(coords)
-    for start in range(0, n, batch_size):
-        chunk = coords[start : start + batch_size]
-        tiles = np.stack(
-            [
-                slide.read_region((int(x), int(y)), 0, (tile_size, tile_size))
-                for x, y in chunk
-            ]
-        )
-        valid = np.ones(len(chunk), dtype=bool)
-        if pad_to_batch and len(chunk) < batch_size:
-            pad = batch_size - len(chunk)
-            tiles = np.concatenate(
-                [tiles, np.zeros((pad, tile_size, tile_size, 3), np.uint8)]
-            )
-            valid = np.concatenate([valid, np.zeros(pad, dtype=bool)])
-        yield tiles, valid
+    chunks = [coords[s : s + batch_size] for s in range(0, n, batch_size)]
+    if prefetch <= 0 or len(chunks) <= 1:
+        for chunk in chunks:
+            yield _decode_batch(slide, chunk, tile_size, batch_size, pad_to_batch)
+        return
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=prefetch) as pool:
+        futures = [
+            pool.submit(_decode_batch, slide, c, tile_size, batch_size, pad_to_batch)
+            for c in chunks[: prefetch + 1]
+        ]
+        next_submit = prefetch + 1
+        for i in range(len(chunks)):
+            tiles, valid = futures[i].result()
+            if next_submit < len(chunks):
+                futures.append(
+                    pool.submit(
+                        _decode_batch, slide, chunks[next_submit], tile_size,
+                        batch_size, pad_to_batch,
+                    )
+                )
+                next_submit += 1
+            yield tiles, valid
