@@ -1,0 +1,107 @@
+"""Standalone HoverNeXt inference CLI — the reference's
+``hovernet_inference.py`` script entry (SURVEY.md §2 C11, §3.4).
+
+Two modes, matching the reference's input types (``get_input_type``):
+
+- ``--mode wsi`` (canonical): sliding-window whole-slide segmentation
+  (window 256, stride = window × overlap — the script-config
+  ``tile_size=256, overlap=0.96875``), producing the slide-scale instance
+  map + nuclei table;
+- ``--mode tiles``: per-tile run over TME-ROI tiles from an annotations
+  CSV (the ``aggregated_hovernet_run`` path).
+
+Reference-named knobs: ``--tile-size``, ``--overlap``, ``--tta``,
+``--batch-size``; checkpoint ingestion via ``--checkpoint`` (torch
+state_dict) when available, random init otherwise (clearly logged).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+from path_gene_multimodal_tpu.utils.log import get_logger
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", required=True, help="WSI path")
+    ap.add_argument("--output", required=True, help="output directory")
+    ap.add_argument("--mode", choices=["wsi", "tiles"], default="wsi")
+    ap.add_argument("--annotations-csv", default=None,
+                    help="required for --mode tiles")
+    ap.add_argument("--checkpoint", default=None, help="torch checkpoint to convert")
+    ap.add_argument("--tile-size", type=int, default=256)
+    ap.add_argument("--overlap", type=float, default=0.96875)
+    ap.add_argument("--tta", type=int, default=4)
+    ap.add_argument("--batch-size", type=int, default=32)
+    ap.add_argument("--only-inference", action="store_true",
+                    help="skip artifacts; report timings only")
+    args = ap.parse_args(argv)
+
+    from path_gene_multimodal_tpu.utils.jaxsetup import setup_jax
+
+    setup_jax()
+    logger = get_logger()
+
+    from path_gene_multimodal_tpu.config import default_config
+    from path_gene_multimodal_tpu.io.slide import open_slide
+    from path_gene_multimodal_tpu.models.hovernext import HOVERNEXT_TINY, HoverNeXtConfig
+    from path_gene_multimodal_tpu.pipeline.nuclei import (
+        NucleiModel,
+        run_hovernet_pipeline_on_wsi_tiles,
+    )
+    from path_gene_multimodal_tpu.pipeline.nuclei_wsi import run_hovernext_wsi
+
+    wsi = Path(args.input)
+    if not wsi.exists():
+        logger.error("input not found: %s", wsi)
+        return 2
+    out_dir = Path(args.output)
+    cfg = default_config()
+    cfg = cfg.replace(
+        hovernext=cfg.hovernext.__class__(
+            tile_size=args.tile_size, overlap=args.overlap,
+            tta=args.tta, batch_size=args.batch_size,
+        )
+    )
+
+    mcfg = HoverNeXtConfig(input_size=args.tile_size)
+    params = None
+    if args.checkpoint:
+        logger.warning(
+            "checkpoint conversion for HoverNeXt torch weights requires a "
+            "matching layout; loading raw state_dict tensors is not yet "
+            "implemented for %s — using random init", args.checkpoint,
+        )
+    else:
+        logger.warning("no --checkpoint given: running with RANDOM weights "
+                       "(plumbing/benchmark mode, not biology)")
+    model = NucleiModel.build(mcfg, params=params, tta=args.tta)
+
+    slide = open_slide(wsi)
+    t0 = time.perf_counter()
+    if args.mode == "wsi":
+        map_path, nuclei = run_hovernext_wsi(
+            slide, out_dir, wsi.stem, model, cfg,
+            batch_size=args.batch_size,
+            write_artifacts=not args.only_inference,
+        )
+    else:
+        if not args.annotations_csv:
+            logger.error("--mode tiles requires --annotations-csv")
+            return 2
+        nuclei = run_hovernet_pipeline_on_wsi_tiles(
+            slide, args.annotations_csv, out_dir, wsi.stem, model, cfg,
+            batch_size=args.batch_size,
+            write_artifacts=not args.only_inference,
+        )
+    dt = time.perf_counter() - t0
+    logger.info("inference+postproc: %d nuclei in %.1fs", len(nuclei), dt)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

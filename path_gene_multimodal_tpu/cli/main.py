@@ -39,6 +39,8 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--wsi", default=None, help="slide path (default: $WSI_PATH)")
     ap.add_argument("--outroot", default=None, help="output root directory")
     ap.add_argument("--no-locks", action="store_true", help="skip lock files")
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="capture a jax.profiler trace of the run into DIR")
     args = ap.parse_args(argv)
 
     from path_gene_multimodal_tpu.utils.jaxsetup import setup_jax
@@ -59,7 +61,20 @@ def main(argv: list[str] | None = None) -> int:
         return 2
 
     models = PipelineModels.build(cfg)
-    result = run_one_wsi(wsi_path, outroot, cfg, models=models, use_locks=not args.no_locks)
+    if args.profile:
+        import contextlib
+
+        import jax.profiler
+
+        profile_ctx = jax.profiler.trace(args.profile)
+    else:
+        import contextlib
+
+        profile_ctx = contextlib.nullcontext()
+    with profile_ctx:
+        result = run_one_wsi(
+            wsi_path, outroot, cfg, models=models, use_locks=not args.no_locks
+        )
     logger.info("slide %s: %s (%d tiles, %d polygons)",
                 result.stem, result.status, result.num_tiles, result.num_polygons)
     return 0 if result.status in ("done", "already_done") else 1

@@ -246,9 +246,18 @@ def _packbits_decode(data: bytes) -> bytes:
 class TiffTileSlide:
     """Pyramidal reader over a tiled TIFF/SVS file."""
 
-    def __init__(self, path: str | Path, use_native: bool = True):
+    def __init__(self, path: str | Path, use_native: bool = True, cache_tiles: int = 512):
         self.path = Path(path)
         self._f = open(self.path, "rb")
+        # decoded-tile LRU: a 224-px grid read touches up to four 256-px
+        # TIFF tiles, so neighboring reads re-decode the same tiles ~4×
+        # without it. 512 RGB 256² tiles ≈ 100 MB.
+        from collections import OrderedDict
+        from threading import Lock
+
+        self._cache: OrderedDict[tuple[int, int], np.ndarray] = OrderedDict()
+        self._cache_cap = cache_tiles
+        self._cache_lock = Lock()
         ifds, self._endian = _read_ifds(self._f)
         pages = [p for p in (_page_from_ifd(i) for i in ifds) if p is not None]
         # pyramid = tiled pages sorted by width desc (SVS: page 0 base, then
@@ -300,7 +309,7 @@ class TiffTileSlide:
         ty0, ty1 = max(y0 // th, 0), min((y0 + h - 1) // th, page.tiles_down - 1)
         for ty in range(ty0, ty1 + 1):
             for tx in range(tx0, tx1 + 1):
-                tile = self._decode_tile(page, ty * page.tiles_across + tx)
+                tile = self._decode_tile_cached(level, page, ty * page.tiles_across + tx)
                 if tile is None:
                     continue
                 gx, gy = tx * tw, ty * th  # tile origin in level px
@@ -348,6 +357,22 @@ class TiffTileSlide:
             if arr is not None:
                 return arr
         return np.stack([self._decode_tile(page, int(t)) for t in tile_ids])
+
+    def _decode_tile_cached(
+        self, level: int, page: TiffPage, idx: int
+    ) -> np.ndarray | None:
+        key = (level, idx)
+        with self._cache_lock:
+            if key in self._cache:
+                self._cache.move_to_end(key)
+                return self._cache[key]
+        tile = self._decode_tile(page, idx)
+        if tile is not None and self._cache_cap > 0:
+            with self._cache_lock:
+                self._cache[key] = tile
+                while len(self._cache) > self._cache_cap:
+                    self._cache.popitem(last=False)
+        return tile
 
     def _tile_bytes(self, page: TiffPage, idx: int) -> bytes:
         off, cnt = int(page.offsets[idx]), int(page.byte_counts[idx])
