@@ -30,7 +30,9 @@ from path_gene_multimodal_tpu.config import PipelineConfig
 from path_gene_multimodal_tpu.core.jobs import (
     SlideJob,
     already_done,
+    mark_step_done,
     release_lock,
+    step_is_done,
     try_acquire_lock,
     write_done_flag,
     write_error_file,
@@ -133,16 +135,39 @@ def run_one_wsi(
             models = PipelineModels.build(cfg)
         classes = list(cfg.classes)
 
+        # step-granular resume (SURVEY.md §5 recommends this over the
+        # reference's all-or-nothing slide reruns): the two expensive
+        # steps skip when their manifest entry matches the config hash
+        # and the artifacts still exist; later steps are cheap and re-run.
+        cfg_hash = cfg.content_hash()
+        coords = None
         with timer.stage("tessellation", step=(1, 8)) as info:
-            tess = tess_stage.run_tessellation(slide, out_dir, cfg, stem=stem)
-            info["items"] = tess.num_tiles
-        if tess.num_tiles == 0:
+            h5_path = out_dir / f"{stem}.h5"
+            if step_is_done(job, "tessellation", cfg_hash):
+                from path_gene_multimodal_tpu.core.artifacts import read_tessellation_h5
+
+                coords = read_tessellation_h5(h5_path)["coords"]
+                logger.info("resume: tessellation manifest hit (%d tiles)", len(coords))
+            else:
+                tess = tess_stage.run_tessellation(slide, out_dir, cfg, stem=stem)
+                coords = tess.coords
+                mark_step_done(job, "tessellation", cfg_hash, [h5_path])
+            info["items"] = len(coords)
+        if len(coords) == 0:
             raise ValueError(f"no foreground tiles found in {wsi_path}")
 
         with timer.stage("extract_features", step=(2, 8)) as info:
-            feats = embed_stage.run_extract_features(
-                slide, tess.coords, models.image_encoder, out_dir, stem, cfg
-            )
+            feats_path = out_dir / f"{stem}_features.h5"
+            if step_is_done(job, "extract_features", cfg_hash):
+                from path_gene_multimodal_tpu.core.artifacts import read_features_h5
+
+                feats = read_features_h5(feats_path)["features"]
+                logger.info("resume: features manifest hit (%d)", len(feats))
+            else:
+                feats = embed_stage.run_extract_features(
+                    slide, coords, models.image_encoder, out_dir, stem, cfg
+                )
+                mark_step_done(job, "extract_features", cfg_hash, [feats_path])
             info["items"] = len(feats)
 
         with timer.stage("class_embeddings", step=(3, 8)):
@@ -183,7 +208,7 @@ def run_one_wsi(
             {
                 **artifacts,
                 "num_features": len(feats),
-                "num_tiles": tess.num_tiles,
+                "num_tiles": len(coords),
                 "classes_processed": classes,
                 "patch_size": cfg.patch_size,
                 "model_type": cfg.model_type,
@@ -192,7 +217,7 @@ def run_one_wsi(
         )
         return RunResult(
             stem=stem, out_dir=out_dir, status="done",
-            num_tiles=tess.num_tiles, num_features=len(feats),
+            num_tiles=len(coords), num_features=len(feats),
             num_polygons=len(features), artifacts=artifacts,
             stage_report=timer.report(),
         )

@@ -172,3 +172,23 @@ def test_bf16_close_to_f32(small_clip):
     f32 = VisionTower(vcfg, dtype=jnp.float32).apply(params, imgs)
     bf16 = VisionTower(vcfg, dtype=jnp.bfloat16).apply(params, imgs).astype(jnp.float32)
     assert _cosine(np.asarray(f32), np.asarray(bf16)) >= 0.995
+
+
+def test_virchow2_style_config():
+    """Register tokens + cls+mean pooling + plain GELU (the Virchow2 path,
+    MODEL_TYPE='Virchow2') — small geometry."""
+    vcfg = VisionConfig(
+        image_size=28, patch_size=14, width=32, layers=2, heads=2, out_dim=None,
+        num_registers=4, use_quick_gelu=False, pool="cls+mean",
+    )
+    import jax
+
+    tower = VisionTower(vcfg, dtype=jnp.float32)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(2, 28, 28, 3)).astype(np.float32))
+    params = tower.init(jax.random.PRNGKey(0), x)
+    out = tower.apply(params, x)
+    assert out.shape == (2, 64)  # concat(cls, patch-mean) = 2 * width
+    assert "register_tokens" in params["params"]
+    assert params["params"]["pos_embed"].shape == (1 + 4 + 4, 32)
+    assert np.isfinite(np.asarray(out)).all()
