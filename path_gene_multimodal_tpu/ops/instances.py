@@ -101,6 +101,27 @@ def instance_features(
     }
 
 
+@jax.jit
+def compact_labels_device(lbl: jnp.ndarray) -> jnp.ndarray:
+    """Batched on-device label compaction: (B, H, W) raw watershed labels
+    (pixel-linear-index minima, INF background) → dense 1..N per tile,
+    0 background, uint16 (valid because N ≤ pixels and ids ≤ max_instances
+    downstream). Replaces the per-tile host ``np.unique`` pass and shrinks
+    the device→host transfer 2×."""
+    b, h, w = lbl.shape
+    n = h * w
+    flat = lbl.reshape(b, n)
+    valid = flat < 2**30
+    target = jnp.where(valid, flat, n)  # background → overflow slot
+    present = jnp.zeros((b, n + 1), jnp.int32)
+    batch_ix = jnp.broadcast_to(jnp.arange(b)[:, None], (b, n))
+    present = present.at[batch_ix, target].set(1, mode="drop")
+    present = present.at[:, n].set(0)
+    ranks = jnp.cumsum(present, axis=1)  # dense 1-based ids at label slots
+    new = jnp.where(valid, jnp.take_along_axis(ranks, target, axis=1), 0)
+    return new.reshape(b, h, w).astype(jnp.uint16)
+
+
 @partial(jax.jit, static_argnames=("max_instances", "num_types"))
 def instance_features_batch(
     inst_maps: jnp.ndarray,

@@ -102,7 +102,7 @@ class NucleiModel:
             pixels = tiles_u8.astype(jnp.float32) / 255.0
             out = tta_forward(apply_fn, params, pixels, tta=self.tta, fold_batch=True)
             np_prob = jax.nn.softmax(out["np"], axis=-1)[..., 1]
-            tp_cls = jnp.argmax(out["tp"], axis=-1).astype(jnp.int32)
+            tp_cls = jnp.argmax(out["tp"], axis=-1).astype(jnp.uint8)  # small D2H
             return np_prob, out["hv"], tp_cls
 
         from path_gene_multimodal_tpu.ops.pallas.flood import pallas_supported
@@ -111,12 +111,17 @@ class NucleiModel:
 
         @jax.jit
         def _postproc(np_prob, hv):
-            return ws.hover_instances_batch(
+            lbl = ws.hover_instances_batch(
                 np_prob, hv,
                 np_threshold=self.np_threshold,
                 marker_threshold=self.marker_threshold,
                 use_pallas=use_pallas,
             )
+            from path_gene_multimodal_tpu.ops.instances import compact_labels_device
+
+            # dense uint16 labels computed ON DEVICE: kills the per-tile
+            # host np.unique pass and halves the D2H bytes
+            return compact_labels_device(lbl)
 
         self._infer = _infer
         self._postproc = _postproc
@@ -127,16 +132,19 @@ class NucleiModel:
         )
         return self
 
+    def segment_async(self, tiles_u8: np.ndarray):
+        """Dispatch without materializing: returns device arrays
+        (labels uint16 dense, types uint8). jax dispatch is async, so the
+        caller can overlap host work with this batch's device compute."""
+        np_prob, hv, tp_cls = self._infer(self.params, jnp.asarray(tiles_u8))
+        lbl = self._postproc(np_prob, hv)
+        return lbl, tp_cls
+
     def segment(self, tiles_u8: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """(B, S, S, 3) uint8 → (instance maps (B, S, S) int32 dense labels,
         type maps (B, S, S) int32)."""
-        np_prob, hv, tp_cls = self._infer(self.params, jnp.asarray(tiles_u8))
-        lbl = self._postproc(np_prob, hv)
-        lbl_np = np.asarray(lbl)
-        out = np.zeros(lbl_np.shape, np.int32)
-        for b in range(lbl_np.shape[0]):
-            out[b], _ = compact_labels(lbl_np[b])
-        return out, np.asarray(tp_cls)
+        lbl, tp_cls = self.segment_async(tiles_u8)
+        return np.asarray(lbl).astype(np.int32), np.asarray(tp_cls).astype(np.int32)
 
 
 def _pad_tile_to_input(tile: np.ndarray, input_size: int) -> tuple[np.ndarray, int]:
@@ -178,8 +186,8 @@ def run_hovernet_pipeline_on_wsi_tiles(
     rows: list[dict[str, Any]] = []
 
     coords = sel[["x", "y"]].to_numpy(np.int64)
-    for start in range(0, len(coords), batch):
-        chunk = coords[start : start + batch]
+
+    def _decode_chunk(chunk: np.ndarray):
         tiles, offsets = [], []
         for x, y in chunk:
             tile = slide.read_region((int(x), int(y)), 0, (tile_size, tile_size))
@@ -191,16 +199,19 @@ def run_hovernet_pipeline_on_wsi_tiles(
             batch_u8 = np.concatenate(
                 [batch_u8, np.zeros((batch - len(chunk), input_size, input_size, 3), np.uint8)]
             )
-        inst_maps, type_maps = model.segment(batch_u8)
-        # crop back to tile frame + compact ids, then ONE batched feature
-        # scatter for the whole chunk
+        return chunk, offsets, batch_u8
+
+    def _process(chunk, offsets, lbl_dev, tp_dev) -> None:
+        # materialize (overlaps with the NEXT batch's device compute) and
+        # crop to the tile frame; labels are already dense per tile
+        inst_maps = np.asarray(lbl_dev).astype(np.int32)
+        type_maps = np.asarray(tp_dev).astype(np.int32)
         insts = np.zeros((len(chunk), tile_size, tile_size), np.int32)
         typs = np.zeros((len(chunk), tile_size, tile_size), np.int32)
         for bi in range(len(chunk)):
             off = offsets[bi]
-            inst = inst_maps[bi, off : off + tile_size, off : off + tile_size]
+            insts[bi] = inst_maps[bi, off : off + tile_size, off : off + tile_size]
             typs[bi] = type_maps[bi, off : off + tile_size, off : off + tile_size]
-            insts[bi], _ = compact_labels(np.where(inst > 0, inst, 2**30))
         chunk_feats = {
             k: np.asarray(v)
             for k, v in instance_features_batch(
@@ -215,6 +226,30 @@ def run_hovernet_pipeline_on_wsi_tiles(
                            stem, model.max_instances, save_tile_artifacts, cfg,
                            feats=feats_bi)
             )
+
+    # three-stage software pipeline: threaded decode → async device dispatch
+    # → host row-building for batch k while batch k+1 computes on device
+    from concurrent.futures import ThreadPoolExecutor
+
+    chunks = [coords[s : s + batch] for s in range(0, len(coords), batch)]
+    pending = None
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futures = [pool.submit(_decode_chunk, c) for c in chunks[:3]]
+        next_submit = 3
+        for i in range(len(chunks)):
+            chunk, offsets, batch_u8 = futures[i].result()
+            if next_submit < len(chunks):
+                futures.append(pool.submit(_decode_chunk, chunks[next_submit]))
+                next_submit += 1
+            # duck-typed models (tests, remote backends) may only offer the
+            # synchronous segment()
+            dispatch = getattr(model, "segment_async", model.segment)
+            lbl_dev, tp_dev = dispatch(batch_u8)
+            if pending is not None:
+                _process(*pending)
+            pending = (chunk, offsets, lbl_dev, tp_dev)
+        if pending is not None:
+            _process(*pending)
     nuclei = pd.DataFrame(rows)
     if write_artifacts:
         if len(nuclei) == 0:

@@ -252,3 +252,17 @@ def test_instance_features_batch_matches_single(rng):
             np.testing.assert_allclose(
                 batched[key][b][1:], single[key][1:], atol=1e-4, err_msg=f"{key} b={b}"
             )
+
+
+def test_compact_labels_device_matches_host(rng):
+    from path_gene_multimodal_tpu.ops.instances import compact_labels_device
+
+    lbl = np.full((2, 16, 16), int(INF), np.int32)
+    lbl[0, 2:5, 2:5] = 40   # raw min-index style labels
+    lbl[0, 10:12, 3:6] = 163
+    lbl[1, 0:4, 0:4] = 0
+    dense = np.asarray(compact_labels_device(jnp.asarray(lbl)))
+    assert dense.dtype == np.uint16
+    for b in range(2):
+        golden, n = compact_labels(lbl[b])
+        np.testing.assert_array_equal(dense[b], golden)
