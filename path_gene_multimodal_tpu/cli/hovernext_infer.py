@@ -48,7 +48,7 @@ def main(argv: list[str] | None = None) -> int:
 
     from path_gene_multimodal_tpu.config import default_config
     from path_gene_multimodal_tpu.io.slide import open_slide
-    from path_gene_multimodal_tpu.models.hovernext import HOVERNEXT_TINY, HoverNeXtConfig
+    from path_gene_multimodal_tpu.models.hovernext import HoverNeXtConfig
     from path_gene_multimodal_tpu.pipeline.nuclei import (
         NucleiModel,
         run_hovernet_pipeline_on_wsi_tiles,

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import json
 from pathlib import Path
-from typing import Any, Iterable
+from typing import Any
 
 GDC_CASES = "https://api.gdc.cancer.gov/cases"
 GDC_FILES = "https://api.gdc.cancer.gov/files"

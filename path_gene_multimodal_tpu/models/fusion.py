@@ -19,8 +19,6 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from pathlib import Path
-from typing import Callable
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from path_gene_multimodal_tpu.parallel.mesh import batch_sharding, make_mesh, replicate
+from path_gene_multimodal_tpu.parallel.mesh import batch_sharding, replicate
 
 
 def make_linear_probe_step(

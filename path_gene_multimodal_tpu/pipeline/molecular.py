@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 import pandas as pd
 
-from path_gene_multimodal_tpu.config import DEFAULT_MOLECULAR_TASKS, PipelineConfig
+from path_gene_multimodal_tpu.config import PipelineConfig
 from path_gene_multimodal_tpu.io.slide import SlideReader
 from path_gene_multimodal_tpu.models.resnet import IDaRSEnsemble
 from path_gene_multimodal_tpu.ops.scatter import splat_prob_map

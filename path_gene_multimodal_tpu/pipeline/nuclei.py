@@ -47,7 +47,6 @@ from path_gene_multimodal_tpu.models.hovernext import (
     tta_forward,
 )
 from path_gene_multimodal_tpu.ops import watershed as ws
-from path_gene_multimodal_tpu.ops.components import compact_labels
 from path_gene_multimodal_tpu.ops.instances import (
     instance_contours,
     instance_features,

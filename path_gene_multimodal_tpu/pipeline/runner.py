@@ -24,8 +24,6 @@ from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Any
 
-import numpy as np
-
 from path_gene_multimodal_tpu.config import PipelineConfig
 from path_gene_multimodal_tpu.core.jobs import (
     SlideJob,
