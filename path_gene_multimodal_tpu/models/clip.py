@@ -180,7 +180,14 @@ def _encode_jit(apply_fn, params, pixels):
 
 
 class ImageEncoder:
-    """Convenience wrapper: holds params + jitted normalize→ViT forward."""
+    """Convenience wrapper: holds params + jitted normalize→ViT forward.
+
+    Pass ``mesh`` (a 1-D ``jax.sharding.Mesh``) to run data-parallel over
+    the tile axis: weights replicate, each batch shards across devices
+    (the TPU-native replacement for the reference's single-GPU batching —
+    SURVEY.md parallelism inventory). Batches must divide the mesh size;
+    ``pipeline.embed`` pads them.
+    """
 
     def __init__(
         self,
@@ -190,12 +197,21 @@ class ImageEncoder:
         seed: int = 0,
         mean: np.ndarray = CLIP_MEAN,
         std: np.ndarray = CLIP_STD,
+        mesh=None,
     ):
         self.cfg = cfg
+        self.mesh = mesh
         self.model = VisionTower(cfg, dtype=dtype)
         if params is None:
             dummy = jnp.zeros((1, cfg.image_size, cfg.image_size, 3), jnp.float32)
             params = self.model.init(jax.random.PRNGKey(seed), dummy)
+        if mesh is not None:
+            from path_gene_multimodal_tpu.parallel.mesh import batch_sharding, shard_params
+
+            params = shard_params(params, mesh)
+            self._in_sharding = batch_sharding(mesh, 4)
+        else:
+            self._in_sharding = None
         self.params = params
         self._mean = jnp.asarray(mean)
         self._std = jnp.asarray(std)
@@ -207,7 +223,11 @@ class ImageEncoder:
 
         self._fwd = _fwd
 
-    def __call__(self, tiles_u8: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, tiles_u8) -> jnp.ndarray:
+        if self._in_sharding is not None:
+            tiles_u8 = jax.device_put(tiles_u8, self._in_sharding)
+        else:
+            tiles_u8 = jnp.asarray(tiles_u8)
         return self._fwd(self.params, tiles_u8)
 
 

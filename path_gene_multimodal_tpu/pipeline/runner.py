@@ -72,6 +72,7 @@ class PipelineModels:
         text_cfg: TextConfig | None = None,
         tokenizer=None,
         seed: int = 0,
+        mesh=None,
     ) -> "PipelineModels":
         if vision_cfg is None:
             vision_cfg = VIRCHOW2 if cfg.model_type.lower() == "virchow2" else CLIP_VIT_B16
@@ -80,7 +81,9 @@ class PipelineModels:
 
         dtype = jnp.bfloat16 if cfg.embedding.dtype == "bfloat16" else jnp.float32
         return cls(
-            image_encoder=ImageEncoder(vision_cfg, params=vision_params, dtype=dtype, seed=seed),
+            image_encoder=ImageEncoder(
+                vision_cfg, params=vision_params, dtype=dtype, seed=seed, mesh=mesh
+            ),
             text_encoder=TextEncoder(text_cfg, params=text_params, seed=seed + 1),
             tokenizer=tokenizer or open_tokenizer(),
         )

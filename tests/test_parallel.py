@@ -117,3 +117,17 @@ def test_graft_entry_and_dryrun():
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)
     mod.dryrun_multichip(4)  # non-full mesh also works
+
+
+def test_image_encoder_mesh_matches_single(rng):
+    from path_gene_multimodal_tpu.models.clip import ImageEncoder, VisionConfig
+
+    vcfg = VisionConfig(image_size=32, patch_size=16, width=32, layers=1, heads=2, out_dim=16)
+    single = ImageEncoder(vcfg, dtype=jnp.float32, seed=4)
+    mesh = make_mesh(8)
+    sharded = ImageEncoder(vcfg, params=single.params, dtype=jnp.float32, mesh=mesh)
+    tiles = rng.integers(0, 256, (16, 32, 32, 3), dtype=np.uint8)
+    a = np.asarray(single(tiles))
+    b = np.asarray(sharded(tiles))
+    np.testing.assert_allclose(a, b, atol=1e-5)
+    assert len(sharded.params["params"]["proj"]["kernel"].sharding.device_set) == 8

@@ -132,3 +132,42 @@ def test_cli_entry(tmp_path, monkeypatch):
     assert (tmp_path / "out" / "s1" / "s1.geojson").exists()
     # missing slide → exit 2
     assert cli.main(["--wsi", str(tmp_path / "nope.svs")]) == 2
+
+
+def test_batch_run_cli(tmp_path, monkeypatch):
+    from path_gene_multimodal_tpu.cli import batch_run
+
+    data = tmp_path / "data"
+    data.mkdir()
+    for i, seed in enumerate((31, 32)):
+        synthetic_wsi(1344, 1120, seed=seed, n_blobs=3, nuclei_per_blob=20).save(
+            data / f"b{i}.npz"
+        )
+    base = default_config()
+    monkeypatch.setattr(
+        batch_run, "default_config",
+        lambda **kw: base.replace(
+            tme_classes=base.classes,
+            polygon=base.polygon.__class__(min_polygon_area_px=0, area_min_tiles=0),
+        ),
+    )
+    import path_gene_multimodal_tpu.pipeline.runner as runner_mod
+
+    orig_build = PipelineModels.build.__func__
+    monkeypatch.setattr(
+        runner_mod.PipelineModels, "build",
+        classmethod(lambda klass, cfg, **kw: orig_build(
+            PipelineModels, cfg, vision_cfg=SMALL_V, text_cfg=SMALL_T,
+            tokenizer=FallbackTokenizer())),
+    )
+    # .npz isn't a WSI_EXT; use a slide list file
+    lst = tmp_path / "list.txt"
+    lst.write_text(f"{data/'b0.npz'}\n{data/'b1.npz'}\n")
+    rc = batch_run.main(["--slide-list", str(lst), "--outroot", str(tmp_path / "out")])
+    assert rc == 0
+    assert (tmp_path / "out" / "b0" / "b0.geojson").exists()
+    assert (tmp_path / "out" / "b1" / "b1.geojson").exists()
+    assert len((tmp_path / "out" / "success_slides.txt").read_text().split()) == 2
+    # second run: everything already done
+    rc2 = batch_run.main(["--slide-list", str(lst), "--outroot", str(tmp_path / "out")])
+    assert rc2 == 0
