@@ -25,6 +25,26 @@ import numpy as np  # noqa: E402
 TARGET_TILES_PER_SEC_PER_CHIP = 100_000 / 300.0 / 8.0  # driver north-star
 
 
+def _synthetic_hover_maps(rng, b: int, s: int, nuclei: int):
+    """NP/HV/type maps with ``nuclei`` disc instances per tile (proper
+    centroid-offset HV fields) — a realistic watershed workload."""
+    np_prob = np.zeros((b, s, s), np.float32)
+    hv = np.zeros((b, s, s, 2), np.float32)
+    tp = np.zeros((b, s, s), np.int32)
+    yy, xx = np.mgrid[0:s, 0:s].astype(np.float32)
+    for bi in range(b):
+        for _ in range(nuclei):
+            cy, cx = rng.uniform(8, s - 8, 2)
+            r = rng.uniform(4, 9)
+            d2 = (yy - cy) ** 2 + (xx - cx) ** 2
+            inside = d2 <= r * r
+            np_prob[bi][inside] = 1.0
+            hv[bi, :, :, 0][inside] = np.clip((xx[inside] - cx) / r, -1, 1)
+            hv[bi, :, :, 1][inside] = np.clip((yy[inside] - cy) / r, -1, 1)
+            tp[bi][inside] = int(rng.integers(1, 6))
+    return np_prob, hv, tp
+
+
 def _median_rate(fn, n_items: int, warmup: int = 1, iters: int = 4) -> float:
     for _ in range(warmup):
         fn()
@@ -74,24 +94,39 @@ def main() -> None:
 
     embed_rate = _median_rate(run_embed, embed_batch)
 
-    # --- nuclei stage: HoverNeXt tiny, TTA×4, watershed + features ---------
+    # --- nuclei stage: HoverNeXt tiny, TTA×4 forward on real tiles ---------
     seg = NucleiModel.build(HOVERNEXT_TINY, tta=4, dtype=jnp.bfloat16)
     tiles256_dev = jnp.asarray(tiles256)
 
+    def run_seg_fwd():
+        out = seg._infer(seg.params, tiles256_dev)
+        jax.block_until_ready(out)
+
+    seg_fwd_rate = _median_rate(run_seg_fwd, len(tiles256))
+
+    # --- watershed post-proc + features on REALISTIC maps ------------------
+    # random weights produce empty masks (flood exits immediately), which
+    # would flatter the number — synthesize ~40 nuclei/tile with proper HV
+    # fields instead
+    np_prob, hv, tp = _synthetic_hover_maps(rng, b=len(tiles256), s=256, nuclei=40)
+
     @jax.jit
-    def _full_nuclei(params, t):
-        np_prob, hv, tp = seg._infer_raw(params, t)
+    def _pp(np_prob, hv, tp):
         lbl = seg._postproc_raw(np_prob, hv)
         feats = instance_features_batch(
-            jnp.where(lbl < 2**30, lbl % seg.max_instances, 0), tp,
-            max_instances=seg.max_instances,
+            lbl.astype(jnp.int32), tp, max_instances=seg.max_instances
         )
         return feats["area"]
 
-    def run_nuclei():
-        _full_nuclei(seg.params, tiles256_dev).block_until_ready()
+    np_prob_d, hv_d, tp_d = jnp.asarray(np_prob), jnp.asarray(hv), jnp.asarray(tp)
+    n_found = int((np.asarray(_pp(np_prob_d, hv_d, tp_d)) > 0).sum())
 
-    nuclei_rate = _median_rate(run_nuclei, len(tiles256))
+    def run_pp():
+        _pp(np_prob_d, hv_d, tp_d).block_until_ready()
+
+    pp_rate = _median_rate(run_pp, len(tiles256))
+
+    nuclei_rate = 1.0 / (1.0 / seg_fwd_rate + 1.0 / pp_rate)
 
     # --- combined serial path ---------------------------------------------
     combined = 1.0 / (1.0 / embed_rate + 1.0 / nuclei_rate)
@@ -106,6 +141,9 @@ def main() -> None:
                 "detail": {
                     "embed_tiles_per_sec": round(embed_rate, 2),
                     "nuclei_tiles_per_sec": round(nuclei_rate, 2),
+                    "seg_forward_tiles_per_sec": round(seg_fwd_rate, 2),
+                    "postproc_tiles_per_sec": round(pp_rate, 2),
+                    "instances_in_pp_workload": n_found,
                     "target_tiles_per_sec_per_chip": round(TARGET_TILES_PER_SEC_PER_CHIP, 2),
                     "backend": jax.default_backend(),
                 },

@@ -108,6 +108,22 @@ def load_clip_from_torch(path: str | Path):
     return vcfg, vparams, tcfg, tparams
 
 
+def load_convnext_encoder_from_torch(path: str | Path):
+    """HoverNeXt/FCMAE-style torch checkpoint → (ConvNeXtConfig, encoder
+    variables, unconsumed decoder/head keys). Decoder mapping is checkpoint-
+    specific; the unconsumed dict lets callers wire it explicitly."""
+    from path_gene_multimodal_tpu.models.weights import load_torch_checkpoint
+    from path_gene_multimodal_tpu.models.weights_convnext import (
+        convert_convnextv2,
+        infer_convnext_config,
+    )
+
+    sd = load_torch_checkpoint(path)
+    cfg = infer_convnext_config(sd)
+    variables, leftover = convert_convnextv2(sd, cfg)
+    return cfg, variables, leftover
+
+
 def load_resnet_from_torch(path: str | Path):
     """torchvision/TIAToolbox ResNet34 checkpoint → Flax variables."""
     from path_gene_multimodal_tpu.models.weights import load_torch_checkpoint

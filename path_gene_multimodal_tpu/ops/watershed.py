@@ -170,18 +170,21 @@ def hover_instances_batch(
     VMEM-resident Pallas kernel (2-3× faster than the vmapped XLA flood);
     mask/marker preparation stays vmapped XLA either way."""
 
-    def prep(p, h):
-        blb = p > np_threshold
-        blb = blb & (component_sizes(label_components(blb, 1)) >= min_object_size)
-        overall, dist = hv_energy(h[..., 0], h[..., 1], blb)
-        marker_mask = blb & (overall < marker_threshold)
-        marker_lbl = label_components(marker_mask, 1)
-        marker_lbl = jnp.where(
-            component_sizes(marker_lbl) >= min_marker_size, marker_lbl, INF
-        )
-        return dist, marker_lbl, blb
+    if use_pallas:
+        from path_gene_multimodal_tpu.ops.pallas.cc import pallas_label_components
 
-    dist, markers, blb = jax.vmap(prep)(np_prob, hv)
+        label_b = lambda m: pallas_label_components(m, 1)
+    else:
+        label_b = jax.vmap(lambda m: label_components(m, 1))
+    sizes_b = jax.vmap(component_sizes)
+    energy_b = jax.vmap(lambda h, v, b: hv_energy(h, v, b))
+
+    blb = np_prob > np_threshold
+    blb = blb & (sizes_b(label_b(blb)) >= min_object_size)
+    overall, dist = energy_b(hv[..., 0], hv[..., 1], blb)
+    marker_mask = blb & (overall < marker_threshold)
+    marker_lbl = label_b(marker_mask)
+    markers = jnp.where(sizes_b(marker_lbl) >= min_marker_size, marker_lbl, INF)
     if use_pallas:
         from path_gene_multimodal_tpu.ops.pallas.flood import pallas_marker_watershed
 
