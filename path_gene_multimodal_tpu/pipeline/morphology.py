@@ -38,23 +38,94 @@ from path_gene_multimodal_tpu.ops import contours as ct
 from path_gene_multimodal_tpu.ops import masking, morphology as morph
 
 
+def _cc_device():
+    """Large-thumbnail connected components are iteration-latency-bound —
+    on an accelerator (especially the tunnel-attached dev chip) the
+    while_loop round-trips dwarf the math, so run CC on the host CPU
+    backend when one exists alongside."""
+    import contextlib
+
+    import jax
+
+    if jax.default_backend() == "cpu":
+        return contextlib.nullcontext()
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        return contextlib.nullcontext()
+
+    @contextlib.contextmanager
+    def ctx():
+        # the persistent compilation cache may hold CPU AOT binaries from a
+        # different machine (remote-compile environments) — disable it for
+        # the host-side CC so XLA:CPU always compiles for this machine
+        prev = jax.config.jax_compilation_cache_dir
+        jax.config.update("jax_compilation_cache_dir", None)
+        try:
+            with jax.default_device(cpu):
+                yield
+        finally:
+            jax.config.update("jax_compilation_cache_dir", prev)
+
+    return ctx()
+
+
 def tissue_boundary_mask(
     thumb_rgb: np.ndarray,
     sat_threshold: float = 0.04,
     closing_radius: int = 6,
     min_size: int = 5000,
+    max_work_dim: int = 1024,
 ) -> np.ndarray:
-    """Thumbnail-space tissue mask (polygon_morphology.py:100-153)."""
-    mask = masking.tissue_mask_hsv(jnp.asarray(thumb_rgb), sat_threshold)
+    """Thumbnail-space tissue mask (polygon_morphology.py:100-153).
+
+    Masks larger than ``max_work_dim`` on the long side are processed at
+    reduced resolution (morphology radii and area thresholds scaled) and
+    upsampled back — connected-component labeling on multi-megapixel masks
+    is iteration-bound and gains nothing from the extra resolution for
+    island analytics.
+    """
+    import cv2
+
+    h, w = thumb_rgb.shape[:2]
+    scale = max(h, w) / max_work_dim if max(h, w) > max_work_dim else 1.0
+    work = thumb_rgb
+    if scale > 1.0:
+        work = cv2.resize(
+            thumb_rgb, (int(w / scale), int(h / scale)), interpolation=cv2.INTER_AREA
+        )
+        closing_radius = max(int(round(closing_radius / scale)), 1)
+        min_size = max(int(round(min_size / (scale * scale))), 1)
+    mask = masking.tissue_mask_hsv(jnp.asarray(work), sat_threshold)
     mask = morph.binary_closing(mask, morph.disk(closing_radius))
-    mask = cc.remove_small_objects(mask, min_size)
-    mask = cc.remove_small_holes(mask, min_size)
-    return np.asarray(mask)
+    with _cc_device():
+        m = jnp.asarray(np.asarray(mask))
+        m = cc.remove_small_objects(m, min_size)
+        m = cc.remove_small_holes(m, min_size)
+        mask_np = np.asarray(m)
+    if scale > 1.0:
+        mask_np = cv2.resize(
+            mask_np.astype(np.uint8), (w, h), interpolation=cv2.INTER_NEAREST
+        ).astype(bool)
+    return mask_np
 
 
-def mask_to_thumb_polygons(mask: np.ndarray) -> list[np.ndarray]:
-    """Per-component exterior rings (x, y) in thumbnail px."""
-    lbl, n = cc.compact_labels(np.asarray(cc.label_components(jnp.asarray(mask), 1)))
+def mask_to_thumb_polygons(mask: np.ndarray, max_work_dim: int = 1024) -> list[np.ndarray]:
+    """Per-component exterior rings (x, y) in thumbnail px. Large masks are
+    labeled at reduced resolution (ring coordinates scaled back)."""
+    import cv2
+
+    mask = np.asarray(mask)
+    h, w = mask.shape
+    scale = max(h, w) / max_work_dim if max(h, w) > max_work_dim else 1.0
+    if scale > 1.0:
+        small = cv2.resize(
+            mask.astype(np.uint8), (int(w / scale), int(h / scale)),
+            interpolation=cv2.INTER_NEAREST,
+        ).astype(bool)
+        return [r * scale for r in mask_to_thumb_polygons(small, max_work_dim)]
+    with _cc_device():
+        lbl, n = cc.compact_labels(np.asarray(cc.label_components(jnp.asarray(mask), 1)))
     rings = []
     for k in range(1, n + 1):
         comp = lbl == k
@@ -120,7 +191,12 @@ def island_table_one_slide_level0(
     add_rows(by(tumor_classes), "tumor")
     add_rows(by(til_classes), "til")
     add_rows(by(tls_classes), "tls")
-    return pd.DataFrame(rows)
+    columns = [
+        "slide_id", "type", "island_id", "area_px2", "perimeter_px",
+        "centroid_x", "centroid_y", "bbox_xmin", "bbox_ymin", "bbox_xmax",
+        "bbox_ymax", "tissue_area_px2",
+    ]
+    return pd.DataFrame(rows, columns=columns)
 
 
 def process_one_slide_make_csv_and_plot(
@@ -187,9 +263,15 @@ def write_basic_size_burden_metrics_txt(
 ) -> Path:
     """Append the BASIC SIZE & BURDEN METRICS block (untitled.py:45-112;
     identical layout so downstream parsers keep working)."""
-    tissue_area = float(df_islands["tissue_area_px2"].iloc[0]) if len(df_islands) else 0.0
+    tissue_area = (
+        float(df_islands["tissue_area_px2"].iloc[0])
+        if len(df_islands) and "tissue_area_px2" in df_islands.columns
+        else 0.0
+    )
 
     def sum_area(typ: str) -> float:
+        if "type" not in df_islands.columns:
+            return 0.0
         sub = df_islands[df_islands["type"] == typ]
         return float(sub["area_px2"].sum()) if not sub.empty else 0.0
 

@@ -279,3 +279,16 @@ def test_gdc_payloads():
     hits = gdc.parse_hits({"data": {"hits": [{"file_id": "x"}]}})
     assert hits == [{"file_id": "x"}]
     assert gdc.parse_hits({}) == []
+
+
+def test_island_table_empty_classes(geojson_file, tmp_path):
+    """No matching classes → empty table with full column set; burden
+    metrics still write (all zero / NA)."""
+    path, cfg, classes = geojson_file
+    df = morphology.island_table_one_slide_level0(
+        "empty", path, ["no-such"], ["none"], ["nada"], tissue_area_px2=1e6
+    )
+    assert len(df) == 0 and "type" in df.columns
+    txt = morphology.write_basic_size_burden_metrics_txt(df, "empty", tmp_path / "e.txt")
+    content = txt.read_text()
+    assert "Immune dominance index: NA" in content

@@ -150,3 +150,38 @@ def test_run_hovernext_wsi_dedup(tmp_path):
         assert set(np.unique(m)) == {0, 1, 2}
         assert m[104, 124] > 0
     assert (tmp_path / "w_hovernet_nuclei_wsi.parquet").exists()
+
+
+def test_hovernext_infer_cli(tmp_path, monkeypatch):
+    from path_gene_multimodal_tpu.cli import hovernext_infer as hn
+    from path_gene_multimodal_tpu.pipeline import nuclei as nuclei_mod
+    from path_gene_multimodal_tpu.models.convnext import ConvNeXtConfig
+    from path_gene_multimodal_tpu.models.hovernext import HoverNeXtConfig
+
+    slide = synthetic_wsi(600, 500, seed=9, n_blobs=2, nuclei_per_blob=10)
+    p = tmp_path / "cli.npz"
+    slide.save(p)
+    # open_slide rejects .npz? no — it handles it. Small model via monkeypatch.
+    orig_build = nuclei_mod.NucleiModel.build.__func__
+
+    def small_build(cls, cfg=None, **kw):
+        mcfg = HoverNeXtConfig(
+            encoder=ConvNeXtConfig(depths=(1, 1, 1, 1), dims=(8, 16, 32, 64)),
+            decoder_dims=(32, 16, 8, 8), input_size=256,
+        )
+        kw.pop("params", None)
+        kw.pop("tta", None)
+        import jax.numpy as jnp
+
+        return orig_build(nuclei_mod.NucleiModel, mcfg, dtype=jnp.float32, tta=1)
+
+    monkeypatch.setattr(nuclei_mod.NucleiModel, "build", classmethod(small_build))
+    rc = hn.main(["--input", str(p), "--output", str(tmp_path / "out"),
+                  "--mode", "wsi", "--batch-size", "4"])
+    assert rc == 0
+    assert (tmp_path / "out" / "cli_hovernet_nuclei_wsi.csv").exists()
+    assert (tmp_path / "out" / "cli_pinst_pp.npz").exists()
+    # missing input → exit 2
+    assert hn.main(["--input", str(tmp_path / "nope.svs"), "--output", str(tmp_path)]) == 2
+    # tiles mode without csv → exit 2
+    assert hn.main(["--input", str(p), "--output", str(tmp_path), "--mode", "tiles"]) == 2
