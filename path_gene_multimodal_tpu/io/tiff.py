@@ -358,6 +358,50 @@ class TiffTileSlide:
                 return arr
         return np.stack([self._decode_tile(page, int(t)) for t in tile_ids])
 
+    def prefetch_region(
+        self, location: tuple[int, int], level: int, size: tuple[int, int]
+    ) -> int:
+        """Batch-decode every TIFF tile covering the region into the LRU
+        cache using the native C++ thread-pool decoder (JPEG pages only;
+        no-op otherwise). Called by the tile feed ahead of ``read_region``
+        bursts. Returns the number of tiles decoded."""
+        page = self._pages[level]
+        if (
+            self._native is None
+            or self._cache_cap <= 0  # nowhere to keep the decoded tiles
+            or page.compression != 7
+            or not page.is_tiled
+        ):
+            return 0
+        ds = self.level_downsamples[level]
+        x0 = int(round(location[0] / ds))
+        y0 = int(round(location[1] / ds))
+        w, h = size
+        tw, th = page.tile_width, page.tile_height
+        tx0 = max(x0 // tw, 0)
+        tx1 = min((x0 + w - 1) // tw, page.tiles_across - 1)
+        ty0 = max(y0 // th, 0)
+        ty1 = min((y0 + h - 1) // th, page.tiles_down - 1)
+        ids = [
+            ty * page.tiles_across + tx
+            for ty in range(ty0, ty1 + 1)
+            for tx in range(tx0, tx1 + 1)
+        ]
+        with self._cache_lock:
+            missing = [i for i in ids if (level, i) not in self._cache]
+        if not missing:
+            return 0
+        blobs = [self._tile_bytes(page, i) for i in missing]
+        arr = self._native.decode_jpeg_batch(blobs, th, tw, page.jpeg_tables)
+        if arr is None:
+            return 0
+        with self._cache_lock:
+            for j, i in enumerate(missing):
+                self._cache[(level, i)] = arr[j]
+            while len(self._cache) > self._cache_cap:
+                self._cache.popitem(last=False)
+        return len(missing)
+
     def _decode_tile_cached(
         self, level: int, page: TiffPage, idx: int
     ) -> np.ndarray | None:

@@ -156,3 +156,23 @@ def test_tiff_native_batch_matches_python(tmp_path):
     batch = slide.read_tiles_batch(0, ids)
     ref = np.stack([slide._decode_tile(page, int(i)) for i in ids])
     assert np.abs(batch.astype(int) - ref.astype(int)).max() <= 16  # decoder rounding
+
+
+def test_prefetch_region_matches_python(tmp_path):
+    rng = np.random.default_rng(7)
+    base = np.kron(
+        rng.integers(40, 220, size=(8, 10, 3), dtype=np.uint8), np.ones((64, 64, 1), np.uint8)
+    )
+    p = write_tiled_tiff(tmp_path / "pf.svs", [base], tile_size=256, compression=7)
+    plain = TiffTileSlide(p, use_native=False)
+    golden = plain.read_region((100, 100), 0, (300, 300))
+    fast = TiffTileSlide(p, use_native=True)
+    if fast._native is None:
+        pytest.skip("native decoder unavailable")
+    n = fast.prefetch_region((100, 100), 0, (300, 300))
+    assert n >= 4  # covered TIFF tiles decoded in one native batch
+    region = fast.read_region((100, 100), 0, (300, 300))
+    # native libjpeg vs cv2 may differ by DCT rounding only
+    assert np.abs(region.astype(int) - golden.astype(int)).max() <= 16
+    # second prefetch: everything cached
+    assert fast.prefetch_region((100, 100), 0, (300, 300)) == 0
