@@ -43,6 +43,7 @@ _TAG_TILE_WIDTH = 322
 _TAG_TILE_LENGTH = 323
 _TAG_TILE_OFFSETS = 324
 _TAG_TILE_BYTE_COUNTS = 325
+_TAG_PREDICTOR = 317
 _TAG_JPEG_TABLES = 347
 
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8, 16: 8, 17: 8, 18: 8}
@@ -62,6 +63,7 @@ class TiffPage:
     byte_counts: np.ndarray
     rows_per_strip: int | None
     jpeg_tables: bytes | None
+    predictor: int = 1  # TIFF tag 317: 2 = horizontal byte differencing
     description: str = ""
     x_resolution: float | None = None
     resolution_unit: int | None = None
@@ -184,6 +186,7 @@ def _page_from_ifd(ifd: dict) -> TiffPage | None:
         byte_counts=counts,
         rows_per_strip=int(_scalar(ifd, _TAG_ROWS_PER_STRIP)) if _TAG_ROWS_PER_STRIP in ifd else None,
         jpeg_tables=bytes(jt) if isinstance(jt, (bytes, bytearray)) else None,
+        predictor=int(_scalar(ifd, _TAG_PREDICTOR, 1)),
         description=str(ifd.get(_TAG_IMAGE_DESCRIPTION, "")),
         x_resolution=float(_scalar(ifd, _TAG_X_RESOLUTION)) if _TAG_X_RESOLUTION in ifd else None,
         resolution_unit=int(_scalar(ifd, _TAG_RESOLUTION_UNIT)) if _TAG_RESOLUTION_UNIT in ifd else None,
@@ -358,13 +361,18 @@ class TiffTileSlide:
                 return arr
         return np.stack([self._decode_tile(page, int(t)) for t in tile_ids])
 
-    def prefetch_region(
-        self, location: tuple[int, int], level: int, size: tuple[int, int]
+    def prefetch_regions(
+        self,
+        locations: "np.ndarray",
+        level: int,
+        size: tuple[int, int],
     ) -> int:
-        """Batch-decode every TIFF tile covering the region into the LRU
-        cache using the native C++ thread-pool decoder (JPEG pages only;
-        no-op otherwise). Called by the tile feed ahead of ``read_region``
-        bursts. Returns the number of tiles decoded."""
+        """Batch-decode exactly the TIFF tiles covered by the given regions
+        (N×2 level-0 top-left coords, common ``size``) into the LRU cache
+        using the native C++ thread-pool decoder (JPEG pages only; no-op
+        otherwise). Exact per-region coverage — a bounding box over a
+        row-major chunk would decode ~3× too many tiles and thrash the
+        cache. Returns the number of tiles decoded."""
         page = self._pages[level]
         if (
             self._native is None
@@ -374,19 +382,20 @@ class TiffTileSlide:
         ):
             return 0
         ds = self.level_downsamples[level]
-        x0 = int(round(location[0] / ds))
-        y0 = int(round(location[1] / ds))
         w, h = size
         tw, th = page.tile_width, page.tile_height
-        tx0 = max(x0 // tw, 0)
-        tx1 = min((x0 + w - 1) // tw, page.tiles_across - 1)
-        ty0 = max(y0 // th, 0)
-        ty1 = min((y0 + h - 1) // th, page.tiles_down - 1)
-        ids = [
-            ty * page.tiles_across + tx
-            for ty in range(ty0, ty1 + 1)
-            for tx in range(tx0, tx1 + 1)
-        ]
+        id_set: set[int] = set()
+        for lx0, ly0 in np.asarray(locations).reshape(-1, 2):
+            x0 = int(round(int(lx0) / ds))
+            y0 = int(round(int(ly0) / ds))
+            tx0 = max(x0 // tw, 0)
+            tx1 = min((x0 + w - 1) // tw, page.tiles_across - 1)
+            ty0 = max(y0 // th, 0)
+            ty1 = min((y0 + h - 1) // th, page.tiles_down - 1)
+            for ty in range(ty0, ty1 + 1):
+                for tx in range(tx0, tx1 + 1):
+                    id_set.add(ty * page.tiles_across + tx)
+        ids = sorted(id_set)[: self._cache_cap]  # never exceed the cache
         with self._cache_lock:
             missing = [i for i in ids if (level, i) not in self._cache]
         if not missing:
@@ -436,13 +445,13 @@ class TiffTileSlide:
             return _decode_jpeg(data, page.jpeg_tables, th, tw)
         if comp in (8, 32946):  # deflate
             raw = zlib.decompress(data)
-            return _raw_to_rgb(raw, th, tw, page.samples)
+            return _raw_to_rgb(raw, th, tw, page.samples, page.predictor)
         if comp == 5:
-            return _raw_to_rgb(_lzw_decode(data), th, tw, page.samples)
+            return _raw_to_rgb(_lzw_decode(data), th, tw, page.samples, page.predictor)
         if comp == 32773:
-            return _raw_to_rgb(_packbits_decode(data), th, tw, page.samples)
+            return _raw_to_rgb(_packbits_decode(data), th, tw, page.samples, page.predictor)
         if comp == 1:
-            return _raw_to_rgb(data, th, tw, page.samples)
+            return _raw_to_rgb(data, th, tw, page.samples, page.predictor)
         if comp in (33003, 33005, 34712):  # JPEG2000 (Aperio / generic)
             import cv2
 
@@ -497,12 +506,18 @@ def _decode_jpeg(
     return img[:, :, ::-1]
 
 
-def _raw_to_rgb(raw: bytes, height: int, width: int, samples: int) -> np.ndarray:
+def _raw_to_rgb(
+    raw: bytes, height: int, width: int, samples: int, predictor: int = 1
+) -> np.ndarray:
     arr = np.frombuffer(raw, np.uint8)
     expect = height * width * samples
     if arr.size < expect:
         arr = np.pad(arr, (0, expect - arr.size), constant_values=255)
     arr = arr[:expect].reshape(height, width, samples)
+    if predictor == 2:
+        # TIFF horizontal differencing (tag 317): undo via per-row cumulative
+        # sum along x, per sample channel, modulo 256
+        arr = np.cumsum(arr.astype(np.uint64), axis=1).astype(np.uint8)
     if samples >= 3:
         return np.ascontiguousarray(arr[:, :, :3])
     return np.repeat(arr[:, :, :1], 3, axis=2)

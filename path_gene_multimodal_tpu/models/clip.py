@@ -15,7 +15,6 @@ Embedding parity requirement: ≥0.999 cosine vs the torch reference
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 
 import flax.linen as nn
 import jax
@@ -172,11 +171,6 @@ def preprocess_tiles(
     feeding 224 px tiles to CLIP's 224 px input)."""
     x = tiles_u8.astype(jnp.float32) / 255.0
     return (x - mean) / std
-
-
-@partial(jax.jit, static_argnames=("apply_fn",))
-def _encode_jit(apply_fn, params, pixels):
-    return apply_fn(params, pixels)
 
 
 class ImageEncoder:

@@ -63,8 +63,16 @@ def infer_convnext_config(sd: Mapping[str, np.ndarray]) -> ConvNeXtConfig:
     s = 0
     while any(k.startswith(f"stages.{s}.") for k in sd):
         b = 0
-        while f"stages.{s}.{b}.dwconv.weight" in sd or f"stages.{s}.blocks.{b}.conv_dw.weight" in sd:
+        while f"stages.{s}.{b}.dwconv.weight" in sd:
             b += 1
+        if b == 0:
+            if any(k.startswith(f"stages.{s}.blocks.") for k in sd):
+                raise ValueError(
+                    "timm 'stages.S.blocks.B.conv_dw' naming is not supported; "
+                    "export the checkpoint with the official FCMAE layout "
+                    "('stages.S.B.dwconv')"
+                )
+            break
         depths.append(b)
         dims.append(int(sd[f"stages.{s}.0.dwconv.weight"].shape[0]))
         s += 1

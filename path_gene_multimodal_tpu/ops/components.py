@@ -133,9 +133,9 @@ def remove_small_objects(
 def remove_small_holes(
     mask: jnp.ndarray, area_threshold: int, connectivity: int = 1
 ) -> jnp.ndarray:
-    """Fill holes with area < area_threshold (skimage implementation:
-    complement → remove_small_objects → complement)."""
-    return ~remove_small_objects(~mask, area_threshold, connectivity)
+    """Fill holes with area <= area_threshold (skimage semantics:
+    complement → remove_small_objects(min_size=threshold+1) → complement)."""
+    return ~remove_small_objects(~mask, area_threshold + 1, connectivity)
 
 
 def compact_labels(lbl: np.ndarray) -> tuple[np.ndarray, int]:

@@ -77,7 +77,11 @@ def knn(
     Returns (dists (N, k) float32 Euclidean, indices (N, k) int32)."""
     pts = jnp.asarray(np.asarray(points, np.float32))
     n = len(points)
+    # never ask for more neighbors than exist (sentinel rows would leak
+    # out-of-range indices / ~1e9 distances into the results)
+    k = max(min(k, n if include_self else n - 1), 1)
     kk = k if include_self else k + 1
+    kk = min(kk, n)
     out_d, out_i = [], []
     for start in range(0, n, q_chunk):
         q = pts[start : start + q_chunk]
@@ -86,6 +90,10 @@ def knn(
         out_i.append(np.asarray(idx))
     d2 = np.concatenate(out_d, axis=0)
     idx = np.concatenate(out_i, axis=0)
+    # mask any sentinel/pad matches (idx outside [0, n))
+    invalid = (idx < 0) | (idx >= n)
+    d2 = np.where(invalid, np.inf, d2)
+    idx = np.where(invalid, -1, idx)
     if not include_self:
         # drop each row's self-match: push it to +inf, re-sort, keep first k
         self_mask = idx == np.arange(n)[:, None]

@@ -96,7 +96,7 @@ def _cc_kernel(connectivity: int, max_iters: int):
 def pallas_label_components(
     mask: jnp.ndarray,
     connectivity: int = 1,
-    max_iters: int = 64,
+    max_iters: int = 256,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Batched CC: mask (B, H, W) bool → labels (B, H, W) int32 (linear-

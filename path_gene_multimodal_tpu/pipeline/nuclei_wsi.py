@@ -4,18 +4,24 @@ The reference's canonical WSI configuration (``hovernet_inference.py``
 script body ``:173-209``, SURVEY.md §3.4): window 256, stride 248 (the
 ``overlap=0.96875`` fraction), batched inference over the window stream,
 overlapped post-processing stitched into one slide-scale uint32 instance
-map (zarr ``pinst_pp.zip`` in the reference; ``.npz`` here).
+map (zarr ``pinst_pp.zip`` in the reference; ``.npz`` here — sparse
+(coo) for big slides so host RAM stays bounded).
 
-TPU-native stitching strategy: each window is segmented independently on
-device (the watershed needs only local context — nuclei are ≪ window) and
-instances are accepted iff their centroid falls in the window's OWN
-interior cell of the stride grid; border-crossing nuclei are therefore
-claimed by exactly one window, replacing the reference's
-``pp_tiling/pp_overlap`` CPU re-segmentation pass. Accepted instances are
-written into the WSI-scale map with globally unique ids.
+TPU-native stitching strategy (replaces the reference's
+``pp_tiling/pp_overlap`` CPU re-segmentation pass):
 
-Output: ``(instance_map_path, nuclei table)`` — the table schema matches
-``pipeline.nuclei`` so downstream (graphs, plotting) is source-agnostic.
+1. each window is segmented independently on device;
+2. an instance whose mask does NOT touch a window border (its bbox and
+   centroid are therefore exact) is accepted by the FIRST window that saw
+   it whole — exactly-once among clean views;
+3. an instance clipped by every window that sees it (it straddles a seam
+   wider than the overlap) falls back to stride-cell centroid ownership;
+4. a final proximity pass collapses residual seam duplicates (two clipped
+   views of one nucleus whose biased centroids landed in different cells),
+   keeping the larger fragment.
+
+With overlap ≥ nucleus diameter, step 2 alone decides everything; the
+reference's 8-px overlap (stride 248) relies on steps 3-4.
 """
 
 from __future__ import annotations
@@ -31,6 +37,10 @@ from path_gene_multimodal_tpu.core.artifacts import write_nuclei_table
 from path_gene_multimodal_tpu.io.slide import SlideReader
 from path_gene_multimodal_tpu.pipeline.nuclei import NucleiModel, _tile_rows, _write_empty
 from path_gene_multimodal_tpu.utils.log import StageTimer, get_logger
+
+#: above this many level-0 pixels the instance map is written sparse
+#: (ys/xs/ids arrays) instead of a dense (H, W) uint32 array
+DENSE_MAP_MAX_PIXELS = 400_000_000
 
 
 def iter_windows(
@@ -49,6 +59,59 @@ def iter_windows(
     if not ys:
         ys = [0]
     return [(x, y) for y in ys for x in xs]
+
+
+def _dedup_seam_duplicates(
+    rows: list[dict[str, Any]], radius: float = 32.0, touch_tol: float = 1.0
+) -> list[dict[str, Any]]:
+    """Collapse clipped-view duplicates: two views of one seam-straddling
+    nucleus have overlapping/touching WSI bboxes (they share the seam edge)
+    and nearby centroids; distinct neighboring nuclei have disjoint masks
+    and therefore disjoint bboxes. Keep the largest-area member of each
+    overlap group."""
+    if len(rows) <= 1:
+        return rows
+    pts = np.array([[r["wsi_centroid_x"], r["wsi_centroid_y"]] for r in rows])
+    boxes = np.array(
+        [
+            [r["wsi_bbox_xmin"], r["wsi_bbox_ymin"], r["wsi_bbox_xmax"], r["wsi_bbox_ymax"]]
+            for r in rows
+        ]
+    )
+    areas = np.array([r.get("area", 0.0) for r in rows])
+    order = np.argsort(-areas)  # biggest fragment claims the nucleus
+    cell = (pts / radius).astype(np.int64)
+    claimed: dict[tuple[int, int], list[int]] = {}
+    keep = np.zeros(len(rows), bool)
+
+    def is_dup(i: int, j: int) -> bool:
+        if np.hypot(*(pts[i] - pts[j])) > radius:
+            return False
+        bi, bj = boxes[i], boxes[j]
+        return (
+            bi[0] <= bj[2] + touch_tol
+            and bj[0] <= bi[2] + touch_tol
+            and bi[1] <= bj[3] + touch_tol
+            and bj[1] <= bi[3] + touch_tol
+        )
+
+    for i in order:
+        cx, cy = cell[i]
+        dup = False
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                for j in claimed.get((cx + dx, cy + dy), ()):
+                    if is_dup(i, j):
+                        dup = True
+                        break
+                if dup:
+                    break
+            if dup:
+                break
+        if not dup:
+            claimed.setdefault((cx, cy), []).append(i)
+            keep[i] = True
+    return [r for i, r in enumerate(rows) if keep[i]]
 
 
 def run_hovernext_wsi(
@@ -75,17 +138,40 @@ def run_hovernext_wsi(
     logger.info("WSI nuclei: %d windows of %d (stride %d) over %dx%d",
                 len(windows), window, stride, w0, h0)
 
-    inst_map_wsi = np.zeros((h0, w0), np.uint32) if write_instance_map else None
+    dense_map = write_instance_map and (w0 * h0) <= DENSE_MAP_MAX_PIXELS
+    inst_map_wsi = np.zeros((h0, w0), np.uint32) if dense_map else None
+    sparse_ys: list[np.ndarray] = []
+    sparse_xs: list[np.ndarray] = []
+    sparse_ids: list[np.ndarray] = []
+
     rows: list[dict[str, Any]] = []
-    next_id = 1
-    # ownership: centroid's stride-cell index picks exactly one window (the
-    # clamped last window absorbs the partial cell), so a nucleus seen by
-    # several overlapping windows is accepted exactly once
+    pixels: list[tuple[np.ndarray, np.ndarray]] = []  # per-row (ys, xs) in WSI px
     xs_grid = sorted({x for x, _ in windows})
     ys_grid = sorted({y for _, y in windows})
 
     def owner(coord: float, grid: list[int]) -> int:
         return grid[min(int(coord // stride), len(grid) - 1)]
+
+    def window_contains(bx0, by0, bx1, by1, wx, wy) -> bool:
+        return bx0 > wx and by0 > wy and bx1 < wx + window and by1 < wy + window
+
+    def _contains_1d(lo: float, hi: float, w: int, grid: list[int]) -> bool:
+        # strict interior, except the slide-boundary windows may touch the
+        # outer edge (an instance at the slide edge is not clipped there)
+        left_ok = lo > w or (w == grid[0] and lo >= w)
+        right_ok = hi < w + window or (w == grid[-1] and hi <= w + window)
+        return left_ok and right_ok
+
+    def first_containing_window(bx0, by0, bx1, by1) -> tuple[int, int] | None:
+        """Lowest-index window whose interior contains the bbox (computable
+        from the grids without running that window)."""
+        for wy in ys_grid:
+            if not _contains_1d(by0, by1, wy, ys_grid):
+                continue
+            for wx in xs_grid:
+                if _contains_1d(bx0, bx1, wx, xs_grid):
+                    return (wx, wy)
+        return None
 
     for start in range(0, len(windows), batch):
         chunk = windows[start : start + batch]
@@ -105,30 +191,87 @@ def run_hovernext_wsi(
                 model.max_instances, False, cfg,
             )
             for r in sub_rows:
-                gx, gy = r["wsi_centroid_x"], r["wsi_centroid_y"]
-                if owner(gx, xs_grid) != wx or owner(gy, ys_grid) != wy:
-                    continue
+                bx0 = r["wsi_bbox_xmin"]
+                by0 = r["wsi_bbox_ymin"]
+                bx1 = r["wsi_bbox_xmax"]
+                by1 = r["wsi_bbox_ymax"]
+                touches_border = not window_contains(bx0, by0, bx1, by1, wx, wy)
+                at_slide_edge = (
+                    bx0 <= 0 or by0 <= 0 or bx1 >= w0 or by1 >= h0
+                )
+                if not touches_border or at_slide_edge:
+                    # clean view: exactly-once via first-containing-window
+                    fw = first_containing_window(bx0, by0, bx1, by1)
+                    if fw is not None and fw != (wx, wy):
+                        continue
+                else:
+                    # clipped in every view → stride-cell centroid ownership
+                    gx, gy = r["wsi_centroid_x"], r["wsi_centroid_y"]
+                    if owner(gx, xs_grid) != wx or owner(gy, ys_grid) != wy:
+                        continue
                 local_id = r["inst_id"]
-                r["inst_id"] = next_id
                 rows.append(r)
-                if inst_map_wsi is not None:
+                if write_instance_map:
                     ys, xs = np.nonzero(inst == local_id)
-                    gy = np.clip(ys + wy, 0, h0 - 1)
-                    gx = np.clip(xs + wx, 0, w0 - 1)
-                    inst_map_wsi[gy, gx] = next_id
-                next_id += 1
+                    pixels.append(
+                        (
+                            np.clip(ys + wy, 0, h0 - 1).astype(np.int64),
+                            np.clip(xs + wx, 0, w0 - 1).astype(np.int64),
+                        )
+                    )
         if timer is not None and timer.records:
             timer.records[-1].items = start + len(chunk)
 
-    nuclei = pd.DataFrame(rows)
+    # residual seam duplicates (both views clipped, centroids in different
+    # cells) — keep the larger fragment
+    keep_rows = _dedup_seam_duplicates(rows)
+    kept = {id(r) for r in keep_rows}
+    final_rows = []
+    next_id = 1
+    for i, r in enumerate(rows):
+        if id(r) not in kept:
+            continue
+        r["inst_id"] = next_id
+        final_rows.append(r)
+        if write_instance_map:
+            ys, xs = pixels[i]
+            if inst_map_wsi is not None:
+                inst_map_wsi[ys, xs] = next_id
+            else:
+                sparse_ys.append(ys.astype(np.int32))
+                sparse_xs.append(xs.astype(np.int32))
+                sparse_ids.append(np.full(len(ys), next_id, np.uint32))
+        next_id += 1
+
+    nuclei = pd.DataFrame(final_rows)
     map_path = None
     if write_artifacts:
         if len(nuclei) == 0:
             nuclei = _write_empty(out_dir, stem, True)
         else:
             write_nuclei_table(out_dir / f"{stem}_hovernet_nuclei_wsi", nuclei)
-        if inst_map_wsi is not None:
+        if write_instance_map:
             map_path = out_dir / f"{stem}_pinst_pp.npz"
-            np.savez_compressed(map_path, inst_map=inst_map_wsi)
+            if inst_map_wsi is not None:
+                np.savez_compressed(map_path, inst_map=inst_map_wsi)
+            else:
+                np.savez_compressed(
+                    map_path,
+                    ys=np.concatenate(sparse_ys) if sparse_ys else np.zeros(0, np.int32),
+                    xs=np.concatenate(sparse_xs) if sparse_xs else np.zeros(0, np.int32),
+                    ids=np.concatenate(sparse_ids) if sparse_ids else np.zeros(0, np.uint32),
+                    shape=np.asarray([h0, w0], np.int64),
+                )
     logger.info("WSI nuclei: %d instances", len(nuclei))
     return map_path, nuclei
+
+
+def load_instance_map(path: str | Path) -> np.ndarray:
+    """Load a ``<stem>_pinst_pp.npz`` instance map, dense or sparse."""
+    with np.load(path) as z:
+        if "inst_map" in z:
+            return z["inst_map"]
+        h, w = z["shape"]
+        out = np.zeros((int(h), int(w)), np.uint32)
+        out[z["ys"], z["xs"]] = z["ids"]
+        return out

@@ -151,7 +151,6 @@ def mask_to_features(
     for k in range(1, n + 1):
         comp = lbl == k
         ys, xs = np.nonzero(comp)
-        pad = 1
         y_lo, y_hi = ys.min(), ys.max() + 1
         x_lo, x_hi = xs.min(), xs.max() + 1
         crop = comp[y_lo:y_hi, x_lo:x_hi]

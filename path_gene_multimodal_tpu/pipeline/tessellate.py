@@ -120,14 +120,11 @@ def _decode_batch(
     batch_size: int,
     pad_to_batch: bool,
 ) -> tuple[np.ndarray, np.ndarray]:
-    # native fast path: pre-decode the covered TIFF tiles for this whole
-    # chunk in one threaded C++ batch (populates the reader's LRU cache)
-    prefetch_region = getattr(slide, "prefetch_region", None)
-    if prefetch_region is not None and len(chunk):
-        x_lo, y_lo = int(chunk[:, 0].min()), int(chunk[:, 1].min())
-        x_hi = int(chunk[:, 0].max()) + tile_size
-        y_hi = int(chunk[:, 1].max()) + tile_size
-        prefetch_region((x_lo, y_lo), 0, (x_hi - x_lo, y_hi - y_lo))
+    # native fast path: pre-decode exactly the TIFF tiles this chunk
+    # touches in one threaded C++ batch (populates the reader's LRU cache)
+    prefetch_regions = getattr(slide, "prefetch_regions", None)
+    if prefetch_regions is not None and len(chunk):
+        prefetch_regions(chunk, 0, (tile_size, tile_size))
     tiles = np.stack(
         [
             slide.read_region((int(x), int(y)), 0, (tile_size, tile_size))

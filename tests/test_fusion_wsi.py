@@ -185,3 +185,45 @@ def test_hovernext_infer_cli(tmp_path, monkeypatch):
     assert hn.main(["--input", str(tmp_path / "nope.svs"), "--output", str(tmp_path)]) == 2
     # tiles mode without csv → exit 2
     assert hn.main(["--input", str(p), "--output", str(tmp_path), "--mode", "tiles"]) == 2
+
+
+def test_run_hovernext_wsi_seam_straddler(tmp_path):
+    """A nucleus wider than the 8-px window overlap straddling a seam:
+    each window sees a clipped half — the stitcher must emit exactly ONE
+    instance (clipped-view fallback + proximity dedup)."""
+    cfg = default_config()
+    img = np.full((400, 800, 3), 30, np.uint8)
+    # stride 248: the first vertical seam band is x in [248, 256);
+    # paint a 30-px-wide nucleus centered on x=252 (crosses the seam)
+    img[200:210, 237:267] = [255, 0, 0]
+    from path_gene_multimodal_tpu.io.slide import ArraySlide
+
+    slide = ArraySlide(img)
+    map_path, nuclei = run_hovernext_wsi(
+        slide, tmp_path, "seam", StripeFakeModel(), default_config(), batch_size=4
+    )
+    assert len(nuclei) == 1, nuclei[["tile_x", "tile_y", "wsi_centroid_x"]]
+    r = nuclei.iloc[0]
+    assert abs(r["wsi_centroid_x"] - 251.5) < 16  # near the true centroid
+    assert abs(r["wsi_centroid_y"] - 204.5) < 2
+
+
+def test_sparse_instance_map_roundtrip(tmp_path, monkeypatch):
+    from path_gene_multimodal_tpu.pipeline import nuclei_wsi as nw
+
+    monkeypatch.setattr(nw, "DENSE_MAP_MAX_PIXELS", 10)  # force sparse path
+    img = np.full((300, 300, 3), 30, np.uint8)
+    img[100:110, 100:110] = [255, 0, 0]
+    from path_gene_multimodal_tpu.io.slide import ArraySlide
+
+    map_path, nuclei = nw.run_hovernext_wsi(
+        ArraySlide(img), tmp_path, "sp", StripeFakeModel(), default_config(), batch_size=4
+    )
+    assert len(nuclei) == 1
+    with np.load(map_path) as z:
+        assert "inst_map" not in z  # sparse format
+        assert len(z["ids"]) == 100
+    dense = nw.load_instance_map(map_path)
+    assert dense.shape == (300, 300)
+    assert (dense == 1).sum() == 100
+    assert dense[104, 104] == 1

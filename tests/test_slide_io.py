@@ -169,10 +169,31 @@ def test_prefetch_region_matches_python(tmp_path):
     fast = TiffTileSlide(p, use_native=True)
     if fast._native is None:
         pytest.skip("native decoder unavailable")
-    n = fast.prefetch_region((100, 100), 0, (300, 300))
+    n = fast.prefetch_regions(np.array([[100, 100]]), 0, (300, 300))
     assert n >= 4  # covered TIFF tiles decoded in one native batch
     region = fast.read_region((100, 100), 0, (300, 300))
     # native libjpeg vs cv2 may differ by DCT rounding only
     assert np.abs(region.astype(int) - golden.astype(int)).max() <= 16
     # second prefetch: everything cached
-    assert fast.prefetch_region((100, 100), 0, (300, 300)) == 0
+    assert fast.prefetch_regions(np.array([[100, 100]]), 0, (300, 300)) == 0
+    # exact coverage: two disjoint far-apart regions decode only their own
+    # tiles (4 + ≤4), not the bounding-box span
+    fast2 = TiffTileSlide(p, use_native=True)
+    n2 = fast2.prefetch_regions(np.array([[0, 0], [500, 300]]), 0, (100, 100))
+    assert n2 <= 5
+
+
+def test_predictor2_horizontal_differencing():
+    """TIFF Predictor=2 (tag 317) rows must be un-differenced before use."""
+    from path_gene_multimodal_tpu.io.tiff import _raw_to_rgb
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 255, (32, 48, 3), dtype=np.uint8)
+    diff = img.astype(np.int16).copy()
+    diff[:, 1:] -= img[:, :-1].astype(np.int16)
+    raw = (diff % 256).astype(np.uint8).tobytes()
+    out = _raw_to_rgb(raw, 32, 48, 3, predictor=2)
+    np.testing.assert_array_equal(out, img)
+    # predictor=1 leaves bytes untouched
+    out1 = _raw_to_rgb(img.tobytes(), 32, 48, 3, predictor=1)
+    np.testing.assert_array_equal(out1, img)
