@@ -76,7 +76,10 @@ def main() -> int:
     )
 
     slide = open_slide(svs_path)
-    seg = NucleiModel.build(HOVERNEXT_TINY, tta=4)
+    seg = NucleiModel.build(
+        HOVERNEXT_TINY, tta=cfg.hovernext.tta,
+        max_instances=cfg.hovernext.max_instances_per_tile,
+    )
     nuclei = run_hovernet_pipeline_on_wsi_tiles(
         slide, out_dir / f"{stem}_annotations_with_coords.csv",
         out_dir, stem, seg, cfg,

@@ -68,7 +68,7 @@ def main(argv: list[str] | None = None) -> int:
         )
     )
 
-    mcfg = HoverNeXtConfig(input_size=args.tile_size)
+    mcfg = HoverNeXtConfig(input_size=cfg.hovernext.tile_size)
     params = None
     if args.checkpoint:
         logger.warning(
@@ -79,7 +79,10 @@ def main(argv: list[str] | None = None) -> int:
     else:
         logger.warning("no --checkpoint given: running with RANDOM weights "
                        "(plumbing/benchmark mode, not biology)")
-    model = NucleiModel.build(mcfg, params=params, tta=args.tta)
+    model = NucleiModel.build(
+        mcfg, params=params, tta=args.tta,
+        max_instances=cfg.hovernext.max_instances_per_tile,
+    )
 
     slide = open_slide(wsi)
     t0 = time.perf_counter()

@@ -75,9 +75,9 @@ class PolygonConfig:
 
 @dataclass(frozen=True)
 class TessellationConfig:
-    """Tissue segmentation + tiling (reference tiling.py:28-42)."""
+    """Tissue segmentation + tiling (reference tiling.py:28-42). The tile
+    size itself is the root ``PipelineConfig.patch_size``."""
 
-    patch_size: int = 224
     use_otsu: bool = True
     segment_threshold: int = 20
     thumbnail_size: int = 1024
@@ -88,11 +88,11 @@ class TessellationConfig:
 
 @dataclass(frozen=True)
 class EmbeddingConfig:
-    """Tile feature extraction (reference extract_embedding_from_tiles.py:48-57)."""
+    """Tile feature extraction (reference extract_embedding_from_tiles.py:48-57).
+    The model choice is the root ``PipelineConfig.model_type``; the input
+    size comes from the vision config."""
 
-    model_type: str = "CLIP"  # "CLIP" | "Virchow2"
     batch_size: int = 128
-    image_size: int = 224
     dtype: str = "bfloat16"
 
 
@@ -108,7 +108,9 @@ class TMEConfig:
 
 @dataclass(frozen=True)
 class HoverNeXtConfig:
-    """Nuclei segmentation (reference hovernet_inference.py:188-206)."""
+    """Nuclei segmentation (reference hovernet_inference.py:188-206).
+    ``tile_size`` is the model input/window size — CLI/model builders read
+    it; ``max_instances_per_tile`` caps the per-window instance ids."""
 
     checkpoint: str = "pannuke_convnextv2_tiny_3"
     tile_size: int = 256

@@ -268,9 +268,9 @@ class TiffTileSlide:
         tiled = [p for p in pages if p.is_tiled]
         if not tiled:
             raise ValueError(f"{path}: no tiled pages")
-        base_w = max(p.width for p in tiled)
+        base = max(tiled, key=lambda p: p.width)
         self._pages = sorted(
-            (p for p in tiled if _is_pyramid_level(p, base_w)),
+            (p for p in tiled if _is_pyramid_level(p, base.width, base.height)),
             key=lambda p: -p.width,
         )
         self._mpp = _parse_mpp(self._pages[0])
@@ -397,7 +397,11 @@ class TiffTileSlide:
                     id_set.add(ty * page.tiles_across + tx)
         ids = sorted(id_set)[: self._cache_cap]  # never exceed the cache
         with self._cache_lock:
-            missing = [i for i in ids if (level, i) not in self._cache]
+            missing = [
+                i for i in ids
+                if (level, i) not in self._cache
+                and page.byte_counts[i] > 0 and page.offsets[i] > 0
+            ]
         if not missing:
             return 0
         blobs = [self._tile_bytes(page, i) for i in missing]
@@ -438,6 +442,8 @@ class TiffTileSlide:
     def _decode_tile(self, page: TiffPage, idx: int) -> np.ndarray | None:
         if idx < 0 or idx >= len(page.offsets):
             return None
+        if page.byte_counts[idx] == 0 or page.offsets[idx] == 0:
+            return None  # sparse-tile convention: blank (background) tile
         data = self._tile_bytes(page, idx)
         tw, th = page.tile_width, page.tile_height
         comp = page.compression
@@ -465,12 +471,19 @@ class TiffTileSlide:
         self._f.close()
 
 
-def _is_pyramid_level(page: TiffPage, base_width: int) -> bool:
-    """Heuristic: pyramid levels are tiled pages whose width divides the base
-    within rounding; excludes label/macro images (far off any power scale)."""
-    ratio = base_width / page.width
-    near = round(ratio)
-    return near >= 1 and abs(ratio - near) / max(near, 1) < 0.05
+def _is_pyramid_level(page: TiffPage, base_w: int, base_h: int) -> bool:
+    """Heuristic: pyramid levels downsample the base by a near-integer
+    factor on BOTH axes with matching factors. Label/macro pages fail the
+    near-integer test (absolute tolerance accounts only for the ±factor
+    rounding of ceil(base/ds) dims) or the aspect check."""
+    rw = base_w / page.width
+    rh = base_h / page.height
+    near_w, near_h = round(rw), round(rh)
+    if near_w < 1 or near_h < 1 or near_w != near_h:
+        return False
+    tol_w = max(0.02, 2.0 * near_w / page.width)
+    tol_h = max(0.02, 2.0 * near_h / page.height)
+    return abs(rw - near_w) <= tol_w and abs(rh - near_h) <= tol_h
 
 
 def _parse_mpp(page: TiffPage) -> float | None:

@@ -31,7 +31,10 @@ from path_gene_multimodal_tpu.models.resnet import IDaRSEnsemble
 from path_gene_multimodal_tpu.ops.scatter import splat_prob_map
 from path_gene_multimodal_tpu.utils.log import get_logger
 
-REQUIRED_COLUMNS = ("tile_index", "x", "y", "predicted_class", "in_tme_roi")
+from path_gene_multimodal_tpu.core.artifacts import (  # noqa: E402
+    ANNOTATION_REQUIRED_COLUMNS as REQUIRED_COLUMNS,
+)
+
 DEFAULT_BASE_POWER = 40.0  # objective power at level 0 (0.25 mpp scanners)
 
 
@@ -44,11 +47,9 @@ class MolecularResult:
 
 
 def load_tile_annotations(csv_path: str | Path) -> pd.DataFrame:
-    df = pd.read_csv(csv_path)
-    missing = [c for c in REQUIRED_COLUMNS if c not in df.columns]
-    if missing:
-        raise ValueError(f"{csv_path} missing required columns: {missing}")
-    return df
+    from path_gene_multimodal_tpu.core.artifacts import read_annotations_csv
+
+    return read_annotations_csv(csv_path)
 
 
 def select_tme_tiles(df: pd.DataFrame) -> pd.DataFrame:

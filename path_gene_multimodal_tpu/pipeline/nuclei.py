@@ -54,16 +54,17 @@ from path_gene_multimodal_tpu.ops.instances import (
 )
 from path_gene_multimodal_tpu.utils.log import get_logger
 
-REQUIRED_COLUMNS = ("tile_index", "x", "y", "predicted_class", "in_tme_roi")
+# single source of truth for the frozen annotations-CSV contract
+from path_gene_multimodal_tpu.core.artifacts import (  # noqa: E402
+    ANNOTATION_REQUIRED_COLUMNS as REQUIRED_COLUMNS,
+)
 
 
 def load_tile_annotations(csv_path: str | Path) -> pd.DataFrame:
     """Required-column check (aggregated_hovernet_run.py:30-45)."""
-    df = pd.read_csv(csv_path)
-    missing = [c for c in REQUIRED_COLUMNS if c not in df.columns]
-    if missing:
-        raise ValueError(f"{csv_path} missing required columns: {missing}")
-    return df
+    from path_gene_multimodal_tpu.core.artifacts import read_annotations_csv
+
+    return read_annotations_csv(csv_path)
 
 
 def select_tiles_for_hovernet(df: pd.DataFrame) -> pd.DataFrame:

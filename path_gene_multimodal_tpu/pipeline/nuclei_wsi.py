@@ -62,13 +62,16 @@ def iter_windows(
 
 
 def _dedup_seam_duplicates(
-    rows: list[dict[str, Any]], radius: float = 32.0, touch_tol: float = 1.0
+    rows: list[dict[str, Any]], radius: float = 32.0
 ) -> list[dict[str, Any]]:
-    """Collapse clipped-view duplicates: two views of one seam-straddling
-    nucleus have overlapping/touching WSI bboxes (they share the seam edge)
-    and nearby centroids; distinct neighboring nuclei have disjoint masks
-    and therefore disjoint bboxes. Keep the largest-area member of each
-    overlap group."""
+    """Collapse clipped-view duplicates. Only pairs where at least one
+    member is a CLIPPED view (``row["_clipped"]``) are candidates — two
+    clean views were already made exactly-once by the containment rule, so
+    genuinely distinct adjacent nuclei (both clean) are never merged.
+    Duplicate test: centroids within ``radius`` AND strictly overlapping
+    WSI bboxes (a clipped fragment's bbox is a sub-rectangle of the true
+    nucleus bbox, so true duplicates always strictly overlap). Clean views
+    win over clipped fragments; otherwise the larger area wins."""
     if len(rows) <= 1:
         return rows
     pts = np.array([[r["wsi_centroid_x"], r["wsi_centroid_y"]] for r in rows])
@@ -78,21 +81,22 @@ def _dedup_seam_duplicates(
             for r in rows
         ]
     )
+    clipped = np.array([bool(r.get("_clipped", False)) for r in rows])
     areas = np.array([r.get("area", 0.0) for r in rows])
-    order = np.argsort(-areas)  # biggest fragment claims the nucleus
+    # clean rows first (they must win their nucleus), then by area
+    order = np.lexsort((-areas, clipped.astype(int)))
     cell = (pts / radius).astype(np.int64)
     claimed: dict[tuple[int, int], list[int]] = {}
     keep = np.zeros(len(rows), bool)
 
     def is_dup(i: int, j: int) -> bool:
+        if not (clipped[i] or clipped[j]):
+            return False  # two clean views are two real nuclei
         if np.hypot(*(pts[i] - pts[j])) > radius:
             return False
         bi, bj = boxes[i], boxes[j]
         return (
-            bi[0] <= bj[2] + touch_tol
-            and bj[0] <= bi[2] + touch_tol
-            and bi[1] <= bj[3] + touch_tol
-            and bj[1] <= bi[3] + touch_tol
+            bi[0] < bj[2] and bj[0] < bi[2] and bi[1] < bj[3] and bj[1] < bi[3]
         )
 
     for i in order:
@@ -173,8 +177,7 @@ def run_hovernext_wsi(
                     return (wx, wy)
         return None
 
-    for start in range(0, len(windows), batch):
-        chunk = windows[start : start + batch]
+    def _decode_chunk(chunk):
         tiles = np.stack(
             [slide.read_region((x, y), 0, (window, window)) for x, y in chunk]
         )
@@ -182,45 +185,107 @@ def run_hovernext_wsi(
             tiles = np.concatenate(
                 [tiles, np.zeros((batch - len(chunk), window, window, 3), np.uint8)]
             )
-        inst_maps, type_maps = model.segment(tiles)
-        for bi, (wx, wy) in enumerate(chunk):
-            inst = inst_maps[bi]
-            types = type_maps[bi]
-            sub_rows = _tile_rows(
-                inst, types, wx, wy, window, out_dir, stem,
-                model.max_instances, False, cfg,
+        return chunk, tiles
+
+    def _group_instance_pixels(inst: np.ndarray) -> dict[int, tuple[np.ndarray, np.ndarray]]:
+        """One pass over the window: {id: (ys, xs)} — replaces the per-kept-
+        nucleus full-window np.nonzero scan."""
+        ys, xs = np.nonzero(inst > 0)
+        if len(ys) == 0:
+            return {}
+        ids = inst[ys, xs]
+        order = np.argsort(ids, kind="stable")
+        ids, ys, xs = ids[order], ys[order], xs[order]
+        bounds = np.searchsorted(ids, np.unique(ids), side="left")
+        uniq = np.unique(ids)
+        out = {}
+        for j, uid in enumerate(uniq):
+            lo = bounds[j]
+            hi = bounds[j + 1] if j + 1 < len(bounds) else len(ids)
+            out[int(uid)] = (ys[lo:hi], xs[lo:hi])
+        return out
+
+    from path_gene_multimodal_tpu.ops.instances import instance_features_batch
+
+    import jax.numpy as jnp
+
+    def _process(chunk, inst_maps, type_maps) -> None:
+        inst_np = np.asarray(inst_maps).astype(np.int32)
+        type_np = np.asarray(type_maps).astype(np.int32)
+        if inst_np.max(initial=0) >= model.max_instances:
+            logger.warning(
+                "window batch has >= %d instances; ids beyond the cap are "
+                "dropped (raise cfg.hovernext.max_instances_per_tile)",
+                model.max_instances,
             )
+        chunk_feats = {
+            k: np.asarray(v)
+            for k, v in instance_features_batch(
+                jnp.asarray(inst_np), jnp.asarray(type_np),
+                max_instances=model.max_instances,
+            ).items()
+        }
+        for bi, (wx, wy) in enumerate(chunk):
+            inst = inst_np[bi]
+            feats_bi = {k: v[bi] for k, v in chunk_feats.items()}
+            sub_rows = _tile_rows(
+                inst, type_np[bi], wx, wy, window, out_dir, stem,
+                model.max_instances, False, cfg, feats=feats_bi,
+            )
+            groups = _group_instance_pixels(inst) if write_instance_map else {}
             for r in sub_rows:
                 bx0 = r["wsi_bbox_xmin"]
                 by0 = r["wsi_bbox_ymin"]
                 bx1 = r["wsi_bbox_xmax"]
                 by1 = r["wsi_bbox_ymax"]
                 touches_border = not window_contains(bx0, by0, bx1, by1, wx, wy)
-                at_slide_edge = (
-                    bx0 <= 0 or by0 <= 0 or bx1 >= w0 or by1 >= h0
-                )
+                at_slide_edge = bx0 <= 0 or by0 <= 0 or bx1 >= w0 or by1 >= h0
                 if not touches_border or at_slide_edge:
                     # clean view: exactly-once via first-containing-window
                     fw = first_containing_window(bx0, by0, bx1, by1)
                     if fw is not None and fw != (wx, wy):
                         continue
+                    r["_clipped"] = touches_border and not at_slide_edge
                 else:
                     # clipped in every view → stride-cell centroid ownership
                     gx, gy = r["wsi_centroid_x"], r["wsi_centroid_y"]
                     if owner(gx, xs_grid) != wx or owner(gy, ys_grid) != wy:
                         continue
+                    r["_clipped"] = True
                 local_id = r["inst_id"]
                 rows.append(r)
                 if write_instance_map:
-                    ys, xs = np.nonzero(inst == local_id)
+                    ys, xs = groups.get(local_id, (np.zeros(0, np.int64),) * 2)
                     pixels.append(
                         (
                             np.clip(ys + wy, 0, h0 - 1).astype(np.int64),
                             np.clip(xs + wx, 0, w0 - 1).astype(np.int64),
                         )
                     )
-        if timer is not None and timer.records:
-            timer.records[-1].items = start + len(chunk)
+
+    # three-stage pipeline: threaded decode → async device dispatch →
+    # host row-building for batch k while batch k+1 computes
+    from concurrent.futures import ThreadPoolExecutor
+
+    chunks = [windows[s : s + batch] for s in range(0, len(windows), batch)]
+    pending = None
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futures = [pool.submit(_decode_chunk, c) for c in chunks[:3]]
+        next_submit = 3
+        for i in range(len(chunks)):
+            chunk, tiles = futures[i].result()
+            if next_submit < len(chunks):
+                futures.append(pool.submit(_decode_chunk, chunks[next_submit]))
+                next_submit += 1
+            dispatch = getattr(model, "segment_async", model.segment)
+            lbl_dev, tp_dev = dispatch(tiles)
+            if pending is not None:
+                _process(*pending)
+            pending = (chunk, lbl_dev, tp_dev)
+            if timer is not None and timer.records:
+                timer.records[-1].items = i * batch + len(chunk)
+        if pending is not None:
+            _process(*pending)
 
     # residual seam duplicates (both views clipped, centroids in different
     # cells) — keep the larger fragment
@@ -231,6 +296,7 @@ def run_hovernext_wsi(
     for i, r in enumerate(rows):
         if id(r) not in kept:
             continue
+        r.pop("_clipped", None)
         r["inst_id"] = next_id
         final_rows.append(r)
         if write_instance_map:

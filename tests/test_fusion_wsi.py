@@ -227,3 +227,37 @@ def test_sparse_instance_map_roundtrip(tmp_path, monkeypatch):
     assert dense.shape == (300, 300)
     assert (dense == 1).sum() == 100
     assert dense[104, 104] == 1
+
+
+def test_wsi_adjacent_distinct_nuclei_not_merged(tmp_path):
+    """Two distinct nuclei 14 px apart, both clean (fully inside one
+    window): the dedup pass must NOT merge them."""
+    cfg = default_config()
+    img = np.full((400, 400, 3), 30, np.uint8)
+    img[100:110, 100:110] = [255, 0, 0]
+    img[100:110, 114:124] = [255, 0, 0]  # 14 px from the first, same window
+
+    class TwoBlobModel(StripeFakeModel):
+        def segment(self, tiles_u8):
+            b, s, _, _ = tiles_u8.shape
+            inst = np.zeros((b, s, s), np.int32)
+            types = np.zeros((b, s, s), np.int32)
+            for bi in range(b):
+                mask = tiles_u8[bi, :, :, 0] > 200
+                if mask.sum() < 20:
+                    continue
+                # split the red mask into two ids by x-gap (simple CC)
+                from scipy.ndimage import label as ndi_label
+
+                lbl, n = ndi_label(mask)
+                inst[bi] = lbl
+                types[bi][mask] = 1
+            return inst, types
+
+    from path_gene_multimodal_tpu.pipeline.nuclei_wsi import run_hovernext_wsi as run
+
+    _, nuclei = run(
+        __import__("path_gene_multimodal_tpu.io.slide", fromlist=["ArraySlide"]).ArraySlide(img),
+        tmp_path, "adj", TwoBlobModel(), cfg, batch_size=4,
+    )
+    assert len(nuclei) == 2, nuclei[["wsi_centroid_x", "wsi_centroid_y"]]
