@@ -33,10 +33,33 @@ def _np(t) -> np.ndarray:
     return np.asarray(t, dtype=np.float32)
 
 
-def load_torch_checkpoint(path: str | Path) -> dict[str, np.ndarray]:
+def load_torch_checkpoint(
+    path: str | Path, allow_pickle: bool = False
+) -> dict[str, np.ndarray]:
+    """Load a torch checkpoint safely.
+
+    Published checkpoints (pannuke ConvNeXtV2, TIAToolbox ResNet34, CLIP)
+    are untrusted downloads: unpickling arbitrary objects is code
+    execution, so we load with ``weights_only=True`` (plain state_dicts
+    load fine). Pass ``allow_pickle=True`` only for checkpoints you trust —
+    it falls back to a full unpickle with a loud warning.
+    """
     import torch
 
-    sd = torch.load(str(path), map_location="cpu", weights_only=False)
+    try:
+        sd = torch.load(str(path), map_location="cpu", weights_only=True)
+    except Exception:
+        if not allow_pickle:
+            raise
+        import warnings
+
+        warnings.warn(
+            f"{path}: weights_only load failed; falling back to full "
+            "unpickling (allow_pickle=True). Only do this for trusted files "
+            "— unpickling can execute arbitrary code.",
+            stacklevel=2,
+        )
+        sd = torch.load(str(path), map_location="cpu", weights_only=False)
     if hasattr(sd, "state_dict"):
         sd = sd.state_dict()
     if isinstance(sd, dict) and "state_dict" in sd and isinstance(sd["state_dict"], dict):

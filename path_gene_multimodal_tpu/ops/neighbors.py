@@ -101,6 +101,9 @@ def knn(
         order = np.argsort(d2, axis=1, kind="stable")[:, :k]
         d2 = np.take_along_axis(d2, order, axis=1)
         idx = np.take_along_axis(idx, order, axis=1)
+        # a degenerate row (e.g. n == 1) keeps the self index after the
+        # inf push — restore the documented -1 sentinel for inf slots
+        idx = np.where(np.isinf(d2), -1, idx)
     return np.sqrt(d2), idx
 
 

@@ -243,9 +243,21 @@ def run_hovernext_wsi(
                 if not touches_border or at_slide_edge:
                     # clean view: exactly-once via first-containing-window
                     fw = first_containing_window(bx0, by0, bx1, by1)
-                    if fw is not None and fw != (wx, wy):
-                        continue
-                    r["_clipped"] = touches_border and not at_slide_edge
+                    if fw is None and touches_border:
+                        # slide-edge nucleus ALSO straddling a seam: every
+                        # view is clipped and computes fw from its own
+                        # biased bbox (each getting None/a different
+                        # window) — route through stride-cell centroid
+                        # ownership and mark clipped so the proximity pass
+                        # collapses residual duplicates
+                        gx, gy = r["wsi_centroid_x"], r["wsi_centroid_y"]
+                        if owner(gx, xs_grid) != wx or owner(gy, ys_grid) != wy:
+                            continue
+                        r["_clipped"] = True
+                    else:
+                        if fw is not None and fw != (wx, wy):
+                            continue
+                        r["_clipped"] = touches_border and not at_slide_edge
                 else:
                     # clipped in every view → stride-cell centroid ownership
                     gx, gy = r["wsi_centroid_x"], r["wsi_centroid_y"]

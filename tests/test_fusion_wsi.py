@@ -208,6 +208,27 @@ def test_run_hovernext_wsi_seam_straddler(tmp_path):
     assert abs(r["wsi_centroid_y"] - 204.5) < 2
 
 
+def test_run_hovernext_wsi_edge_and_seam_straddler(tmp_path):
+    """Advisor regression: a nucleus touching the slide's TOP edge while
+    straddling a vertical seam (x across the [988, 1000) overlap strip of
+    windows 744 and 992). Both views used to take the at_slide_edge branch,
+    compute first_containing_window=None from their own clipped bbox, and
+    emit the row marked clean — producing a duplicate the clean-clean dedup
+    skip never collapsed. Must now emit exactly ONE instance."""
+    cfg = default_config()
+    img = np.full((400, 1300, 3), 30, np.uint8)
+    img[0:20, 988:1012] = [255, 0, 0]  # touches y=0, straddles x-seam at 992
+    from path_gene_multimodal_tpu.io.slide import ArraySlide
+
+    map_path, nuclei = run_hovernext_wsi(
+        ArraySlide(img), tmp_path, "edgeseam", StripeFakeModel(), cfg, batch_size=4
+    )
+    assert len(nuclei) == 1, nuclei[["tile_x", "tile_y", "wsi_centroid_x", "wsi_centroid_y"]]
+    r = nuclei.iloc[0]
+    assert abs(r["wsi_centroid_x"] - 999.5) < 16
+    assert abs(r["wsi_centroid_y"] - 9.5) < 2
+
+
 def test_sparse_instance_map_roundtrip(tmp_path, monkeypatch):
     from path_gene_multimodal_tpu.pipeline import nuclei_wsi as nw
 

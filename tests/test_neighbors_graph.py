@@ -33,6 +33,15 @@ def test_knn_chunked_consistency(rng):
     np.testing.assert_allclose(d1, d2, rtol=1e-5, atol=1e-3)
 
 
+def test_knn_single_point_sentinel():
+    """Advisor regression: n=1 with include_self=False must return the -1
+    sentinel (not the self index 0 surviving the inf push + re-sort)."""
+    d, i = knn(np.array([[5.0, 5.0]], np.float32), k=5)
+    assert i.shape == (1, 1)
+    assert i[0, 0] == -1
+    assert np.isinf(d[0, 0])
+
+
 def test_radius_graph_matches_ckdtree(rng):
     pts = rng.uniform(0, 200, size=(300, 2)).astype(np.float32)
     r = 15.0

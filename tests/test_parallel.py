@@ -119,6 +119,65 @@ def test_graft_entry_and_dryrun():
     mod.dryrun_multichip(4)  # non-full mesh also works
 
 
+def test_dryrun_multichip_under_driver_conditions():
+    """Round-1 regression (MULTICHIP_r01.json rc=1): the driver invokes
+    ``dryrun_multichip`` via ``python -c`` in the AMBIENT environment — no
+    conftest, no virtual-device XLA flag, ``JAX_PLATFORMS`` as the image
+    ships it. The entry point must self-provision the 8-device virtual CPU
+    mesh. This test reproduces those exact conditions in a clean
+    subprocess."""
+    import os
+    import re
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[1]
+    env = dict(os.environ)
+    # undo conftest's in-process provisioning: restore ambient-like env
+    env["JAX_PLATFORMS"] = "axon"  # the image's ambient value
+    env["XLA_FLAGS"] = re.sub(
+        r"--xla_force_host_platform_device_count=\d+", "", env.get("XLA_FLAGS", "")
+    ).strip()
+    env.pop("_PGM_DRYRUN_REEXEC", None)
+    code = "import __graft_entry__ as g; g.dryrun_multichip(8)"
+    res = subprocess.run(
+        [sys.executable, "-c", code], cwd=repo, env=env,
+        capture_output=True, text=True, timeout=570,
+    )
+    assert res.returncode == 0, f"stderr:\n{res.stderr[-3000:]}"
+    assert "dryrun_multichip OK on 8 devices" in res.stdout + res.stderr
+
+
+def test_dryrun_multichip_after_backend_init():
+    """If a backend is already initialised with too few devices (XLA flags
+    are parsed once per process), the entry point must re-exec itself in a
+    clean subprocess rather than fail."""
+    import os
+    import re
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[1]
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = re.sub(
+        r"--xla_force_host_platform_device_count=\d+", "", env.get("XLA_FLAGS", "")
+    ).strip()
+    env.pop("_PGM_DRYRUN_REEXEC", None)
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu'); "
+        "assert len(jax.devices()) == 1; "
+        "import __graft_entry__ as g; g.dryrun_multichip(8)"
+    )
+    res = subprocess.run(
+        [sys.executable, "-c", code], cwd=repo, env=env,
+        capture_output=True, text=True, timeout=570,
+    )
+    assert res.returncode == 0, f"stderr:\n{res.stderr[-3000:]}"
+
+
 def test_image_encoder_mesh_matches_single(rng):
     from path_gene_multimodal_tpu.models.clip import ImageEncoder, VisionConfig
 
