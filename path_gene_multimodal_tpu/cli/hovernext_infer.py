@@ -71,10 +71,15 @@ def main(argv: list[str] | None = None) -> int:
     mcfg = HoverNeXtConfig(input_size=cfg.hovernext.tile_size)
     params = None
     if args.checkpoint:
-        logger.warning(
-            "checkpoint conversion for HoverNeXt torch weights requires a "
-            "matching layout; loading raw state_dict tensors is not yet "
-            "implemented for %s — using random init", args.checkpoint,
+        from dataclasses import replace as dc_replace
+
+        from path_gene_multimodal_tpu.core.checkpoints import load_hovernext_from_torch
+
+        loaded_cfg, params = load_hovernext_from_torch(args.checkpoint)
+        mcfg = dc_replace(loaded_cfg, input_size=cfg.hovernext.tile_size)
+        logger.info(
+            "loaded pretrained HoverNeXt from %s (encoder dims %s, %d types)",
+            args.checkpoint, mcfg.encoder.dims, mcfg.num_types,
         )
     else:
         logger.warning("no --checkpoint given: running with RANDOM weights "

@@ -124,6 +124,32 @@ def load_convnext_encoder_from_torch(path: str | Path):
     return cfg, variables, leftover
 
 
+def load_hovernext_from_torch(path: str | Path, strict: bool = True):
+    """Full pretrained HoverNeXt checkpoint (``pannuke_convnextv2_tiny_3``
+    layout — encoder + U-Net decoder + NP/HV/TP heads; reference entry
+    ``hovernet_inference.py:82-131``) → (HoverNeXtConfig, variables).
+
+    ``strict=True`` (default) raises if any checkpoint key is not consumed
+    by the mapping, so a naming mismatch is loud rather than a silently
+    half-loaded model. Set ``strict=False`` to get
+    (cfg, variables, unconsumed) back for manual wiring.
+    """
+    from path_gene_multimodal_tpu.models.weights import load_torch_checkpoint
+    from path_gene_multimodal_tpu.models.weights_hovernext import convert_hovernext
+
+    sd = load_torch_checkpoint(path)
+    cfg, variables, leftover = convert_hovernext(sd)
+    if leftover and strict:
+        raise ValueError(
+            f"{len(leftover)} checkpoint keys were not consumed by the "
+            f"HoverNeXt mapping (first 10: {sorted(leftover)[:10]}); re-key "
+            "the checkpoint to the documented layout or pass strict=False"
+        )
+    if not strict:
+        return cfg, variables, leftover
+    return cfg, variables
+
+
 def load_resnet_from_torch(path: str | Path):
     """torchvision/TIAToolbox ResNet34 checkpoint → Flax variables."""
     from path_gene_multimodal_tpu.models.weights import load_torch_checkpoint
