@@ -57,19 +57,50 @@ def _median_rate(fn, n_items: int, warmup: int = 1, iters: int = 4) -> float:
 
 
 def main() -> None:
+    import tempfile
+
     import jax
     import jax.numpy as jnp
 
     from path_gene_multimodal_tpu.io.slide import synthetic_wsi
+    from path_gene_multimodal_tpu.io.tiff import TiffTileSlide
+    from path_gene_multimodal_tpu.io.tiff_write import write_tiled_tiff
     from path_gene_multimodal_tpu.models.clip import CLIP_VIT_B16, ImageEncoder
     from path_gene_multimodal_tpu.models.hovernext import HOVERNEXT_TINY
     from path_gene_multimodal_tpu.ops.instances import instance_features_batch
     from path_gene_multimodal_tpu.pipeline.nuclei import NucleiModel
+    from path_gene_multimodal_tpu.pipeline.tessellate import iter_tile_batches
 
     rng = np.random.default_rng(0)
     slide = synthetic_wsi(4096, 4096, seed=0, n_blobs=5, nuclei_per_blob=200)
 
-    # --- host tile decode (in-memory pyramid; native JPEG measured in CI) --
+    # --- host tile decode from REAL JPEG TIFF bytes (native C++ decoder) ---
+    # materialize the synthetic slide as a real JPEG-compressed tiled SVS so
+    # the measured stage is file bytes → decoded RGB batches, the same path
+    # tessellation/embedding run in production (ref hot loop: tiling.py:8)
+    tiff_dir = tempfile.mkdtemp(prefix="bench_tiff_")
+    svs_path = Path(tiff_dir) / "bench.svs"
+    write_tiled_tiff(
+        svs_path, [slide._levels[0], slide._levels[1]], tile_size=256,
+        compression=7, description="Aperio bench |MPP = 0.2500|",
+    )
+    grid = np.stack(
+        np.meshgrid(np.arange(0, 4096 - 224, 224), np.arange(0, 4096 - 224, 224)),
+        axis=-1,
+    ).reshape(-1, 2).astype(np.int64)  # 324 grid-aligned 224px tiles
+
+    def run_decode():
+        # fresh reader each iteration: no warm LRU carry-over between runs
+        reader = TiffTileSlide(svs_path, cache_tiles=512)
+        n = 0
+        for tiles, valid in iter_tile_batches(reader, grid, 224, 128,
+                                              pad_to_batch=False, prefetch=2):
+            n += int(valid.sum())
+        assert n == len(grid)
+
+    decode_rate = _median_rate(run_decode, len(grid))
+    native_on = TiffTileSlide(svs_path)._native is not None
+
     embed_batch = 128
     tiles224 = np.stack(
         [
@@ -116,33 +147,60 @@ def main() -> None:
         feats = instance_features_batch(
             lbl.astype(jnp.int32), tp, max_instances=seg.max_instances
         )
-        return feats["area"]
+        return feats["area"], feats["centroid_x"], feats["centroid_y"]
 
     np_prob_d, hv_d, tp_d = jnp.asarray(np_prob), jnp.asarray(hv), jnp.asarray(tp)
-    n_found = int((np.asarray(_pp(np_prob_d, hv_d, tp_d)) > 0).sum())
+    areas, cents_x, cents_y = (np.asarray(a) for a in _pp(np_prob_d, hv_d, tp_d))
+    n_found = int((areas > 0).sum())
 
     def run_pp():
-        _pp(np_prob_d, hv_d, tp_d).block_until_ready()
+        jax.block_until_ready(_pp(np_prob_d, hv_d, tp_d))
 
     pp_rate = _median_rate(run_pp, len(tiles256))
 
     nuclei_rate = 1.0 / (1.0 / seg_fwd_rate + 1.0 / pp_rate)
 
-    # --- combined serial path ---------------------------------------------
-    combined = 1.0 / (1.0 / embed_rate + 1.0 / nuclei_rate)
+    # --- graph stage: kNN(k=5) + 40µm radius graph over the pp nuclei ------
+    # (north star is tile→embed→nuclei→GRAPH, BASELINE.md:18). Workload:
+    # the ~40 nuclei/tile from the postproc stage, in slide coordinates.
+    from path_gene_multimodal_tpu.ops.neighbors import knn, radius_graph
+
+    pts = []
+    for bi in range(len(tiles256)):
+        live = areas[bi] > 0
+        cx = cents_x[bi][live] + (bi % 8) * 256
+        cy = cents_y[bi][live] + (bi // 8) * 256
+        pts.append(np.stack([cx, cy], axis=1))
+    pts = np.concatenate(pts).astype(np.float32)
+    radius_px = 40.0 / 0.25  # 40 µm at mpp 0.25 (notebook cells 23-27)
+
+    def run_graph():
+        knn(pts, k=5)
+        radius_graph(pts, radius=radius_px, max_degree=64)
+
+    graph_rate = _median_rate(run_graph, len(tiles256))
+
+    # --- combined serial path: decode → embed → nuclei → graph -------------
+    combined = 1.0 / (
+        1.0 / decode_rate + 1.0 / embed_rate + 1.0 / nuclei_rate + 1.0 / graph_rate
+    )
 
     print(
         json.dumps(
             {
                 "metric": "tiles_per_sec_per_chip_e2e",
                 "value": round(combined, 2),
-                "unit": "tiles/s/chip (embed ViT-B/16 bf16 b128 + HoverNeXt tiny TTAx4 + watershed + instance features)",
+                "unit": "tiles/s/chip (JPEG decode + embed ViT-B/16 bf16 b128 + HoverNeXt tiny TTAx4 + watershed + instance features + kNN/radius graph)",
                 "vs_baseline": round(combined / TARGET_TILES_PER_SEC_PER_CHIP, 3),
                 "detail": {
+                    "decode_tiles_per_sec": round(decode_rate, 2),
+                    "native_decoder": native_on,
                     "embed_tiles_per_sec": round(embed_rate, 2),
                     "nuclei_tiles_per_sec": round(nuclei_rate, 2),
                     "seg_forward_tiles_per_sec": round(seg_fwd_rate, 2),
                     "postproc_tiles_per_sec": round(pp_rate, 2),
+                    "graph_tiles_per_sec": round(graph_rate, 2),
+                    "graph_nuclei": int(len(pts)),
                     "instances_in_pp_workload": n_found,
                     "target_tiles_per_sec_per_chip": round(TARGET_TILES_PER_SEC_PER_CHIP, 2),
                     "backend": jax.default_backend(),
