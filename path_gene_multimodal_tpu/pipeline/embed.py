@@ -6,8 +6,8 @@ TPU-native rebuild of the reference's Mussel wrappers:
 - step 2 ``run_extract_features`` (ref ``extract_embedding_from_tiles.py:9-70``):
   decode tiles on the host (double-buffered against device compute), run the
   CLIP/Virchow2 image tower batched in bf16 under jit (optionally sharded
-  over the mesh tile axis), write ``<slide>_features.h5`` (+ ``.npy``
-  sidecar replacing the reference's torch ``.pt``).
+  over the mesh tile axis), write ``<slide>_features.h5`` + the
+  reference's torch ``.pt`` sidecar + an ``.npy`` sidecar.
 - step 3 ``run_create_class_embeddings`` (ref ``create_embedding.py:13-69``):
   tokenize the class prompts, run the text tower once, save
   ``<slide>_classes.npy``.
@@ -67,6 +67,15 @@ def run_extract_features(
         h5_path = out_dir / f"{stem}_features.h5"
         write_features_h5(h5_path, feats, model_type=cfg.model_type)
         np.save(out_dir / f"{stem}_features.npy", feats)
+        # reference writes the features h5 AND a torch .pt sidecar
+        # (extract_embedding_from_tiles.py:70) — keep that contract for
+        # downstream torch consumers
+        try:
+            import torch
+
+            torch.save(torch.from_numpy(feats), out_dir / f"{stem}_features.pt")
+        except ImportError:  # torch-less deploys keep the h5/npy pair
+            pass
         if not h5_path.exists():  # output oracle (extract_embedding_from_tiles.py:61-62)
             raise RuntimeError(f"feature extraction failed to produce {h5_path}")
     return feats

@@ -328,10 +328,15 @@ def _tile_rows(
         )
         class_inst[str(inst_id)] = [t, [0, cx, cy]]
     if save_tile_artifacts:
+        from path_gene_multimodal_tpu.io.zarrzip import write_zarr_zip
+
         tdir = out_dir / "hovernet" / tile_name
         tdir.mkdir(parents=True, exist_ok=True)
         (tdir / "class_inst.json").write_text(json.dumps(class_inst))
         np.savez_compressed(tdir / "pinst_pp.npz", inst_map=inst.astype(np.uint32))
+        # the reference consumers' exact contract: zarr zip, (1, H, W) uint32
+        # (aggregated_hovernet_run.py:163-166 squeezes the leading axis)
+        write_zarr_zip(tdir / "pinst_pp.zip", inst.astype(np.uint32)[None])
     return rows
 
 

@@ -332,6 +332,14 @@ def run_hovernext_wsi(
             map_path = out_dir / f"{stem}_pinst_pp.npz"
             if inst_map_wsi is not None:
                 np.savez_compressed(map_path, inst_map=inst_map_wsi)
+                # reference-contract sidecar: zarr zip (1, H, W) uint32
+                # (consumers: aggregated_hovernet_run.py:163-166,
+                # hovernet_plotting.py:44-73); sparse maps stay npz-only
+                from path_gene_multimodal_tpu.io.zarrzip import write_zarr_zip
+
+                write_zarr_zip(
+                    out_dir / f"{stem}_pinst_pp.zip", inst_map_wsi[None]
+                )
             else:
                 np.savez_compressed(
                     map_path,
@@ -345,7 +353,15 @@ def run_hovernext_wsi(
 
 
 def load_instance_map(path: str | Path) -> np.ndarray:
-    """Load a ``<stem>_pinst_pp.npz`` instance map, dense or sparse."""
+    """Load a ``<stem>_pinst_pp.npz`` (dense or sparse) or a zarr
+    ``pinst_pp.zip`` instance map (squeezed to (H, W) like the
+    reference's consumers)."""
+    path = Path(path)
+    if path.suffix == ".zip":
+        from path_gene_multimodal_tpu.io.zarrzip import read_zarr_zip
+
+        arr = read_zarr_zip(path)
+        return arr[0] if arr.ndim == 3 and arr.shape[0] == 1 else arr
     with np.load(path) as z:
         if "inst_map" in z:
             return z["inst_map"]
