@@ -88,13 +88,24 @@ class NucleiModel:
     @classmethod
     def build(
         cls, cfg: HoverNeXtConfig = HOVERNEXT_TINY, params=None, seed: int = 0,
-        dtype=jnp.bfloat16, tta: int = 4, **kw,
+        dtype=jnp.bfloat16, tta: int = 4, mesh=None, **kw,
     ) -> "NucleiModel":
+        """``mesh``: optional ``jax.sharding.Mesh`` — replicates the params
+        and shards each window batch over the mesh's tile axis, so WSI
+        sliding-window inference data-parallelizes across chips (the
+        tile-axis strategy of SURVEY.md §2; window batches must be padded
+        to a multiple of the mesh size, which the WSI loop's static batch
+        already guarantees)."""
         model = HoverNeXt(cfg, dtype=dtype)
         if params is None:
             dummy = jnp.zeros((1, cfg.input_size, cfg.input_size, 3), jnp.float32)
             params = model.init(jax.random.PRNGKey(seed), dummy)
+        if mesh is not None:
+            from path_gene_multimodal_tpu.parallel.mesh import shard_params
+
+            params = shard_params(params, mesh)
         self = cls(cfg=cfg, params=params, tta=tta, **kw)
+        self._mesh = mesh
         apply_fn = model.apply
 
         @jax.jit
@@ -136,7 +147,15 @@ class NucleiModel:
         """Dispatch without materializing: returns device arrays
         (labels uint16 dense, types uint8). jax dispatch is async, so the
         caller can overlap host work with this batch's device compute."""
-        np_prob, hv, tp_cls = self._infer(self.params, jnp.asarray(tiles_u8))
+        if getattr(self, "_mesh", None) is not None:
+            from path_gene_multimodal_tpu.parallel.mesh import batch_sharding
+
+            tiles_dev = jax.device_put(
+                np.asarray(tiles_u8), batch_sharding(self._mesh, 4)
+            )
+        else:
+            tiles_dev = jnp.asarray(tiles_u8)
+        np_prob, hv, tp_cls = self._infer(self.params, tiles_dev)
         lbl = self._postproc(np_prob, hv)
         return lbl, tp_cls
 

@@ -178,6 +178,62 @@ def test_dryrun_multichip_after_backend_init():
     assert res.returncode == 0, f"stderr:\n{res.stderr[-3000:]}"
 
 
+_DIST_WORKER = """
+import sys
+sys.path.insert(0, {repo!r})
+import os
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+pid, n, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+from path_gene_multimodal_tpu.parallel.mesh import init_distributed
+init_distributed(f"localhost:{{port}}", num_processes=n, process_id=pid)
+import jax.numpy as jnp
+assert jax.process_count() == n
+assert jax.device_count() == n  # one CPU device per process
+from jax.experimental import multihost_utils
+val = multihost_utils.process_allgather(jnp.asarray([pid], jnp.int32))
+assert sorted(val.ravel().tolist()) == list(range(n)), val
+jax.distributed.shutdown()
+print(f"proc {{pid}}: OK", flush=True)
+"""
+
+
+def test_init_distributed_two_process():
+    """VERDICT item 10: ``init_distributed`` (the multi-host DCN bring-up,
+    parallel/mesh.py) exercised for real — two CPU processes join one
+    ``jax.distributed`` cluster and run a cross-process allgather."""
+    import os
+    import re
+    import socket
+    import subprocess
+    import sys
+    import tempfile
+    from pathlib import Path
+
+    repo = str(Path(__file__).resolve().parents[1])
+    with socket.socket() as s:  # free port
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    worker = Path(tempfile.mkdtemp()) / "dist_worker.py"
+    worker.write_text(_DIST_WORKER.format(repo=repo))
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = re.sub(
+        r"--xla_force_host_platform_device_count=\d+", "", env.get("XLA_FLAGS", "")
+    ).strip()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(i), "2", str(port)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=180)[0] for p in procs]
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} rc={p.returncode}:\n{out[-2000:]}"
+        assert f"proc {i}: OK" in out
+
+
 def test_image_encoder_mesh_matches_single(rng):
     from path_gene_multimodal_tpu.models.clip import ImageEncoder, VisionConfig
 
