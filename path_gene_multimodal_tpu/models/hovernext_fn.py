@@ -1,0 +1,209 @@
+"""Functional HoverNeXt forward over the Flax param pytree.
+
+Mirrors ``models.hovernext.HoverNeXt`` / ``models.convnext.ConvNeXtV2``
+op-for-op (parity asserted in tests) while exposing the compute graph for
+kernel substitution: with ``fused_blocks=True`` every ConvNeXtV2 encoder
+block runs as the single VMEM-resident Pallas kernel
+(``ops.pallas.convnext_block``) instead of the seven-op XLA chain — the
+nuclei-stage hot loop identified in round 1's bench (seg forward 245
+tiles/s vs embed 1748; reference workload ``hovernet_inference.py:188-206``).
+
+Consumes the exact param tree produced by ``HoverNeXt.init`` (and the
+``pannuke_convnextv2_tiny_3`` converter in ``models.weights_hovernext``),
+so checkpoints, sharding, and the unfused path all share one set of
+weights.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from path_gene_multimodal_tpu.models.hovernext import HoverNeXtConfig
+from path_gene_multimodal_tpu.ops.pallas.convnext_block import (
+    block_params_from_flax,
+    fused_convnext_block,
+)
+
+
+def _conv(p, x, *, stride=1, pad=0, groups=1, dtype=jnp.float32):
+    y = jax.lax.conv_general_dilated(
+        x.astype(dtype),
+        p["kernel"].astype(dtype),
+        window_strides=(stride, stride),
+        padding=((pad, pad), (pad, pad)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+    )
+    return y + p["bias"].astype(dtype)
+
+
+def _dense(p, x, dtype):
+    return (
+        jnp.dot(x.astype(dtype), p["kernel"].astype(dtype)) + p["bias"].astype(dtype)
+    )
+
+
+def _ln(p, x, dtype, eps=1e-6):
+    # flax LayerNorm: statistics in f32 (fast variance), normalize, then
+    # scale/shift in the module dtype
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.maximum(
+        jnp.mean(jnp.square(xf), axis=-1, keepdims=True) - jnp.square(mu), 0.0
+    )
+    mul = jax.lax.rsqrt(var + eps) * p["scale"].astype(jnp.float32)
+    return ((xf - mu) * mul + p["bias"].astype(jnp.float32)).astype(dtype)
+
+
+def _grn(p, x, dtype):
+    gamma, beta = p["gamma"], p["beta"]
+    gx = jnp.sqrt(
+        jnp.sum(x.astype(jnp.float32) ** 2, axis=(1, 2), keepdims=True) + 1e-12
+    )
+    nx = gx / (jnp.mean(gx, axis=-1, keepdims=True) + 1e-6)
+    nx = nx.astype(x.dtype)
+    return (gamma.astype(x.dtype) * (x * nx) + beta.astype(x.dtype)) + x
+
+
+def _block_unfused(p, x, dtype):
+    inp = x
+    x = _conv(p["dwconv"], x, stride=1, pad=3, groups=x.shape[-1], dtype=dtype)
+    x = _ln(p["norm"], x, dtype)
+    x = _dense(p["pwconv1"], x, dtype)
+    x = jax.nn.gelu(x, approximate=False)
+    x = _grn(p["grn"], x, dtype)
+    x = _dense(p["pwconv2"], x, dtype)
+    return inp + x
+
+
+# stages whose blocks run in the Pallas kernel by default: measured on
+# v5e, the fused block wins at stages 0-2 but loses at stage 3, where the
+# 768→3072 pw weights (9.4 MB bf16) crowd VMEM down to 1 image/step
+DEFAULT_FUSED_STAGES = (0, 1, 2)
+
+
+def encoder_features(
+    enc_params,
+    x: jnp.ndarray,
+    cfg: HoverNeXtConfig,
+    dtype=jnp.bfloat16,
+    fused_blocks: bool | tuple[int, ...] = False,
+    interpret: bool = False,
+) -> list[jnp.ndarray]:
+    """ConvNeXtV2 feature pyramid [/4, /8, /16, /32] (convnext.py parity).
+
+    ``fused_blocks``: False = pure XLA; True = Pallas blocks on
+    ``DEFAULT_FUSED_STAGES``; a tuple names the stages explicitly."""
+    if fused_blocks is True:
+        fused_blocks = DEFAULT_FUSED_STAGES
+    elif fused_blocks is False:
+        fused_blocks = ()
+    c = cfg.encoder
+    x = _conv(enc_params["stem_conv"], x, stride=4, dtype=dtype)
+    x = _ln(enc_params["stem_norm"], x, dtype)
+    feats = []
+    for s in range(c.num_stages):
+        if s > 0:
+            x = _ln(enc_params[f"down{s}_norm"], x, dtype)
+            x = _conv(enc_params[f"down{s}_conv"], x, stride=2, dtype=dtype)
+        for b in range(c.depths[s]):
+            p = enc_params[f"stage{s}_block{b}"]
+            if s in fused_blocks:
+                x = fused_convnext_block(
+                    x.astype(jnp.bfloat16),
+                    *block_params_from_flax(p),
+                    interpret=interpret,
+                ).astype(dtype)
+            else:
+                x = _block_unfused(p, x, dtype)
+        feats.append(x)
+    return feats
+
+
+def _upsample2x_nearest(x: jnp.ndarray) -> jnp.ndarray:
+    b, h, w, c = x.shape
+    return jnp.broadcast_to(
+        x[:, :, None, :, None, :], (b, h, 2, w, 2, c)
+    ).reshape(b, h * 2, w * 2, c)
+
+
+def hovernext_forward(
+    params,
+    pixels: jnp.ndarray,
+    cfg: HoverNeXtConfig,
+    dtype=jnp.bfloat16,
+    fused_blocks: bool = False,
+    fused_decoder: bool | None = None,
+    interpret: bool = False,
+) -> dict[str, jnp.ndarray]:
+    """Full HoverNeXt forward (hovernext.py:74-96 parity): pixels
+    (B, H, W, 3) in [0, 1] → {"np", "hv", "tp"} logits at input res, f32.
+
+    ``fused_decoder`` (default OFF): run each decoder conv step and the
+    full-res final conv as the Pallas kernels in ``ops.pallas.decoder``
+    (split-weight skip concat + conv + LN + GELU in one VMEM residency).
+    Measured on v5e at HoverNeXt-tiny scale this LOSES to XLA's implicit-
+    GEMM convs (604 vs 1020 im/s) — XLA tiles the 3×3 convs over the full
+    128-image batch while the kernel serializes per grid step. Kept as a
+    tested opt-in for decoder widths where weights no longer fit XLA's
+    fusion headroom."""
+    if fused_decoder is None:
+        fused_decoder = False
+    p = params["params"] if "params" in params else params
+    feats = encoder_features(
+        p["encoder"], pixels.astype(dtype), cfg, dtype, fused_blocks, interpret
+    )
+    x = feats[-1]
+    skips = [feats[2], feats[1], feats[0], None]
+    if fused_decoder:
+        from path_gene_multimodal_tpu.ops.pallas.decoder import (
+            fused_decoder_conv,
+            fused_final_conv_gelu,
+            upsample2x_bilinear,
+        )
+
+        for i in range(len(cfg.decoder_dims)):
+            dp = p[f"dec{i}"]
+            x = fused_decoder_conv(
+                _upsample2x_nearest(x), skips[i],
+                dp["conv0"]["kernel"], dp["conv0"]["bias"],
+                dp["norm0"]["scale"], dp["norm0"]["bias"],
+                interpret=interpret,
+            )
+            x = fused_decoder_conv(
+                x, None, dp["conv1"]["kernel"], dp["conv1"]["bias"],
+                dp["norm1"]["scale"], dp["norm1"]["bias"],
+                interpret=interpret,
+            )
+        x = upsample2x_bilinear(x)
+        x = fused_final_conv_gelu(
+            x, p["final_conv"]["kernel"], p["final_conv"]["bias"],
+            interpret=interpret,
+        ).astype(dtype)
+    else:
+        for i in range(len(cfg.decoder_dims)):
+            dp = p[f"dec{i}"]
+            x = _upsample2x_nearest(x)
+            if skips[i] is not None:
+                x = jnp.concatenate([x, skips[i]], axis=-1)
+            for j in range(2):
+                x = _conv(dp[f"conv{j}"], x, stride=1, pad=1, dtype=dtype)
+                x = _ln(dp[f"norm{j}"], x, dtype)
+                x = jax.nn.gelu(x, approximate=False)
+        b, h, w, ch = x.shape
+        x = jax.image.resize(x, (b, h * 2, w * 2, ch), method="bilinear")
+        x = _conv(p["final_conv"], x, stride=1, pad=1, dtype=dtype)
+        x = jax.nn.gelu(x, approximate=False)
+    # one fused head matmul instead of three 1×1 convs: each output channel
+    # is the same dot product either way, but the full-res activation map is
+    # read from HBM once instead of three times
+    ch = x.shape[-1]
+    heads = ["head_np", "head_hv", "head_tp"]
+    wcat = jnp.concatenate(
+        [p[n]["kernel"].reshape(ch, -1).astype(dtype) for n in heads], axis=-1
+    )
+    bcat = jnp.concatenate([p[n]["bias"].astype(dtype) for n in heads])
+    out = (jnp.dot(x, wcat) + bcat).astype(jnp.float32)
+    t = out.shape[-1] - 4
+    return {"np": out[..., :2], "hv": out[..., 2:4], "tp": out[..., 4 : 4 + t]}

@@ -1,0 +1,318 @@
+"""Pallas kernels for the HoverNeXt decoder hot path.
+
+Round-1 profiling put ~55% of the seg forward in the U-Net decoder + final
+full-resolution stage (reference workload ``hovernet_inference.py:188-206``).
+Two kernels cover it:
+
+- ``fused_decoder_conv``: one decoder conv step — optional skip
+  connection (concat is never materialized: the weight matrix is split by
+  channel range and both inputs matmul into one f32 accumulator), 3×3
+  conv as 9 shifted MXU matmuls, bias, optional LayerNorm, exact GELU.
+  Whole images per grid step (decoder resolutions ≤128² fit VMEM),
+  several images folded per step at the small-spatial levels to fill the
+  MXU. The 2× nearest upsample stays an XLA broadcast outside the kernel
+  (Mosaic cannot lower the row-interleave reshape).
+
+- ``fused_final_conv_gelu``: the 256² final conv + GELU, strip-pipelined:
+  the input stays in HBM (ANY memory space) and each grid step DMAs a
+  34-row halo strip into VMEM scratch — zero-filled at the image border,
+  which IS the conv's zero padding — so the full-res activation never
+  occupies VMEM at once.
+
+``upsample2x_bilinear`` is the matching XLA-level 2× bilinear (exact
+``jax.image.resize`` semantics, half-pixel centers, edge clamp) expressed
+as interleaved FMAs instead of the general gather formulation.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from path_gene_multimodal_tpu.ops.pallas.convnext_block import (
+    VMEM_LIMIT,
+    _gelu_exact,
+)
+
+
+def upsample2x_nearest(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, C) → (B, 2H, 2W, C), nearest (≡ jax.image.resize for an
+    exact 2× factor) as a broadcast instead of a gather."""
+    b, h, w, c = x.shape
+    return jnp.broadcast_to(
+        x[:, :, None, :, None, :], (b, h, 2, w, 2, c)
+    ).reshape(b, h * 2, w * 2, c)
+
+
+def _interleave(a: jnp.ndarray, b: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Interleave two equal arrays along ``axis`` (a first)."""
+    stacked = jnp.stack([a, b], axis=axis + 1)
+    shape = list(a.shape)
+    shape[axis] *= 2
+    return stacked.reshape(shape)
+
+
+def upsample2x_bilinear(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, C) → (B, 2H, 2W, C), bilinear with half-pixel centers and
+    edge clamp — element-exact vs ``jax.image.resize(method='bilinear')``
+    at a 2× factor (asserted in tests): out[2i] = ¼·in[i-1] + ¾·in[i],
+    out[2i+1] = ¾·in[i] + ¼·in[i+1]."""
+
+    def up_axis(v: jnp.ndarray, axis: int) -> jnp.ndarray:
+        prev = jnp.concatenate(
+            [jax.lax.slice_in_dim(v, 0, 1, axis=axis),
+             jax.lax.slice_in_dim(v, 0, v.shape[axis] - 1, axis=axis)],
+            axis=axis,
+        )
+        nxt = jnp.concatenate(
+            [jax.lax.slice_in_dim(v, 1, v.shape[axis], axis=axis),
+             jax.lax.slice_in_dim(v, v.shape[axis] - 1, v.shape[axis], axis=axis)],
+            axis=axis,
+        )
+        even = 0.25 * prev + 0.75 * v
+        odd = 0.75 * v + 0.25 * nxt
+        return _interleave(even, odd, axis)
+
+    xf = x.astype(jnp.float32)
+    return up_axis(up_axis(xf, 1), 2).astype(x.dtype)
+
+
+def _conv3_matmuls(xp: jnp.ndarray, w: jnp.ndarray, g: int, h: int, wd: int,
+                   acc: jnp.ndarray) -> jnp.ndarray:
+    """Accumulate the 9 shifted-tap matmuls of a 3×3 conv.
+
+    xp: (g, h+2, wd+2, cin) padded input (bf16); w: (3, 3, cin, cout)."""
+    cin = xp.shape[-1]
+    for dy in range(3):
+        for dx in range(3):
+            tap = jax.lax.slice(
+                xp, (0, dy, dx, 0), (g, dy + h, dx + wd, cin)
+            ).reshape(g * h * wd, cin)
+            acc = acc + jnp.dot(
+                tap, w[dy, dx], preferred_element_type=jnp.float32
+            )
+    return acc
+
+
+def _decoder_kernel(g: int, h: int, w: int, cx: int, cs: int, cout: int,
+                    use_ln: bool):
+    oh, ow = h, w
+
+    def kernel(*refs):
+        if cs:
+            x_ref, s_ref, wx_ref, ws_ref, b_ref = refs[:5]
+            rest = refs[5:]
+        else:
+            x_ref, wx_ref, b_ref = refs[:3]
+            s_ref = ws_ref = None
+            rest = refs[3:]
+        if use_ln:
+            lng_ref, lnb_ref, out_ref = rest
+        else:
+            (out_ref,) = rest
+
+        xp = jnp.pad(x_ref[...], ((0, 0), (1, 1), (1, 1), (0, 0)))
+        acc = jnp.zeros((g * oh * ow, cout), jnp.float32)
+        acc = _conv3_matmuls(xp, wx_ref[...], g, oh, ow, acc)
+        if cs:
+            sp = jnp.pad(s_ref[...], ((0, 0), (1, 1), (1, 1), (0, 0)))
+            acc = _conv3_matmuls(sp, ws_ref[...], g, oh, ow, acc)
+        acc = acc + b_ref[...].astype(jnp.float32)
+        if use_ln:
+            mu = jnp.mean(acc, axis=-1, keepdims=True)
+            var = jnp.mean(jnp.square(acc - mu), axis=-1, keepdims=True)
+            acc = (acc - mu) * jax.lax.rsqrt(var + 1e-6)
+            acc = acc * lng_ref[...].astype(jnp.float32) + lnb_ref[...].astype(
+                jnp.float32
+            )
+        acc = _gelu_exact(acc)
+        out_ref[...] = acc.reshape(g, oh, ow, cout).astype(out_ref.dtype)
+
+    return kernel
+
+
+def _images_per_step(oh: int, ow: int, cin: int, cout: int) -> int:
+    """Budget: f32 accumulator (4·cout B/px) + padded bf16 inputs
+    (2·cin B/px) + Pallas double-buffered in/out blocks (2·2·(cin+cout)
+    B/px) under ~8 MB, weights (9·cin·cout bf16) resident."""
+    weights = 18 * cin * cout
+    budget = 32 * 1024 * 1024 - weights
+    per_img = oh * ow * 6 * (cin + cout)
+    g = max(1, budget // max(per_img, 1))
+    while g > 1 and (g & (g - 1)):
+        g -= 1
+    return min(g, 8)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def fused_decoder_conv(
+    x: jnp.ndarray,
+    skip: jnp.ndarray | None,
+    w: jnp.ndarray,
+    b: jnp.ndarray,
+    ln_scale: jnp.ndarray | None = None,
+    ln_bias: jnp.ndarray | None = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """One fused decoder conv step (see module docstring).
+
+    x (B, H, W, cx) — already at the output resolution (the 2× nearest
+    upsample stays an XLA broadcast: Mosaic cannot lower the row-interleave
+    reshape); skip (B, H, W, cs) or None; w (3, 3, cx+cs, cout).
+    Returns (B, H, W, cout) bf16."""
+    bsz, h, wd, cx = x.shape
+    cs = 0 if skip is None else skip.shape[-1]
+    cout = w.shape[-1]
+    oh, ow = h, wd
+    use_ln = ln_scale is not None
+    g = _images_per_step(oh, ow, cx + cs, cout)
+    pad_b = (-bsz) % g
+    if pad_b:
+        zpad = lambda t: jnp.concatenate(
+            [t, jnp.zeros((pad_b,) + t.shape[1:], t.dtype)], axis=0
+        )
+        x = zpad(x)
+        skip = zpad(skip) if cs else None
+    nb = x.shape[0]
+
+    bf = jnp.bfloat16
+    wx = w[:, :, :cx].astype(bf)
+    vec = lambda t: t.reshape(1, -1).astype(bf)
+    const = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape))
+
+    in_specs = [pl.BlockSpec((g, oh, ow, cx), lambda i: (i, 0, 0, 0))]
+    args = [x.astype(bf)]
+    if cs:
+        in_specs.append(pl.BlockSpec((g, oh, ow, cs), lambda i: (i, 0, 0, 0)))
+        args.append(skip.astype(bf))
+    in_specs.append(const((3, 3, cx, cout)))
+    args.append(wx)
+    if cs:
+        in_specs.append(const((3, 3, cs, cout)))
+        args.append(w[:, :, cx:].astype(bf))
+    in_specs.append(const((1, cout)))
+    args.append(vec(b))
+    if use_ln:
+        in_specs += [const((1, cout)), const((1, cout))]
+        args += [vec(ln_scale), vec(ln_bias)]
+
+    out = pl.pallas_call(
+        _decoder_kernel(g, oh, ow, cx, cs, cout, use_ln),
+        out_shape=jax.ShapeDtypeStruct((nb, oh, ow, cout), bf),
+        grid=(nb // g,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((g, oh, ow, cout), lambda i: (i, 0, 0, 0)),
+        compiler_params=VMEM_LIMIT,
+        interpret=interpret,
+    )(*args)
+    return out[:bsz]
+
+
+def _final_kernel(rows: int, w_: int, cin: int, cout: int, n_strips: int):
+    def kernel(x_hbm, w_ref, b_ref, out_ref, xs, sem):
+        i = pl.program_id(0)
+        s = pl.program_id(1)
+        h_total = rows * n_strips
+
+        # halo DMA: rows [s*rows - 1, s*rows + rows + 1) clamped; the
+        # out-of-image halo rows stay zero — exactly the conv's zero pad
+        if n_strips == 1:
+            xs[...] = jnp.zeros_like(xs)
+            cp = pltpu.make_async_copy(
+                x_hbm.at[i, pl.ds(0, rows), :, :],
+                xs.at[pl.ds(1, rows), :, :],
+                sem,
+            )
+            cp.start()
+            cp.wait()
+        else:
+            @pl.when(jnp.logical_or(s == 0, s == n_strips - 1))
+            def _():
+                xs[...] = jnp.zeros_like(xs)
+
+            start = jnp.maximum(s * rows - 1, 0)
+            stop = jnp.minimum(s * rows + rows + 1, h_total)
+            dst0 = jnp.where(s == 0, 1, 0)
+            cp = pltpu.make_async_copy(
+                x_hbm.at[i, pl.ds(start, rows + 1), :, :],
+                xs.at[pl.ds(dst0, rows + 1), :, :],
+                sem,
+            )
+            # when neither edge: rows+2 are needed; a second 1-row copy
+            # brings the trailing halo (DMA sizes must be static)
+            cp.start()
+            cp.wait()
+
+            @pl.when(jnp.logical_and(s > 0, s < n_strips - 1))
+            def _():
+                cp2 = pltpu.make_async_copy(
+                    x_hbm.at[i, pl.ds(stop - 1, 1), :, :],
+                    xs.at[pl.ds(rows + 1, 1), :, :],
+                    sem,
+                )
+                cp2.start()
+                cp2.wait()
+
+        xp = jnp.pad(xs[...], ((0, 0), (1, 1), (0, 0)))
+        acc = jnp.zeros((rows * w_, cout), jnp.float32)
+        for dy in range(3):
+            for dx in range(3):
+                tap = jax.lax.slice(
+                    xp, (dy, dx, 0), (dy + rows, dx + w_, cin)
+                ).reshape(rows * w_, cin)
+                acc = acc + jnp.dot(
+                    tap, w_ref[dy, dx], preferred_element_type=jnp.float32
+                )
+        acc = _gelu_exact(acc + b_ref[...].astype(jnp.float32))
+        out_ref[...] = acc.reshape(1, rows, w_, cout).astype(out_ref.dtype)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("rows", "interpret"))
+def fused_final_conv_gelu(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    b: jnp.ndarray,
+    rows: int = 32,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Full-resolution 3×3 conv + bias + exact GELU, strip-pipelined with
+    halo DMA from HBM (module docstring). x (B, H, W, cin), H % rows == 0."""
+    bsz, h, wd, cin = x.shape
+    cout = w.shape[-1]
+    assert h % rows == 0, (h, rows)
+    n_strips = h // rows
+    bf = jnp.bfloat16
+
+    # manual HBM→VMEM DMA slices (x stays in ANY memory space) require the
+    # lane dim to be tiling-aligned — pad cin to 128; the zero channels
+    # multiply zero weight rows, so the conv result is unchanged
+    pad_c = (-cin) % 128
+    if pad_c:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, pad_c)))
+        w = jnp.pad(w, ((0, 0), (0, 0), (0, pad_c), (0, 0)))
+        cin += pad_c
+
+    out = pl.pallas_call(
+        _final_kernel(rows, wd, cin, cout, n_strips),
+        out_shape=jax.ShapeDtypeStruct((bsz, h, wd, cout), bf),
+        grid=(bsz, n_strips),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((3, 3, cin, cout), lambda i, s: (0, 0, 0, 0)),
+            pl.BlockSpec((1, cout), lambda i, s: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, rows, wd, cout), lambda i, s: (i, s, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((rows + 2, wd, cin), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=VMEM_LIMIT,
+        interpret=interpret,
+    )(x.astype(bf), w.astype(bf), b.reshape(1, -1).astype(bf))
+    return out

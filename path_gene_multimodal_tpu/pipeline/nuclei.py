@@ -88,7 +88,8 @@ class NucleiModel:
     @classmethod
     def build(
         cls, cfg: HoverNeXtConfig = HOVERNEXT_TINY, params=None, seed: int = 0,
-        dtype=jnp.bfloat16, tta: int = 4, mesh=None, **kw,
+        dtype=jnp.bfloat16, tta: int = 4, mesh=None, fused: bool | None = None,
+        **kw,
     ) -> "NucleiModel":
         """``mesh``: optional ``jax.sharding.Mesh`` — replicates the params
         and shards each window batch over the mesh's tile axis, so WSI
@@ -106,7 +107,23 @@ class NucleiModel:
             params = shard_params(params, mesh)
         self = cls(cfg=cfg, params=params, tta=tta, **kw)
         self._mesh = mesh
-        apply_fn = model.apply
+
+        from path_gene_multimodal_tpu.ops.pallas.flood import pallas_supported
+
+        use_pallas = pallas_supported()
+        if fused is None:
+            fused = use_pallas
+        if fused:
+            # functional forward with the Pallas fused ConvNeXtV2 block on
+            # the encoder hot loop (flax-parity asserted in
+            # tests/test_hovernext_fused.py)
+            from path_gene_multimodal_tpu.models.hovernext_fn import hovernext_forward
+
+            apply_fn = lambda p, px: hovernext_forward(
+                p, px, cfg, dtype=dtype, fused_blocks=True
+            )
+        else:
+            apply_fn = model.apply
 
         @jax.jit
         def _infer(params, tiles_u8):
@@ -115,10 +132,6 @@ class NucleiModel:
             np_prob = jax.nn.softmax(out["np"], axis=-1)[..., 1]
             tp_cls = jnp.argmax(out["tp"], axis=-1).astype(jnp.uint8)  # small D2H
             return np_prob, out["hv"], tp_cls
-
-        from path_gene_multimodal_tpu.ops.pallas.flood import pallas_supported
-
-        use_pallas = pallas_supported()
 
         @jax.jit
         def _postproc(np_prob, hv):
