@@ -120,22 +120,33 @@ def component_sizes(lbl: jnp.ndarray) -> jnp.ndarray:
     return sizes.reshape(h, w)
 
 
-@partial(jax.jit, static_argnames=("connectivity",))
+@partial(jax.jit, static_argnames=("connectivity", "use_pallas"))
 def remove_small_objects(
-    mask: jnp.ndarray, min_size: int, connectivity: int = 1
+    mask: jnp.ndarray, min_size: int, connectivity: int = 1, use_pallas: bool = False
 ) -> jnp.ndarray:
-    """Drop components with area < min_size (skimage semantics: strict <)."""
-    lbl = label_components(mask, connectivity)
+    """Drop components with area < min_size (skimage semantics: strict <).
+
+    ``use_pallas``: label with the tiled VMEM-resident Pallas kernel
+    (TPU backend) instead of the XLA scan formulation — same output."""
+    if use_pallas:
+        from path_gene_multimodal_tpu.ops.pallas.cc import (
+            pallas_label_components_tiled,
+        )
+
+        lbl = pallas_label_components_tiled(mask, connectivity)
+    else:
+        lbl = label_components(mask, connectivity)
     return mask & (component_sizes(lbl) >= min_size)
 
 
-@partial(jax.jit, static_argnames=("connectivity",))
+@partial(jax.jit, static_argnames=("connectivity", "use_pallas"))
 def remove_small_holes(
-    mask: jnp.ndarray, area_threshold: int, connectivity: int = 1
+    mask: jnp.ndarray, area_threshold: int, connectivity: int = 1,
+    use_pallas: bool = False,
 ) -> jnp.ndarray:
     """Fill holes with area <= area_threshold (skimage semantics:
     complement → remove_small_objects(min_size=threshold+1) → complement)."""
-    return ~remove_small_objects(~mask, area_threshold + 1, connectivity)
+    return ~remove_small_objects(~mask, area_threshold + 1, connectivity, use_pallas)
 
 
 def compact_labels(lbl: np.ndarray) -> tuple[np.ndarray, int]:

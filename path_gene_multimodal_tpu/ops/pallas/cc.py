@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 from path_gene_multimodal_tpu.ops.components import INF
+from path_gene_multimodal_tpu.ops.pallas.convnext_block import VMEM_LIMIT
 from path_gene_multimodal_tpu.ops.pallas.flood import _roll_axis
 
 _INF32 = 2**30
@@ -59,6 +60,35 @@ def _segmented_min_scan(lbl: jnp.ndarray, mask: jnp.ndarray, axis: int) -> jnp.n
     return jnp.minimum(one_dir(1), one_dir(-1))
 
 
+def _relax_fixpoint(
+    mask: jnp.ndarray, lbl0: jnp.ndarray, connectivity: int, max_iters: int
+) -> jnp.ndarray:
+    """In-kernel fixpoint: propagate each component's min label via the
+    alternating row/column segmented scans (+ diagonal relax for 8-conn)."""
+
+    def relax(lbl):
+        lbl = _segmented_min_scan(lbl, mask, axis=1)
+        lbl = _segmented_min_scan(lbl, mask, axis=0)
+        if connectivity == 2:
+            for dy in (1, -1):
+                for dx in (1, -1):
+                    sh = _shifted(_shifted(lbl, dy, 0, _INF32), dx, 1, _INF32)
+                    lbl = jnp.where(mask, jnp.minimum(lbl, sh), _INF32)
+        return lbl
+
+    def cond(state):
+        i, lbl, changed = state
+        return changed & (i < max_iters)
+
+    def body(state):
+        i, lbl, _ = state
+        new = relax(lbl)
+        return i + 1, new, jnp.any(new != lbl)
+
+    _, lbl, _ = jax.lax.while_loop(cond, body, (0, relax(lbl0), jnp.bool_(True)))
+    return lbl
+
+
 def _cc_kernel(connectivity: int, max_iters: int):
     def kernel(mask_ref, out_ref):
         mask = mask_ref[0] > 0
@@ -66,28 +96,7 @@ def _cc_kernel(connectivity: int, max_iters: int):
         rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
         lbl0 = jnp.where(mask, rows * w + cols, _INF32)
-
-        def relax(lbl):
-            lbl = _segmented_min_scan(lbl, mask, axis=1)
-            lbl = _segmented_min_scan(lbl, mask, axis=0)
-            if connectivity == 2:
-                for dy in (1, -1):
-                    for dx in (1, -1):
-                        sh = _shifted(_shifted(lbl, dy, 0, _INF32), dx, 1, _INF32)
-                        lbl = jnp.where(mask, jnp.minimum(lbl, sh), _INF32)
-            return lbl
-
-        def cond(state):
-            i, lbl, changed = state
-            return changed & (i < max_iters)
-
-        def body(state):
-            i, lbl, _ = state
-            new = relax(lbl)
-            return i + 1, new, jnp.any(new != lbl)
-
-        _, lbl, _ = jax.lax.while_loop(cond, body, (0, relax(lbl0), jnp.bool_(True)))
-        out_ref[0] = lbl
+        out_ref[0] = _relax_fixpoint(mask, lbl0, connectivity, max_iters)
 
     return kernel
 
@@ -109,6 +118,91 @@ def pallas_label_components(
         grid=(b,),
         in_specs=[block()],
         out_specs=block(),
+        compiler_params=VMEM_LIMIT,
         interpret=interpret,
     )(mask.astype(jnp.int32))
     return jnp.where(out >= _INF32, INF, out)
+
+
+def _seeded_cc_kernel(connectivity: int, max_iters: int):
+    def kernel(mask_ref, seed_ref, out_ref):
+        mask = mask_ref[...] > 0
+        out_ref[...] = _relax_fixpoint(mask, seed_ref[...], connectivity, max_iters)
+
+    return kernel
+
+
+@partial(
+    jax.jit,
+    static_argnames=("connectivity", "tile", "max_iters", "max_outer", "interpret"),
+)
+def pallas_label_components_tiled(
+    mask: jnp.ndarray,
+    connectivity: int = 1,
+    tile: int = 512,
+    max_iters: int = 128,
+    max_outer: int = 64,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Large-mask CC: one 2-D mask (H, W) of any size → labels (H, W).
+
+    The mask is split into VMEM-sized ``tile×tile`` blocks; each block's
+    components are min-labeled on-chip by the seeded fixpoint kernel, then
+    labels are merged ACROSS tile borders by alternating a global one-pixel
+    neighbor-min exchange (cheap XLA elementwise) with another in-tile
+    propagation pass, iterated to a global fixpoint. All state stays on
+    device for the whole loop — this replaces the host-CPU-backend routing
+    that ``pipeline.morphology`` used for thumbnail-scale masks (reference
+    workload: ``polygon_morphology.py:100-153`` island labeling).
+
+    Output contract is bit-identical to ``ops.components.label_components``:
+    per-component minimum ORIGINAL-width linear index, INF on background.
+    """
+    h, w = mask.shape
+    ph = ((h + tile - 1) // tile) * tile
+    pw = ((w + tile - 1) // tile) * tile
+    maskp = jnp.pad(mask.astype(bool), ((0, ph - h), (0, pw - w)))
+    rows = jax.lax.broadcasted_iota(jnp.int32, (ph, pw), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (ph, pw), 1)
+    # original-width linear indices so in-bounds labels match
+    # label_components() exactly; padded cells are background (never read)
+    seeds0 = jnp.where(maskp, rows * w + cols, _INF32)
+    mask_i = maskp.astype(jnp.int32)
+
+    block = lambda: pl.BlockSpec((tile, tile), lambda i, j: (i, j))
+    propagate = lambda seeds: pl.pallas_call(
+        _seeded_cc_kernel(connectivity, max_iters),
+        out_shape=jax.ShapeDtypeStruct((ph, pw), jnp.int32),
+        grid=(ph // tile, pw // tile),
+        in_specs=[block(), block()],
+        out_specs=block(),
+        compiler_params=VMEM_LIMIT,
+        interpret=interpret,
+    )(mask_i, seeds)
+
+    if connectivity == 2:
+        dirs = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1) if dy or dx]
+    else:
+        dirs = [(-1, 0), (1, 0), (0, -1), (0, 1)]
+
+    def border_min(lbl: jnp.ndarray) -> jnp.ndarray:
+        from path_gene_multimodal_tpu.ops.components import _shift
+
+        best = lbl
+        for dy, dx in dirs:
+            best = jnp.minimum(best, _shift(lbl, dy, dx, _INF32))
+        return jnp.where(maskp, best, _INF32)
+
+    def cond(state):
+        i, lbl, changed = state
+        return changed & (i < max_outer)
+
+    def body(state):
+        i, lbl, _ = state
+        new = propagate(border_min(lbl))
+        return i + 1, new, jnp.any(new != lbl)
+
+    _, lbl, _ = jax.lax.while_loop(
+        cond, body, (0, propagate(seeds0), jnp.bool_(True))
+    )
+    return jnp.where(lbl >= _INF32, INF, lbl)[:h, :w]

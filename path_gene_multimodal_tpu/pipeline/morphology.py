@@ -38,36 +38,14 @@ from path_gene_multimodal_tpu.ops import contours as ct
 from path_gene_multimodal_tpu.ops import masking, morphology as morph
 
 
-def _cc_device():
-    """Large-thumbnail connected components are iteration-latency-bound —
-    on an accelerator (especially the tunnel-attached dev chip) the
-    while_loop round-trips dwarf the math, so run CC on the host CPU
-    backend when one exists alongside."""
-    import contextlib
+def _use_pallas_cc() -> bool:
+    """Thumbnail-scale masks are labeled by the tiled VMEM-resident Pallas
+    CC kernel on the TPU backend (``ops.pallas.cc.pallas_label_components_tiled``
+    — per-tile on-chip fixpoint + cross-tile label merging, zero host
+    round-trips); the XLA scan formulation serves every other backend."""
+    from path_gene_multimodal_tpu.ops.pallas.flood import pallas_supported
 
-    import jax
-
-    if jax.default_backend() == "cpu":
-        return contextlib.nullcontext()
-    try:
-        cpu = jax.local_devices(backend="cpu")[0]
-    except RuntimeError:
-        return contextlib.nullcontext()
-
-    @contextlib.contextmanager
-    def ctx():
-        # the persistent compilation cache may hold CPU AOT binaries from a
-        # different machine (remote-compile environments) — disable it for
-        # the host-side CC so XLA:CPU always compiles for this machine
-        prev = jax.config.jax_compilation_cache_dir
-        jax.config.update("jax_compilation_cache_dir", None)
-        try:
-            with jax.default_device(cpu):
-                yield
-        finally:
-            jax.config.update("jax_compilation_cache_dir", prev)
-
-    return ctx()
+    return pallas_supported()
 
 
 def tissue_boundary_mask(
@@ -98,11 +76,10 @@ def tissue_boundary_mask(
         min_size = max(int(round(min_size / (scale * scale))), 1)
     mask = masking.tissue_mask_hsv(jnp.asarray(work), sat_threshold)
     mask = morph.binary_closing(mask, morph.disk(closing_radius))
-    with _cc_device():
-        m = jnp.asarray(np.asarray(mask))
-        m = cc.remove_small_objects(m, min_size)
-        m = cc.remove_small_holes(m, min_size)
-        mask_np = np.asarray(m)
+    use_pallas = _use_pallas_cc()
+    m = cc.remove_small_objects(mask, min_size, use_pallas=use_pallas)
+    m = cc.remove_small_holes(m, min_size, use_pallas=use_pallas)
+    mask_np = np.asarray(m)
     if scale > 1.0:
         mask_np = cv2.resize(
             mask_np.astype(np.uint8), (w, h), interpolation=cv2.INTER_NEAREST
@@ -124,8 +101,13 @@ def mask_to_thumb_polygons(mask: np.ndarray, max_work_dim: int = 1024) -> list[n
             interpolation=cv2.INTER_NEAREST,
         ).astype(bool)
         return [r * scale for r in mask_to_thumb_polygons(small, max_work_dim)]
-    with _cc_device():
-        lbl, n = cc.compact_labels(np.asarray(cc.label_components(jnp.asarray(mask), 1)))
+    if _use_pallas_cc():
+        from path_gene_multimodal_tpu.ops.pallas.cc import pallas_label_components_tiled
+
+        lbl_dev = pallas_label_components_tiled(jnp.asarray(mask), 1)
+    else:
+        lbl_dev = cc.label_components(jnp.asarray(mask), 1)
+    lbl, n = cc.compact_labels(np.asarray(lbl_dev))
     rings = []
     for k in range(1, n + 1):
         comp = lbl == k

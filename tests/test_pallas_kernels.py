@@ -51,6 +51,58 @@ def test_pallas_flood_matches_xla(rng):
     np.testing.assert_array_equal(pls, xla)
 
 
+@pytest.mark.parametrize("connectivity", [1, 2])
+def test_pallas_tiled_cc_matches_label_components(rng, connectivity):
+    """Tiled Pallas CC (per-tile kernel + cross-tile merge) is bit-identical
+    to the XLA label_components contract, including components spanning
+    multiple tiles and non-tile-multiple shapes."""
+    from path_gene_multimodal_tpu.ops.components import label_components
+    from path_gene_multimodal_tpu.ops.pallas.cc import pallas_label_components_tiled
+
+    h, w = 70, 90  # not multiples of the 32-px test tile
+    mask = rng.random((h, w)) > 0.55
+    # a snake that crosses every tile border several times
+    mask[10, :] = True
+    mask[:, 40] = True
+    mask[50, 5:85] = True
+    ref = np.asarray(label_components(jnp.asarray(mask), connectivity))
+    got = np.asarray(
+        pallas_label_components_tiled(
+            jnp.asarray(mask), connectivity, tile=32, interpret=True
+        )
+    )
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_pallas_tiled_cc_degenerate(rng):
+    from path_gene_multimodal_tpu.ops.components import label_components
+    from path_gene_multimodal_tpu.ops.pallas.cc import pallas_label_components_tiled
+
+    for mask in [np.zeros((40, 40), bool), np.ones((40, 40), bool)]:
+        ref = np.asarray(label_components(jnp.asarray(mask), 1))
+        got = np.asarray(
+            pallas_label_components_tiled(jnp.asarray(mask), 1, tile=32, interpret=True)
+        )
+        np.testing.assert_array_equal(got, ref)
+
+
+def test_remove_small_objects_pallas_parity(rng):
+    """remove_small_objects(use_pallas=True) == XLA path (CPU interpret
+    mode can't run the compiled kernel, so compare the labelers directly)."""
+    from path_gene_multimodal_tpu.ops.components import (
+        component_sizes,
+        label_components,
+    )
+    from path_gene_multimodal_tpu.ops.pallas.cc import pallas_label_components_tiled
+
+    mask = rng.random((100, 80)) > 0.6
+    lbl_ref = label_components(jnp.asarray(mask), 1)
+    lbl_pl = pallas_label_components_tiled(jnp.asarray(mask), 1, tile=32, interpret=True)
+    keep_ref = np.asarray(mask & np.asarray(component_sizes(lbl_ref) >= 20))
+    keep_pl = np.asarray(mask & np.asarray(component_sizes(lbl_pl) >= 20))
+    np.testing.assert_array_equal(keep_pl, keep_ref)
+
+
 def test_hover_instances_batch_consistent(rng):
     """Batched postproc (XLA path) == per-tile hover_instances."""
     from tests.test_hovernext import _two_blob_fixture
