@@ -184,12 +184,56 @@ class FallbackTokenizer:
         return out
 
 
+def find_vocab_files() -> dict[str, Path] | None:
+    """Discover CLIP vocab files without network access. Search order:
+
+    1. ``$PGM_CLIP_BPE`` — path to OpenAI ``bpe_simple_vocab_16e6.txt.gz``;
+    2. ``$PGM_CLIP_VOCAB_DIR`` — directory with HF ``vocab.json`` +
+       ``merges.txt``;
+    3. ``<package>/assets/`` — drop either format there to vendor it;
+    4. the HuggingFace hub cache (``~/.cache/huggingface/hub``) for any
+       ``models--*clip*`` snapshot (populated by e.g.
+       ``hf download openai/clip-vit-base-patch16 vocab.json merges.txt``
+       on a connected machine).
+    """
+    import os
+
+    env_bpe = os.environ.get("PGM_CLIP_BPE")
+    if env_bpe and Path(env_bpe).is_file():
+        return {"bpe_path": Path(env_bpe)}
+    env_dir = os.environ.get("PGM_CLIP_VOCAB_DIR")
+    candidates = []
+    if env_dir:
+        candidates.append(Path(env_dir))
+    assets = Path(__file__).resolve().parent.parent / "assets"
+    candidates.append(assets)
+    hub = Path(os.environ.get("HF_HOME", Path.home() / ".cache" / "huggingface")) / "hub"
+    if hub.is_dir():
+        for repo in sorted(hub.glob("models--*clip*")):
+            candidates.extend(sorted(repo.glob("snapshots/*")))
+    for d in candidates:
+        if not d.is_dir():
+            continue
+        gz = d / "bpe_simple_vocab_16e6.txt.gz"
+        if gz.is_file():
+            return {"bpe_path": gz}
+        vj, mt = d / "vocab.json", d / "merges.txt"
+        if vj.is_file() and mt.is_file():
+            return {"vocab_json": vj, "merges_txt": mt}
+    return None
+
+
 def open_tokenizer(
     bpe_path: str | Path | None = None,
     vocab_json: str | Path | None = None,
     merges_txt: str | Path | None = None,
 ):
-    """Best tokenizer the environment allows."""
+    """Best tokenizer the environment allows: explicit paths, else
+    auto-discovered vocab files (``find_vocab_files``), else the loud
+    non-CLIP fallback."""
     if bpe_path or (vocab_json and merges_txt):
         return CLIPTokenizer(bpe_path, vocab_json, merges_txt)
+    found = find_vocab_files()
+    if found:
+        return CLIPTokenizer(**found)
     return FallbackTokenizer()

@@ -53,9 +53,39 @@ def test_fallback_tokenizer_distinguishes():
     assert not np.array_equal(a, b)
 
 
-def test_open_tokenizer_fallback():
+def test_open_tokenizer_fallback(monkeypatch, tmp_path):
+    # neutralize any ambient vocab discovery sources
+    monkeypatch.delenv("PGM_CLIP_BPE", raising=False)
+    monkeypatch.delenv("PGM_CLIP_VOCAB_DIR", raising=False)
+    monkeypatch.setenv("HF_HOME", str(tmp_path / "no_hub"))
     tok = open_tokenizer()
     assert isinstance(tok, FallbackTokenizer)
+
+
+def test_open_tokenizer_discovers_vocab_dir(monkeypatch, tmp_path):
+    """PGM_CLIP_VOCAB_DIR with HF-format files → real CLIPTokenizer."""
+    import json
+
+    from path_gene_multimodal_tpu.models.tokenizer import (
+        CLIPTokenizer,
+        bytes_to_unicode,
+    )
+
+    be = bytes_to_unicode()
+    vocab = {}
+    for t in be.values():
+        vocab[t] = len(vocab)
+    for t in be.values():
+        vocab[t + "</w>"] = len(vocab)
+    vocab["<|startoftext|>"] = len(vocab)
+    vocab["<|endoftext|>"] = len(vocab)
+    (tmp_path / "vocab.json").write_text(json.dumps(vocab))
+    (tmp_path / "merges.txt").write_text("#version\nt u\n")
+    monkeypatch.delenv("PGM_CLIP_BPE", raising=False)
+    monkeypatch.setenv("PGM_CLIP_VOCAB_DIR", str(tmp_path))
+    tok = open_tokenizer()
+    assert isinstance(tok, CLIPTokenizer)
+    assert tok.encode("a")  # functional
 
 
 def test_clip_bpe_with_synthetic_vocab(tmp_path):
