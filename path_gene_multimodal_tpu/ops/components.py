@@ -103,7 +103,12 @@ def label_components(
         new = relax(lbl)
         return i + 1, new, jnp.any(new != lbl)
 
-    _, lbl, _ = jax.lax.while_loop(cond, body, (0, relax(lbl0), jnp.bool_(True)))
+    # seed the carry's `changed` from data rather than a literal True: a
+    # literal is unvarying under shard_map's varying-axes tracking while the
+    # body's jnp.any(...) is varying, which rejects the loop; deriving it
+    # also stops immediately when the first relax is already a fixpoint
+    first = relax(lbl0)
+    _, lbl, _ = jax.lax.while_loop(cond, body, (0, first, jnp.any(first != lbl0)))
     return lbl
 
 

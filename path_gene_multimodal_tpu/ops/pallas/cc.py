@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 from path_gene_multimodal_tpu.ops.components import INF
-from path_gene_multimodal_tpu.ops.pallas.convnext_block import VMEM_LIMIT
+from path_gene_multimodal_tpu.ops.pallas.convnext_block import VMEM_LIMIT, _vma_of
 from path_gene_multimodal_tpu.ops.pallas.flood import _roll_axis
 
 _INF32 = 2**30
@@ -114,7 +114,7 @@ def pallas_label_components(
     block = lambda: pl.BlockSpec((1, h, w), lambda i: (i, 0, 0))
     out = pl.pallas_call(
         _cc_kernel(connectivity, max_iters),
-        out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.int32, vma=_vma_of(mask)),
         grid=(b,),
         in_specs=[block()],
         out_specs=block(),
@@ -172,7 +172,7 @@ def pallas_label_components_tiled(
     block = lambda: pl.BlockSpec((tile, tile), lambda i, j: (i, j))
     propagate = lambda seeds: pl.pallas_call(
         _seeded_cc_kernel(connectivity, max_iters),
-        out_shape=jax.ShapeDtypeStruct((ph, pw), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((ph, pw), jnp.int32, vma=_vma_of(mask)),
         grid=(ph // tile, pw // tile),
         in_specs=[block(), block()],
         out_specs=block(),
@@ -202,7 +202,11 @@ def pallas_label_components_tiled(
         new = propagate(border_min(lbl))
         return i + 1, new, jnp.any(new != lbl)
 
+    # data-derived carry seed (shard_map varying-axes safe; see
+    # ops.components.label_components)
+    first = propagate(seeds0)
+    second = propagate(border_min(first))
     _, lbl, _ = jax.lax.while_loop(
-        cond, body, (0, propagate(seeds0), jnp.bool_(True))
+        cond, body, (1, second, jnp.any(second != first))
     )
     return jnp.where(lbl >= _INF32, INF, lbl)[:h, :w]

@@ -40,6 +40,27 @@ PAD = KERNEL_SIZE // 2
 # double-buffered block DMA).
 VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
+def _vma_of(x):
+    """Varying-mesh-axes of ``x`` (non-empty only when traced inside
+    ``jax.shard_map`` with check_vma) — must be forwarded to the
+    ``out_shape`` structs so Pallas calls compose with shard_map."""
+    return getattr(jax.typeof(x), "vma", frozenset())
+
+
+def _args_to_vma(vma, args):
+    """pcast every operand missing any of ``vma``'s axes to varying on
+    them: inside shard_map all pallas operands must share the sharded
+    block input's varying axes (replicated weights otherwise trip the
+    vma checker when the kernel is interpreted)."""
+    if not vma:
+        return args
+    out = []
+    for a in args:
+        missing = tuple(sorted(vma - _vma_of(a)))
+        out.append(jax.lax.pcast(a, missing, to="varying") if missing else a)
+    return out
+
+
 
 def _erf(x: jnp.ndarray) -> jnp.ndarray:
     """erf via Abramowitz–Stegun 7.1.26 (max abs err 1.5e-7 — far below
@@ -173,7 +194,7 @@ def fused_convnext_block(
 
     out = pl.pallas_call(
         _block_kernel(h, w_, c, g),
-        out_shape=jax.ShapeDtypeStruct((nb, h, w_, c), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((nb, h, w_, c), x.dtype, vma=_vma_of(x)),
         grid=(nb // g,),
         in_specs=[
             img_spec,
@@ -187,8 +208,13 @@ def fused_convnext_block(
         compiler_params=VMEM_LIMIT,
         interpret=interpret,
     )(
-        x.astype(bf), dw, vec(dwb), vec(ln_gamma), vec(ln_beta),
-        w1, vec(b1), vec(grn_gamma), vec(grn_beta), w2, vec(b2),
+        *_args_to_vma(
+            _vma_of(x),
+            [
+                x.astype(bf), dw, vec(dwb), vec(ln_gamma), vec(ln_beta),
+                w1, vec(b1), vec(grn_gamma), vec(grn_beta), w2, vec(b2),
+            ],
+        )
     )
     return out[:b]
 

@@ -35,7 +35,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from path_gene_multimodal_tpu.ops.pallas.convnext_block import (
     VMEM_LIMIT,
+    _args_to_vma,
     _gelu_exact,
+    _vma_of,
 )
 
 
@@ -202,13 +204,13 @@ def fused_decoder_conv(
 
     out = pl.pallas_call(
         _decoder_kernel(g, oh, ow, cx, cs, cout, use_ln),
-        out_shape=jax.ShapeDtypeStruct((nb, oh, ow, cout), bf),
+        out_shape=jax.ShapeDtypeStruct((nb, oh, ow, cout), bf, vma=_vma_of(x)),
         grid=(nb // g,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((g, oh, ow, cout), lambda i: (i, 0, 0, 0)),
         compiler_params=VMEM_LIMIT,
         interpret=interpret,
-    )(*args)
+    )(*_args_to_vma(_vma_of(x), args))
     return out[:bsz]
 
 
@@ -300,7 +302,7 @@ def fused_final_conv_gelu(
 
     out = pl.pallas_call(
         _final_kernel(rows, wd, cin, cout, n_strips),
-        out_shape=jax.ShapeDtypeStruct((bsz, h, wd, cout), bf),
+        out_shape=jax.ShapeDtypeStruct((bsz, h, wd, cout), bf, vma=_vma_of(x)),
         grid=(bsz, n_strips),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -314,5 +316,7 @@ def fused_final_conv_gelu(
         ],
         compiler_params=VMEM_LIMIT,
         interpret=interpret,
-    )(x.astype(bf), w.astype(bf), b.reshape(1, -1).astype(bf))
+    )(*_args_to_vma(
+        _vma_of(x), [x.astype(bf), w.astype(bf), b.reshape(1, -1).astype(bf)]
+    ))
     return out

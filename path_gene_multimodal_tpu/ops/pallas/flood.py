@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 from path_gene_multimodal_tpu.ops.components import INF
+from path_gene_multimodal_tpu.ops.pallas.convnext_block import VMEM_LIMIT, _vma_of
 
 _INF32 = 2**30  # python int: jnp constants would be captured tracers in the kernel
 
@@ -123,10 +124,11 @@ def pallas_marker_watershed(
     block = lambda: pl.BlockSpec((1, h, w), lambda i: (i, 0, 0))
     out = pl.pallas_call(
         _flood_kernel(levels, max_rounds),
-        out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.int32, vma=_vma_of(markers)),
         grid=(b,),
         in_specs=[block(), block(), block()],
         out_specs=block(),
+        compiler_params=VMEM_LIMIT,
         interpret=interpret,
     )(q, markers, mask_i)
     return jnp.where(out >= _INF32, INF, out)

@@ -118,7 +118,11 @@ def marker_watershed(
             new = jnp.where(grow, nb, lbl)
             return i + 1, new, jnp.any(new != lbl)
 
-        _, lbl, _ = jax.lax.while_loop(cond, body, (0, lbl, jnp.bool_(True)))
+        # unroll one body step so the carry's `changed` is data-derived
+        # (varying) — a literal True is unvarying under shard_map's
+        # varying-axes tracking and the loop would be rejected
+        _, lbl1, ch1 = body((0, lbl, jnp.bool_(True)))
+        _, lbl, _ = jax.lax.while_loop(cond, body, (1, lbl1, ch1))
         return lbl
 
     lbl = jax.lax.fori_loop(

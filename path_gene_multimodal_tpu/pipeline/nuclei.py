@@ -125,16 +125,14 @@ class NucleiModel:
         else:
             apply_fn = model.apply
 
-        @jax.jit
-        def _infer(params, tiles_u8):
+        def _infer_body(params, tiles_u8):
             pixels = tiles_u8.astype(jnp.float32) / 255.0
             out = tta_forward(apply_fn, params, pixels, tta=self.tta, fold_batch=True)
             np_prob = jax.nn.softmax(out["np"], axis=-1)[..., 1]
             tp_cls = jnp.argmax(out["tp"], axis=-1).astype(jnp.uint8)  # small D2H
             return np_prob, out["hv"], tp_cls
 
-        @jax.jit
-        def _postproc(np_prob, hv):
+        def _postproc_body(np_prob, hv):
             lbl = ws.hover_instances_batch(
                 np_prob, hv,
                 np_threshold=self.np_threshold,
@@ -147,13 +145,44 @@ class NucleiModel:
             # host np.unique pass and halves the D2H bytes
             return compact_labels_device(lbl)
 
+        if mesh is None:
+            _infer = jax.jit(_infer_body)
+            _postproc = jax.jit(_postproc_body)
+        else:
+            # per-shard execution via shard_map: every tile is independent,
+            # so the forward and postproc run on each chip's local batch
+            # shard with ZERO collectives. This also keeps the Pallas
+            # kernels (fused blocks, watershed, CC) valid under the mesh —
+            # GSPMD cannot partition a custom call and would otherwise
+            # all-gather the batch onto every chip.
+            from jax.sharding import PartitionSpec as P
+
+            from path_gene_multimodal_tpu.parallel.mesh import TILE_AXIS
+
+            t = P(TILE_AXIS)
+            # check_vma=False: varying-axes tracking cannot yet trace
+            # Pallas kernel bodies (dynamic_slice on a varying block with
+            # scalar starts is rejected); there are no collectives here —
+            # every output is fully varying over the tile axis
+            _infer = jax.jit(
+                jax.shard_map(
+                    _infer_body, mesh=mesh, in_specs=(P(), t),
+                    out_specs=(t, t, t), check_vma=False,
+                )
+            )
+            _postproc = jax.jit(
+                jax.shard_map(
+                    _postproc_body, mesh=mesh, in_specs=(t, t), out_specs=t,
+                    check_vma=False,
+                )
+            )
+
         self._infer = _infer
         self._postproc = _postproc
-        # unjitted versions for callers that fuse further (bench, WSI mode)
-        self._infer_raw = _infer.__wrapped__ if hasattr(_infer, "__wrapped__") else _infer
-        self._postproc_raw = (
-            _postproc.__wrapped__ if hasattr(_postproc, "__wrapped__") else _postproc
-        )
+        # unjitted/unsharded versions for callers that fuse further
+        # (bench, WSI mode)
+        self._infer_raw = _infer_body
+        self._postproc_raw = _postproc_body
         return self
 
     def segment_async(self, tiles_u8: np.ndarray):

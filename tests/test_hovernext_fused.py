@@ -149,6 +149,36 @@ def test_fused_final_conv_gelu_matches_xla(rng, h):
     assert err < 2e-2, err
 
 
+def test_fused_forward_in_shard_map(small_model, rng):
+    """Pallas fused blocks compose with shard_map over the tile axis —
+    the mesh mode NucleiModel uses (GSPMD cannot partition custom calls,
+    so per-shard execution is the only mesh-valid path)."""
+    from jax.sharding import PartitionSpec as P
+
+    from path_gene_multimodal_tpu.parallel.mesh import make_mesh
+
+    _, params = small_model
+    x = jnp.asarray(rng.random((8, 64, 64, 3)).astype(np.float32))
+    ref = hovernext_forward(
+        params, x, SMALL, dtype=jnp.float32, fused_blocks=True, interpret=True
+    )
+    mesh = make_mesh(8)
+    fn = lambda p, xx: hovernext_forward(
+        p, xx, SMALL, dtype=jnp.float32, fused_blocks=True, interpret=True
+    )
+    sharded = jax.jit(
+        jax.shard_map(
+            fn, mesh=mesh, in_specs=(P(), P("tiles")), out_specs=P("tiles"),
+            check_vma=False,  # vma tracking can't trace pallas kernel bodies
+        )
+    )
+    got = sharded(params, x)
+    for k in ref:
+        np.testing.assert_allclose(
+            np.asarray(got[k]), np.asarray(ref[k]), atol=1e-4, rtol=1e-4
+        )
+
+
 def test_fused_forward_full_model(small_model, rng):
     """End-to-end: fused functional forward vs flax apply (bf16-level)."""
     model, params = small_model
