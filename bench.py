@@ -163,7 +163,7 @@ def main() -> None:
     # --- graph stage: kNN(k=5) + 40µm radius graph over the pp nuclei ------
     # (north star is tile→embed→nuclei→GRAPH, BASELINE.md:18). Workload:
     # the ~40 nuclei/tile from the postproc stage, in slide coordinates.
-    from path_gene_multimodal_tpu.ops.neighbors import knn, radius_graph
+    from path_gene_multimodal_tpu.ops.neighbors import combined_graphs
 
     pts = []
     for bi in range(len(tiles256)):
@@ -175,8 +175,7 @@ def main() -> None:
     radius_px = 40.0 / 0.25  # 40 µm at mpp 0.25 (notebook cells 23-27)
 
     def run_graph():
-        knn(pts, k=5)
-        radius_graph(pts, radius=radius_px, max_degree=64)
+        combined_graphs(pts, k=5, radius=radius_px, max_degree=64)
 
     graph_rate = _median_rate(run_graph, len(tiles256))
 

@@ -66,6 +66,62 @@ def _knn_block(
     return best_d, best_i
 
 
+@partial(jax.jit, static_argnames=("k", "db_chunk", "drop_self", "compact"))
+def _knn_filtered(
+    queries: jnp.ndarray,
+    db: jnp.ndarray,
+    gid_base: int,
+    r2: float,
+    k: int,
+    db_chunk: int,
+    drop_self: bool,
+    compact: bool,
+) -> jnp.ndarray:
+    """Neighbor indices (Q, k) with ALL filtering done on device: pad/
+    sentinel rows, optional self-match drop (stable re-sort), optional
+    radius cut. Invalid slots are -1. Only the index matrix crosses the
+    device→host boundary (as uint16 when ``compact``) — distances are
+    recomputed host-side from the points, which cuts D2H bytes ~6× (the
+    dev-environment tunnel moves ~25 MB/s, so transfer IS the graph-stage
+    cost)."""
+    n = db.shape[0]
+    d2, idx = _knn_block(queries, db, k, db_chunk)
+    invalid = (idx < 0) | (idx >= n) | (d2 >= _BIG)
+    if drop_self:
+        gids = gid_base + jnp.arange(queries.shape[0], dtype=jnp.int32)
+        invalid = invalid | (idx == gids[:, None])
+    if r2 is not None:
+        invalid = invalid | (d2 > r2)
+    # stable re-sort pushing invalid slots to the end, keeping distance order
+    d2 = jnp.where(invalid, jnp.inf, d2)
+    order = jnp.argsort(d2, axis=1, stable=True)
+    idx = jnp.take_along_axis(jnp.where(invalid, -1, idx), order, axis=1)
+    if compact:  # n < 2**16 - 1: -1 → 0xFFFF survives the uint16 round-trip
+        idx = idx.astype(jnp.uint16)
+    return idx
+
+
+def _neighbor_indices(
+    pts: jnp.ndarray, n: int, kk: int, radius, q_chunk: int, db_chunk: int,
+    drop_self: bool,
+) -> np.ndarray:
+    """Host-side driver: chunked device query → int32 (N, kk) indices,
+    -1 invalid."""
+    compact = n < 2**16 - 1
+    r2 = None if radius is None else float(radius) ** 2
+    out = []
+    for start in range(0, n, q_chunk):
+        q = pts[start : start + q_chunk]
+        raw = np.asarray(
+            _knn_filtered(q, pts, start, r2, kk, db_chunk, drop_self, compact)
+        )
+        out.append(raw.astype(np.int32))
+    idx = np.concatenate(out, axis=0)
+    if compact:
+        idx[idx == 0xFFFF] = -1
+    return idx
+
+
 def knn(
     points: np.ndarray,
     k: int = 5,
@@ -75,36 +131,63 @@ def knn(
 ) -> tuple[np.ndarray, np.ndarray]:
     """k nearest neighbors of every point among all points.
     Returns (dists (N, k) float32 Euclidean, indices (N, k) int32)."""
-    pts = jnp.asarray(np.asarray(points, np.float32))
+    pts_np = np.asarray(points, np.float32)
+    pts = jnp.asarray(pts_np)
     n = len(points)
     # never ask for more neighbors than exist (sentinel rows would leak
     # out-of-range indices / ~1e9 distances into the results)
     k = max(min(k, n if include_self else n - 1), 1)
-    kk = k if include_self else k + 1
-    kk = min(kk, n)
-    out_d, out_i = [], []
-    for start in range(0, n, q_chunk):
-        q = pts[start : start + q_chunk]
-        d2, idx = _knn_block(q, pts, kk, db_chunk)
-        out_d.append(np.asarray(d2))
-        out_i.append(np.asarray(idx))
-    d2 = np.concatenate(out_d, axis=0)
-    idx = np.concatenate(out_i, axis=0)
-    # mask any sentinel/pad matches (idx outside [0, n))
-    invalid = (idx < 0) | (idx >= n)
-    d2 = np.where(invalid, np.inf, d2)
-    idx = np.where(invalid, -1, idx)
-    if not include_self:
-        # drop each row's self-match: push it to +inf, re-sort, keep first k
-        self_mask = idx == np.arange(n)[:, None]
-        d2 = np.where(self_mask, np.inf, d2)
-        order = np.argsort(d2, axis=1, kind="stable")[:, :k]
-        d2 = np.take_along_axis(d2, order, axis=1)
-        idx = np.take_along_axis(idx, order, axis=1)
-        # a degenerate row (e.g. n == 1) keeps the self index after the
-        # inf push — restore the documented -1 sentinel for inf slots
-        idx = np.where(np.isinf(d2), -1, idx)
-    return np.sqrt(d2), idx
+    kk = min(k if include_self else k + 1, n)
+    idx = _neighbor_indices(
+        pts, n, kk, None, q_chunk, db_chunk, drop_self=not include_self
+    )[:, :k]
+    # distances recomputed host-side from the coordinates (exact same
+    # f32 diff-based formula the device uses)
+    diff = pts_np[:, None, :] - pts_np[np.maximum(idx, 0)]
+    d = np.sqrt(np.sum(diff * diff, axis=-1, dtype=np.float32))
+    d = np.where(idx < 0, np.inf, d)
+    return d, idx
+
+
+def combined_graphs(
+    points: np.ndarray,
+    k: int = 5,
+    radius: float = 160.0,
+    max_degree: int = 64,
+    q_chunk: int = 2048,
+    db_chunk: int = 4096,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """kNN graph AND radius graph from ONE device query (the kNN columns
+    are a prefix of the radius candidates) — halves the device dispatch
+    round-trips, which dominate graph-stage latency on a tunnel-attached
+    chip. Returns (knn_dists (N, k), knn_idx (N, k), edge_index (2, E),
+    edge_dist (E,)) with exactly the ``knn``/``radius_graph`` contracts."""
+    pts_np = np.asarray(points, np.float32)
+    pts = jnp.asarray(pts_np)
+    n = len(points)
+    if n == 0:
+        return (
+            np.zeros((0, k), np.float32), np.zeros((0, k), np.int32),
+            np.zeros((2, 0), np.int64), np.zeros((0,), np.float32),
+        )
+    k = max(min(k, n - 1), 1)
+    kk = min(max(k + 1, max_degree + 1), n)
+    idx = _neighbor_indices(pts, n, kk, None, q_chunk, db_chunk, drop_self=True)
+    diff = pts_np[:, None, :] - pts_np[np.maximum(idx, 0)]
+    d = np.sqrt(np.sum(diff * diff, axis=-1, dtype=np.float32))
+    d = np.where(idx < 0, np.inf, d)
+    knn_d, knn_i = d[:, :k].copy(), idx[:, :k].copy()
+    rmask = (idx[:, :max_degree] >= 0) & (d[:, :max_degree] <= radius)
+    rr, cc = np.nonzero(rmask)
+    if len(rr) == 0:
+        edge_index = np.zeros((2, 0), np.int64)
+        edge_dist = np.zeros((0,), np.float32)
+    else:
+        edge_index = np.stack(
+            [rr.astype(np.int64), idx[rr, cc].astype(np.int64)], axis=0
+        )
+        edge_dist = d[rr, cc].astype(np.float32)
+    return knn_d, knn_i, edge_index, edge_dist
 
 
 def radius_graph(
@@ -117,22 +200,19 @@ def radius_graph(
     """Edges (i→j) for all pairs within ``radius`` (excluding self), degree
     capped at ``max_degree`` nearest. Returns (edge_index (2, E) int64,
     edge_dist (E,) float32) — the notebook's cKDTree ball-query contract."""
-    pts = jnp.asarray(np.asarray(points, np.float32))
+    pts_np = np.asarray(points, np.float32)
+    pts = jnp.asarray(pts_np)
     n = len(points)
-    srcs, dsts, dists = [], [], []
-    for start in range(0, n, q_chunk):
-        q = pts[start : start + q_chunk]
-        d2, idx = _knn_block(q, pts, min(max_degree + 1, n), db_chunk)
-        d = np.sqrt(np.asarray(d2))
-        idx = np.asarray(idx)
-        gids = start + np.arange(d.shape[0])
-        mask = (idx != gids[:, None]) & (d <= radius) & (idx >= 0)
-        rr, cc = np.nonzero(mask)
-        srcs.append((start + rr).astype(np.int64))
-        dsts.append(idx[rr, cc].astype(np.int64))
-        dists.append(d[rr, cc])
-    if not srcs:
+    if n == 0:
         return np.zeros((2, 0), np.int64), np.zeros((0,), np.float32)
-    edge_index = np.stack([np.concatenate(srcs), np.concatenate(dsts)], axis=0)
-    edge_dist = np.concatenate(dists).astype(np.float32)
-    return edge_index, edge_dist
+    idx = _neighbor_indices(
+        pts, n, min(max_degree + 1, n), radius, q_chunk, db_chunk, drop_self=True
+    )[:, :max_degree]
+    rr, cc = np.nonzero(idx >= 0)
+    if len(rr) == 0:
+        return np.zeros((2, 0), np.int64), np.zeros((0,), np.float32)
+    src = rr.astype(np.int64)
+    dst = idx[rr, cc].astype(np.int64)
+    diff = pts_np[src] - pts_np[dst]
+    edge_dist = np.sqrt(np.sum(diff * diff, axis=-1, dtype=np.float32))
+    return np.stack([src, dst], axis=0), edge_dist.astype(np.float32)

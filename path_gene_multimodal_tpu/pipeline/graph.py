@@ -30,7 +30,7 @@ import numpy as np
 import pandas as pd
 
 from path_gene_multimodal_tpu.config import TYPE_NAMES, GraphConfig
-from path_gene_multimodal_tpu.ops.neighbors import knn, radius_graph
+from path_gene_multimodal_tpu.ops.neighbors import combined_graphs, knn, radius_graph
 from path_gene_multimodal_tpu.utils.log import get_logger
 
 MORPH_COLUMNS = (
@@ -104,8 +104,11 @@ def build_cell_graph(
     feature_names = [f"type_{TYPE_NAMES[t]}" for t in sorted(TYPE_NAMES)] + znames
 
     k = min(cfg.knn_k, max(len(df) - 1, 1))
-    knn_d, knn_i = knn(pos_um, k=k)
-    edge_index, edge_dist = radius_graph(pos_um, radius=cfg.radius_um)
+    # one device query serves both graphs (kNN columns are a prefix of the
+    # radius candidates) — halves dispatch round-trips on a remote chip
+    knn_d, knn_i, edge_index, edge_dist = combined_graphs(
+        pos_um, k=k, radius=cfg.radius_um
+    )
 
     artifacts: dict = {}
     if write_artifacts and out_dir is not None:

@@ -6,7 +6,7 @@ import pytest
 from scipy.spatial import cKDTree
 
 from path_gene_multimodal_tpu.config import GraphConfig
-from path_gene_multimodal_tpu.ops.neighbors import knn, radius_graph
+from path_gene_multimodal_tpu.ops.neighbors import combined_graphs, knn, radius_graph
 from path_gene_multimodal_tpu.pipeline.graph import (
     build_cell_graph,
     morphology_features,
@@ -57,6 +57,27 @@ def test_radius_graph_matches_ckdtree(rng):
     # distances correct
     for (a, b), dist in zip(zip(ei[0], ei[1]), ed):
         assert dist == pytest.approx(np.linalg.norm(pts[a] - pts[b]), rel=1e-4, abs=1e-2)
+
+
+def test_combined_graphs_matches_separate(rng):
+    """combined_graphs (one device query) == knn + radius_graph run
+    separately, edge set compared order-insensitively."""
+    pts = rng.uniform(0, 800, size=(400, 2)).astype(np.float32)
+    d1, i1 = knn(pts, k=5)
+    ei1, ed1 = radius_graph(pts, radius=60.0, max_degree=64)
+    d2, i2, ei2, ed2 = combined_graphs(pts, k=5, radius=60.0, max_degree=64)
+    np.testing.assert_allclose(d1, d2, rtol=1e-5, atol=1e-3)
+    np.testing.assert_array_equal(i1, i2)
+    assert ei1.shape == ei2.shape
+    e1 = set(map(tuple, ei1.T.tolist()))
+    e2 = set(map(tuple, ei2.T.tolist()))
+    assert e1 == e2
+    np.testing.assert_allclose(sorted(ed1), sorted(ed2), rtol=1e-5, atol=1e-3)
+
+
+def test_combined_graphs_empty():
+    d, i, ei, ed = combined_graphs(np.zeros((0, 2), np.float32))
+    assert d.shape[0] == 0 and ei.shape == (2, 0)
 
 
 def test_radius_graph_empty():
