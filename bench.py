@@ -68,6 +68,7 @@ def main() -> None:
     from path_gene_multimodal_tpu.models.clip import CLIP_VIT_B16, ImageEncoder
     from path_gene_multimodal_tpu.models.hovernext import HOVERNEXT_TINY
     from path_gene_multimodal_tpu.ops.instances import instance_features_batch
+    from path_gene_multimodal_tpu.ops.pallas.flood import pallas_supported as _pallas_ok
     from path_gene_multimodal_tpu.pipeline.nuclei import NucleiModel
     from path_gene_multimodal_tpu.pipeline.tessellate import iter_tile_batches
 
@@ -145,7 +146,8 @@ def main() -> None:
     def _pp(np_prob, hv, tp):
         lbl = seg._postproc_raw(np_prob, hv)
         feats = instance_features_batch(
-            lbl.astype(jnp.int32), tp, max_instances=seg.max_instances
+            lbl.astype(jnp.int32), tp, max_instances=seg.max_instances,
+            use_pallas=_pallas_ok(),
         )
         return feats["area"], feats["centroid_x"], feats["centroid_y"]
 

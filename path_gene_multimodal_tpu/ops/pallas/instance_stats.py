@@ -1,0 +1,195 @@
+"""Pallas kernel: per-instance statistics via one-hot MXU matmuls.
+
+TPU-native replacement for the scatter formulation in
+``ops.instances.instance_features_batch`` (reference hot loop: per-nucleus
+``regionprops`` on the CPU, ``aggregated_hovernet_run.py:172-198``). XLA
+lowers the ten segment scatters (add/min/max over 2M pixels) to serialized
+HW scatter ops — measured 188 ms for a 32×256² batch on v5e. This kernel
+reformulates segment reduction the MXU way:
+
+- a row-strip's dense one-hot ``(pixels, S)`` is built in VMEM by an iota
+  compare (never touches HBM);
+- all moment sums (count, Σx, Σy, Σx², Σy², Σxy) and per-type votes are ONE
+  f32 matmul ``onehotᵀ @ values`` — f32 operands keep x² (≤ 65025) exact,
+  which bf16 cannot;
+- bbox min/max are masked VPU reduces over the same one-hot;
+- strips accumulate into a per-tile ``(S, C)`` stats block (output block
+  revisited across the strip axis of the grid).
+
+HBM traffic: labels + types read once, ``(B, S, C)`` stats written once.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from path_gene_multimodal_tpu.ops.pallas.convnext_block import (
+    VMEM_LIMIT,
+    _vma_of,
+)
+
+_BIG = 3e38  # python float: a jnp scalar would be a captured tracer constant
+
+# sums channel layout (see kernel): 0 count, 1 Σx, 2 Σy, 3 Σx², 4 Σy²,
+# 5 Σxy, 6.. per-type vote counts (types 1..num_types-1)
+_N_FIXED = 6
+
+
+def _stats_kernel(p: int, w: int, s_slots: int, num_types: int, c_sum: int):
+    """Operates on a flattened pixel strip: lbl/tp blocks are (p, 1) —
+    Mosaic cannot re-lane a (rows, w) → (p, 1) reshape, so the caller
+    flattens in XLA and x/y are rebuilt from a pixel-index iota here."""
+
+    def kernel(lbl_ref, tp_ref, sums_ref, mins_ref):
+        strip = pl.program_id(1)
+
+        lbl = lbl_ref[0]  # (p, 1) int32
+        tp = tp_ref[0]
+
+        ids = jax.lax.broadcasted_iota(jnp.int32, (p, s_slots), 1)
+        onehot = (lbl == ids).astype(jnp.float32)  # (p, S) broadcast compare
+
+        pix = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0) + strip * p
+        xb = (pix % w).astype(jnp.float32)  # (p, 1)
+        yb = (pix // w).astype(jnp.float32)
+
+        # values matrix (p, c_sum) assembled by channel-index select —
+        # Mosaic has no lane-changing reshape/stack for (p,) → (p, 1)
+        cidx = jax.lax.broadcasted_iota(jnp.int32, (p, c_sum), 1)
+        vmat = jnp.where(cidx == 0, 1.0, 0.0)
+        for c, v in ((1, xb), (2, yb), (3, xb * xb), (4, yb * yb), (5, xb * yb)):
+            vmat = jnp.where(cidx == c, v, vmat)
+        for t in range(1, num_types):
+            vmat = jnp.where(
+                (cidx == _N_FIXED + t - 1) & (tp == t), 1.0, vmat
+            )
+
+        # all segment sums in one f32 MXU matmul (contract the pixel dim).
+        # HIGHEST precision: the default bf16-pass f32 matmul loses ULPs
+        # that the second-moment cancellation (Σx² − n·x̄²) amplifies into
+        # garbage eigenvalues for 1-2 pixel instances
+        sums = jax.lax.dot_general(
+            onehot, vmat, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (S, c_sum)
+
+        # bbox extrema: masked reduces over the strip's pixels (min-combine
+        # for all four via negated maxes). Row layout (4, S) keeps the
+        # slot axis on lanes — no cross-lane transpose.
+        sel = onehot > 0
+        xmin = jnp.min(jnp.where(sel, xb, _BIG), axis=0, keepdims=True)
+        ymin = jnp.min(jnp.where(sel, yb, _BIG), axis=0, keepdims=True)
+        nxmax = jnp.min(jnp.where(sel, -xb, _BIG), axis=0, keepdims=True)
+        nymax = jnp.min(jnp.where(sel, -yb, _BIG), axis=0, keepdims=True)
+        ridx = jax.lax.broadcasted_iota(jnp.int32, (4, s_slots), 0)
+        mins = jnp.where(ridx == 0, xmin, 0.0)
+        mins = jnp.where(ridx == 1, ymin, mins)
+        mins = jnp.where(ridx == 2, nxmax, mins)
+        mins = jnp.where(ridx == 3, nymax, mins)
+
+        @pl.when(strip == 0)
+        def _():
+            sums_ref[0] = sums
+            mins_ref[0] = mins
+
+        @pl.when(strip > 0)
+        def _():
+            sums_ref[0] = sums_ref[0] + sums
+            mins_ref[0] = jnp.minimum(mins_ref[0], mins)
+
+    return kernel
+
+
+@partial(
+    jax.jit, static_argnames=("max_instances", "num_types", "rows", "interpret")
+)
+def instance_stats_pallas(
+    inst_maps: jnp.ndarray,
+    type_maps: jnp.ndarray,
+    max_instances: int = 512,
+    num_types: int = 6,
+    rows: int | None = None,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(B, H, W) dense labels + (B, H, W) types → (sums (B, S, c_sum),
+    mins (B, 4, S) rows [xmin, ymin, −xmax, −ymax]). Background slot 0
+    carries background pixels — ``features_from_stats`` zeroes it (same
+    contract as the scatter path's drop of id 0)."""
+    b, h, w = inst_maps.shape
+    if rows is None:
+        rows = next(r for r in (16, 8, 4, 2, 1) if h % r == 0)
+    assert h % rows == 0, (h, rows)
+    c_sum = _N_FIXED + (num_types - 1)
+    # pad the sums lane dim to a multiple of 8 for clean tiling
+    c_sum = ((c_sum + 7) // 8) * 8
+    s = max_instances
+    p = rows * w
+
+    # flatten pixels in XLA — Mosaic has no lane-changing reshape
+    lbl_flat = inst_maps.reshape(b, h * w, 1).astype(jnp.int32)
+    tp_flat = type_maps.reshape(b, h * w, 1).astype(jnp.int32)
+
+    vma = _vma_of(inst_maps)
+    blk = lambda: pl.BlockSpec((1, p, 1), lambda i, j: (i, j, 0))
+    out = pl.pallas_call(
+        _stats_kernel(p, w, s, num_types, c_sum),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, s, c_sum), jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct((b, 4, s), jnp.float32, vma=vma),
+        ),
+        grid=(b, h // rows),
+        in_specs=[blk(), blk()],
+        out_specs=(
+            pl.BlockSpec((1, s, c_sum), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, 4, s), lambda i, j: (i, 0, 0)),
+        ),
+        compiler_params=VMEM_LIMIT,
+        interpret=interpret,
+    )(lbl_flat, tp_flat)
+    return out
+
+
+def features_from_stats(
+    sums: jnp.ndarray, mins: jnp.ndarray, num_types: int
+) -> dict[str, jnp.ndarray]:
+    """(B, S, c_sum) + (B, 4, S) → the ``instance_features_batch`` output
+    dict (plain XLA elementwise on the tiny stats tensors)."""
+    # background slot 0 → zero, matching the scatter path's id-0 drop
+    sums = sums.at[:, 0, :].set(0.0)
+    area = sums[..., 0]
+    safe = jnp.maximum(area, 1.0)
+    cx = sums[..., 1] / safe
+    cy = sums[..., 2] / safe
+    mu_xx = sums[..., 3] / safe - cx * cx
+    mu_yy = sums[..., 4] / safe - cy * cy
+    mu_xy = sums[..., 5] / safe - cx * cy
+    common = jnp.sqrt(jnp.maximum(((mu_xx - mu_yy) / 2) ** 2 + mu_xy**2, 0.0))
+    lam1 = jnp.maximum((mu_xx + mu_yy) / 2 + common, 0.0)
+    lam2 = jnp.maximum((mu_xx + mu_yy) / 2 - common, 0.0)
+    votes = sums[..., _N_FIXED : _N_FIXED + num_types - 1]
+    inst_type = jnp.where(
+        jnp.sum(votes, axis=-1) > 0, jnp.argmax(votes, axis=-1) + 1, 0
+    ).astype(jnp.int32)
+    live = area > 0
+    z = jnp.zeros_like(area)
+    return {
+        "area": area,
+        "centroid_x": jnp.where(live, cx, 0.0),
+        "centroid_y": jnp.where(live, cy, 0.0),
+        "bbox_xmin": jnp.where(live, mins[:, 0, :], z),
+        "bbox_ymin": jnp.where(live, mins[:, 1, :], z),
+        "bbox_xmax": jnp.where(live, -mins[:, 2, :] + 1.0, z),
+        "bbox_ymax": jnp.where(live, -mins[:, 3, :] + 1.0, z),
+        "type": inst_type,
+        "major_axis": 4.0 * jnp.sqrt(lam1),
+        "minor_axis": 4.0 * jnp.sqrt(lam2),
+        "eccentricity": jnp.sqrt(
+            jnp.maximum(1.0 - lam2 / jnp.maximum(lam1, 1e-12), 0.0)
+        ),
+        "orientation": 0.5 * jnp.arctan2(2.0 * mu_xy, mu_xx - mu_yy),
+    }

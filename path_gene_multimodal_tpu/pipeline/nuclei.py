@@ -52,6 +52,7 @@ from path_gene_multimodal_tpu.ops.instances import (
     instance_features,
     instance_features_batch,
 )
+from path_gene_multimodal_tpu.ops.pallas.flood import pallas_supported as _pallas_ok
 from path_gene_multimodal_tpu.utils.log import get_logger
 
 # single source of truth for the frozen annotations-CSV contract
@@ -278,6 +279,7 @@ def run_hovernet_pipeline_on_wsi_tiles(
             for k, v in instance_features_batch(
                 jnp.asarray(insts), jnp.asarray(typs),
                 max_instances=model.max_instances,
+                use_pallas=_pallas_ok(),
             ).items()
         }
         for bi, (x, y) in enumerate(chunk):

@@ -206,6 +206,7 @@ def run_hovernext_wsi(
         return out
 
     from path_gene_multimodal_tpu.ops.instances import instance_features_batch
+    from path_gene_multimodal_tpu.ops.pallas.flood import pallas_supported as _pallas_ok
 
     import jax.numpy as jnp
 
@@ -223,6 +224,7 @@ def run_hovernext_wsi(
             for k, v in instance_features_batch(
                 jnp.asarray(inst_np), jnp.asarray(type_np),
                 max_instances=model.max_instances,
+                use_pallas=_pallas_ok(),
             ).items()
         }
         for bi, (wx, wy) in enumerate(chunk):

@@ -257,9 +257,11 @@ def test_instance_features_batch_matches_single(rng):
 def test_compact_labels_device_matches_host(rng):
     from path_gene_multimodal_tpu.ops.instances import compact_labels_device
 
+    # raw min-index labels: each value is the linear index of the region's
+    # min pixel (the producers' root-pixel identity — see the docstring)
     lbl = np.full((2, 16, 16), int(INF), np.int32)
-    lbl[0, 2:5, 2:5] = 40   # raw min-index style labels
-    lbl[0, 10:12, 3:6] = 163
+    lbl[0, 2:5, 2:5] = 2 * 16 + 2     # 34
+    lbl[0, 10:12, 3:6] = 10 * 16 + 3  # 163
     lbl[1, 0:4, 0:4] = 0
     dense = np.asarray(compact_labels_device(jnp.asarray(lbl)))
     assert dense.dtype == np.uint16

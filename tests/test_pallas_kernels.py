@@ -103,6 +103,60 @@ def test_remove_small_objects_pallas_parity(rng):
     np.testing.assert_array_equal(keep_pl, keep_ref)
 
 
+def test_instance_stats_pallas_matches_scatter(rng):
+    """One-hot-matmul instance stats (interpret) == the scatter path, on a
+    workload with multi-strip instances, types, and empty slots."""
+    from path_gene_multimodal_tpu.ops.instances import instance_features_batch
+    from path_gene_multimodal_tpu.ops.pallas.instance_stats import (
+        features_from_stats,
+        instance_stats_pallas,
+    )
+
+    b, s, max_inst = 2, 64, 32
+    lbl = np.zeros((b, s, s), np.int32)
+    tp = np.zeros((b, s, s), np.int32)
+    for bi in range(b):
+        for inst in range(1, 20):
+            cy, cx = rng.integers(4, s - 4, 2)
+            r = int(rng.integers(2, 6))
+            yy, xx = np.mgrid[0:s, 0:s]
+            m = (yy - cy) ** 2 + (xx - cx) ** 2 <= r * r
+            lbl[bi][m] = inst
+            tp[bi][m] = int(rng.integers(1, 6))
+    # an id beyond max_instances must be dropped in both paths
+    lbl[0, 0:2, 0:2] = max_inst + 5
+
+    ref = instance_features_batch(
+        jnp.asarray(lbl), jnp.asarray(tp), max_instances=max_inst
+    )
+    sums, mins = instance_stats_pallas(
+        jnp.asarray(lbl), jnp.asarray(tp), max_inst, interpret=True
+    )
+    got = features_from_stats(sums, mins, num_types=6)
+    assert set(got) == set(ref)
+    for k in ref:
+        np.testing.assert_allclose(
+            np.asarray(got[k]), np.asarray(ref[k]), atol=1e-3, rtol=1e-4,
+            err_msg=k,
+        )
+
+
+def test_instance_stats_pallas_empty(rng):
+    from path_gene_multimodal_tpu.ops.instances import instance_features_batch
+    from path_gene_multimodal_tpu.ops.pallas.instance_stats import (
+        features_from_stats,
+        instance_stats_pallas,
+    )
+
+    lbl = np.zeros((1, 32, 32), np.int32)
+    tp = np.zeros((1, 32, 32), np.int32)
+    ref = instance_features_batch(jnp.asarray(lbl), jnp.asarray(tp), max_instances=16)
+    sums, mins = instance_stats_pallas(jnp.asarray(lbl), jnp.asarray(tp), 16, interpret=True)
+    got = features_from_stats(sums, mins, num_types=6)
+    for k in ref:
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(ref[k]), atol=1e-4, err_msg=k)
+
+
 def test_hover_instances_batch_consistent(rng):
     """Batched postproc (XLA path) == per-tile hover_instances."""
     from tests.test_hovernext import _two_blob_fixture
