@@ -125,6 +125,24 @@ def component_sizes(lbl: jnp.ndarray) -> jnp.ndarray:
     return sizes.reshape(h, w)
 
 
+@jax.jit
+def component_sizes_batch(lbl: jnp.ndarray) -> jnp.ndarray:
+    """Batched ``component_sizes``: (B, H, W) → (B, H, W). One flat
+    scatter/gather over B·(H·W+1) slots (tile offsets) — a vmapped
+    scatter lowers to B serialized HW scatters on TPU (measured 2×
+    slower at batch 32)."""
+    b, h, w = lbl.shape
+    n = h * w
+    flat = lbl.reshape(b, n)
+    fg = flat < INF
+    off = jnp.arange(b, dtype=jnp.int32)[:, None] * (n + 1)
+    target = jnp.where(fg, flat + off, b * (n + 1)).reshape(-1)
+    counts = jnp.zeros(b * (n + 1) + 1, jnp.int32).at[target].add(1, mode="drop")
+    gather_ix = jnp.where(fg, flat + off, 0).reshape(-1)
+    sizes = jnp.where(fg.reshape(-1), counts[gather_ix], 0)
+    return sizes.reshape(b, h, w)
+
+
 @partial(jax.jit, static_argnames=("connectivity", "use_pallas"))
 def remove_small_objects(
     mask: jnp.ndarray, min_size: int, connectivity: int = 1, use_pallas: bool = False

@@ -1,0 +1,181 @@
+"""Pallas kernel: connected components + per-pixel component sizes.
+
+``hover_instances_batch`` needs CC labels AND a per-pixel component-size
+map twice per batch (object filter, marker filter). The XLA
+``component_sizes`` is a segment scatter + gather over 65k slots that the
+TPU serializes (~70 ms at batch 32 even flat-batched). This kernel
+computes both VMEM-resident, scatter- and gather-free:
+
+1. the CC min-label fixpoint (same segmented-scan relax as ``cc.py``);
+2. root ranks: ``is_root = lbl == pixel_index`` (root-pixel identity) and
+   a row-major inclusive cumsum built from lane- then sublane-shift adds
+   (Hillis-Steele, log₂W + log₂H steps);
+3. ``roots_vec[s]`` = pixel index of the s-th root — accumulated by a
+   chunked one-hot against the rank values (no gather: at most one root
+   matches each slot, so a masked sum IS the lookup);
+4. per-slot counts = Σ pixels whose label equals ``roots_vec[s]`` —
+   chunked broadcast compare + lane-preserving reduce;
+5. per-pixel sizes = Σₛ (lbl == roots_vec[s]) · counts[s] — the same
+   compare re-used as a mask against the counts row.
+
+Components beyond ``s_slots`` (default 4096 per 256² tile — reachable
+only by pathological speckle masks) match no slot and get size 0, i.e.
+they are dropped by any ≥1 size threshold; documented failure mode.
+
+Reference workload: the size filters of HoVer-Net post-processing
+(``hovernet_inference.py:188-206`` post-proc chain).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from path_gene_multimodal_tpu.ops.components import INF
+from path_gene_multimodal_tpu.ops.pallas.cc import _INF32, _relax_fixpoint
+from path_gene_multimodal_tpu.ops.pallas.convnext_block import (
+    VMEM_LIMIT,
+    _vma_of,
+)
+from path_gene_multimodal_tpu.ops.pallas.flood import _roll_axis
+
+
+def _shift_fill0(x: jnp.ndarray, dist: int, axis: int) -> jnp.ndarray:
+    """x shifted so out[i] = x[i - dist] (0-fill) — Hillis-Steele step."""
+    h, w = x.shape
+    out = _roll_axis(x, dist, axis)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (h, w), axis)
+    return jnp.where(idx < dist, jnp.zeros_like(x), out)
+
+
+def _cumsum_rowmajor(x: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive row-major cumsum of an (H, W) f32 array via shift-adds."""
+    h, w = x.shape
+    for k in range((w - 1).bit_length()):
+        x = x + _shift_fill0(x, 1 << k, axis=1)
+    # row offsets: exclusive cumsum (over sublanes) of the row totals
+    tot = jax.lax.slice(x, (0, w - 1), (h, w))  # (h, 1) inclusive row sums
+    run = tot
+    for k in range((h - 1).bit_length()):
+        run = run + _shift_fill0(run, 1 << k, axis=0)
+    return x + (run - tot)  # broadcast (h, 1) over lanes
+
+
+def _cc_sizes_kernel(
+    h: int, w: int, s_slots: int, connectivity: int, max_iters: int,
+    chunk: int,
+):
+    n_chunks = h // chunk
+
+    def kernel(mask_ref, lbl_ref, sizes_ref, slot_s, lblf_s):
+        mask = mask_ref[0] > 0
+        rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+        pix = rows * w + cols
+        lbl0 = jnp.where(mask, pix, _INF32)
+        lbl = _relax_fixpoint(mask, lbl0, connectivity, max_iters)
+        lbl_ref[0] = lbl
+
+        is_root = mask & (lbl == pix)
+        ranks = _cumsum_rowmajor(is_root.astype(jnp.float32))  # inclusive
+        # 0-based slot of each root; -1 elsewhere (and for overflow ranks).
+        # Stashed in VMEM scratch so the chunk loops can pl.ds-slice them
+        # (fori_loop bodies keep the program small; Mosaic has no
+        # value-level dynamic_slice and a 3×n_chunks static unroll blows
+        # Mosaic compile time up past 15 minutes).
+        slot_s[...] = jnp.where(is_root, ranks - 1.0, -1.0)
+        lblf_s[...] = lbl.astype(jnp.float32)  # exact: labels < 2^24
+
+        iota_s = jax.lax.broadcasted_iota(
+            jnp.int32, (1, 1, s_slots), 2
+        ).astype(jnp.float32)  # Mosaic iota must be integer; cast after
+
+        def pix_chunk(i):
+            base = (
+                jax.lax.broadcasted_iota(jnp.int32, (chunk, w), 0) * w
+                + jax.lax.broadcasted_iota(jnp.int32, (chunk, w), 1)
+            )
+            return (base + i * chunk * w).astype(jnp.float32)
+
+        # pass 1: roots_vec[s] = pixel index of root with rank s (+ presence)
+        zero_s = jnp.zeros((1, 1, s_slots), jnp.float32)
+
+        def body_roots(i, carry):
+            rv_sum, rv_cnt = carry
+            oh = (
+                slot_s[pl.ds(i * chunk, chunk), :][:, :, None] == iota_s
+            ).astype(jnp.float32)
+            rv_sum = rv_sum + jnp.sum(
+                oh * pix_chunk(i)[:, :, None], axis=(0, 1), keepdims=True
+            )
+            rv_cnt = rv_cnt + jnp.sum(oh, axis=(0, 1), keepdims=True)
+            return rv_sum, rv_cnt
+
+        rv_sum, rv_cnt = jax.lax.fori_loop(
+            0, n_chunks, body_roots, (zero_s, zero_s)
+        )
+        roots_vec = jnp.where(rv_cnt > 0, rv_sum, -1.0)  # (1, 1, S)
+
+        # pass 2: counts[s] = #pixels labeled roots_vec[s]
+        def body_counts(i, counts):
+            member = (
+                lblf_s[pl.ds(i * chunk, chunk), :][:, :, None] == roots_vec
+            ).astype(jnp.float32)
+            return counts + jnp.sum(member, axis=(0, 1), keepdims=True)
+
+        counts = jax.lax.fori_loop(0, n_chunks, body_counts, zero_s)
+
+        # pass 3: per-pixel size = counts of the pixel's own component
+        def body_sizes(i, _):
+            member = (
+                lblf_s[pl.ds(i * chunk, chunk), :][:, :, None] == roots_vec
+            ).astype(jnp.float32)
+            sz = jnp.sum(member * counts, axis=2)  # (chunk, w)
+            sizes_ref[0, pl.ds(i * chunk, chunk), :] = sz.astype(jnp.int32)
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks, body_sizes, 0)
+
+    return kernel
+
+
+@partial(
+    jax.jit,
+    static_argnames=("connectivity", "s_slots", "max_iters", "chunk", "interpret"),
+)
+def pallas_cc_sizes(
+    mask: jnp.ndarray,
+    connectivity: int = 1,
+    s_slots: int = 4096,
+    max_iters: int = 128,
+    chunk: int = 8,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched (B, H, W) bool mask → (labels (B, H, W) int32 [INF bg,
+    ``label_components`` contract], sizes (B, H, W) int32 [0 bg,
+    ``component_sizes`` contract — up to ``s_slots`` components/tile])."""
+    b, h, w = mask.shape
+    assert h % chunk == 0, (h, chunk)
+    vma = _vma_of(mask)
+    blk = lambda: pl.BlockSpec((1, h, w), lambda i: (i, 0, 0))
+    lbl, sizes = pl.pallas_call(
+        _cc_sizes_kernel(h, w, s_slots, connectivity, max_iters, chunk),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h, w), jnp.int32, vma=vma),
+            jax.ShapeDtypeStruct((b, h, w), jnp.int32, vma=vma),
+        ),
+        grid=(b,),
+        in_specs=[blk()],
+        out_specs=(blk(), blk()),
+        scratch_shapes=[
+            pltpu.VMEM((h, w), jnp.float32),
+            pltpu.VMEM((h, w), jnp.float32),
+        ],
+        compiler_params=VMEM_LIMIT,
+        interpret=interpret,
+    )(mask.astype(jnp.int32))
+    return jnp.where(lbl >= _INF32, INF, lbl), sizes

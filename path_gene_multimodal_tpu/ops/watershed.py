@@ -174,21 +174,32 @@ def hover_instances_batch(
     VMEM-resident Pallas kernel (2-3× faster than the vmapped XLA flood);
     mask/marker preparation stays vmapped XLA either way."""
 
-    if use_pallas:
-        from path_gene_multimodal_tpu.ops.pallas.cc import pallas_label_components
-
-        label_b = lambda m: pallas_label_components(m, 1)
-    else:
-        label_b = jax.vmap(lambda m: label_components(m, 1))
-    sizes_b = jax.vmap(component_sizes)
     energy_b = jax.vmap(lambda h, v, b: hv_energy(h, v, b))
 
     blb = np_prob > np_threshold
-    blb = blb & (sizes_b(label_b(blb)) >= min_object_size)
-    overall, dist = energy_b(hv[..., 0], hv[..., 1], blb)
-    marker_mask = blb & (overall < marker_threshold)
-    marker_lbl = label_b(marker_mask)
-    markers = jnp.where(sizes_b(marker_lbl) >= min_marker_size, marker_lbl, INF)
+    if use_pallas:
+        # fused CC+sizes kernel: labels and the per-pixel size map in one
+        # VMEM residency, no TPU segment scatter/gather
+        from path_gene_multimodal_tpu.ops.pallas.cc_sizes import pallas_cc_sizes
+
+        _, blb_sizes = pallas_cc_sizes(blb, 1)
+        blb = blb & (blb_sizes >= min_object_size)
+        overall, dist = energy_b(hv[..., 0], hv[..., 1], blb)
+        marker_mask = blb & (overall < marker_threshold)
+        marker_lbl, marker_sizes = pallas_cc_sizes(marker_mask, 1)
+        markers = jnp.where(marker_sizes >= min_marker_size, marker_lbl, INF)
+    else:
+        from path_gene_multimodal_tpu.ops.components import component_sizes_batch
+
+        label_b = jax.vmap(lambda m: label_components(m, 1))
+        sizes_b = component_sizes_batch
+        blb = blb & (sizes_b(label_b(blb)) >= min_object_size)
+        overall, dist = energy_b(hv[..., 0], hv[..., 1], blb)
+        marker_mask = blb & (overall < marker_threshold)
+        marker_lbl = label_b(marker_mask)
+        markers = jnp.where(
+            sizes_b(marker_lbl) >= min_marker_size, marker_lbl, INF
+        )
     if use_pallas:
         from path_gene_multimodal_tpu.ops.pallas.flood import pallas_marker_watershed
 

@@ -103,6 +103,65 @@ def test_remove_small_objects_pallas_parity(rng):
     np.testing.assert_array_equal(keep_pl, keep_ref)
 
 
+@pytest.mark.parametrize("connectivity", [1, 2])
+def test_pallas_cc_sizes_matches_xla(rng, connectivity):
+    """Fused CC+sizes kernel (interpret) == label_components +
+    component_sizes, including multi-chunk components and empty tiles."""
+    from path_gene_multimodal_tpu.ops.components import (
+        component_sizes,
+        label_components,
+    )
+    from path_gene_multimodal_tpu.ops.pallas.cc_sizes import pallas_cc_sizes
+
+    b, h, w = 2, 32, 48
+    mask = rng.random((b, h, w)) > 0.6
+    mask[0, 5, :] = True  # a row crossing every chunk
+    mask[1] = False       # empty tile
+    lbl, sizes = pallas_cc_sizes(
+        jnp.asarray(mask), connectivity, s_slots=256, chunk=8, interpret=True
+    )
+    for bi in range(b):
+        ref_l = label_components(jnp.asarray(mask[bi]), connectivity)
+        np.testing.assert_array_equal(np.asarray(lbl[bi]), np.asarray(ref_l))
+        np.testing.assert_array_equal(
+            np.asarray(sizes[bi]), np.asarray(component_sizes(ref_l))
+        )
+
+
+def test_pallas_cc_sizes_slot_overflow(rng):
+    """Components beyond s_slots get size 0 (documented degradation)."""
+    from path_gene_multimodal_tpu.ops.pallas.cc_sizes import pallas_cc_sizes
+
+    mask = np.zeros((1, 16, 16), bool)
+    mask[0, ::2, ::2] = True  # 64 isolated pixels
+    _, sizes = pallas_cc_sizes(
+        jnp.asarray(mask), 1, s_slots=16, chunk=8, interpret=True
+    )
+    s = np.asarray(sizes[0])[mask[0]]
+    assert (s == 1).sum() == 16 and (s == 0).sum() == 48
+
+
+def test_hover_instances_batch_pallas_sizes_path(rng):
+    """use_pallas=True watershed (with the fused CC+sizes kernel,
+    interpret-incompatible parts aside) == use_pallas=False on CPU via
+    the components only — full-path equality is covered on TPU."""
+    from path_gene_multimodal_tpu.ops.components import (
+        component_sizes,
+        label_components,
+    )
+    from path_gene_multimodal_tpu.ops.pallas.cc_sizes import pallas_cc_sizes
+
+    mask = rng.random((3, 64, 64)) > 0.7
+    # s_slots must cover the component count (speckle masks can exceed
+    # 512 in 64² — the documented overflow would zero their sizes)
+    lbl, sizes = pallas_cc_sizes(jnp.asarray(mask), 1, s_slots=2048, interpret=True)
+    for bi in range(3):
+        ref_l = label_components(jnp.asarray(mask[bi]), 1)
+        keep_ref = np.asarray(mask[bi]) & (np.asarray(component_sizes(ref_l)) >= 10)
+        keep_got = np.asarray(mask[bi]) & (np.asarray(sizes[bi]) >= 10)
+        np.testing.assert_array_equal(keep_got, keep_ref)
+
+
 def test_instance_stats_pallas_matches_scatter(rng):
     """One-hot-matmul instance stats (interpret) == the scatter path, on a
     workload with multi-strip instances, types, and empty slots."""
