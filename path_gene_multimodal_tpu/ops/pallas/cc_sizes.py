@@ -65,13 +65,25 @@ def _cumsum_rowmajor(x: jnp.ndarray) -> jnp.ndarray:
     return x + (run - tot)  # broadcast (h, 1) over lanes
 
 
+def _cumsum_lane3(v: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive cumsum along axis 2 of a (1, 1, S) f32 vector
+    (Hillis-Steele lane shift-adds)."""
+    s = v.shape[2]
+    for k in range((s - 1).bit_length()):
+        d = 1 << k
+        sh = _roll_axis(v, d, 2)
+        idx = jax.lax.broadcasted_iota(jnp.int32, v.shape, 2)
+        v = v + jnp.where(idx < d, 0.0, sh)
+    return v
+
+
 def _cc_sizes_kernel(
     h: int, w: int, s_slots: int, connectivity: int, max_iters: int,
-    chunk: int,
+    chunk: int, min_size: int,
 ):
     n_chunks = h // chunk
 
-    def kernel(mask_ref, lbl_ref, sizes_ref, slot_s, lblf_s):
+    def kernel(mask_ref, lbl_ref, sizes_ref, dense_ref, slot_s, lblf_s):
         mask = mask_ref[0] > 0
         rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
@@ -129,13 +141,24 @@ def _cc_sizes_kernel(
 
         counts = jax.lax.fori_loop(0, n_chunks, body_counts, zero_s)
 
-        # pass 3: per-pixel size = counts of the pixel's own component
+        # dense re-ranking of the components that PASS the size filter:
+        # newrank[s] = cumsum of keep over slots (1-based); feeding these
+        # to the flood makes the watershed output already-compact, so the
+        # downstream gather-based label compaction disappears
+        keep = jnp.where(
+            (counts >= float(min_size)) & (rv_cnt > 0), 1.0, 0.0
+        )
+        newrank = _cumsum_lane3(keep) * keep  # 0 for dropped slots
+
+        # pass 3: per-pixel size + dense id via the same membership mask
         def body_sizes(i, _):
             member = (
                 lblf_s[pl.ds(i * chunk, chunk), :][:, :, None] == roots_vec
             ).astype(jnp.float32)
             sz = jnp.sum(member * counts, axis=2)  # (chunk, w)
             sizes_ref[0, pl.ds(i * chunk, chunk), :] = sz.astype(jnp.int32)
+            dn = jnp.sum(member * newrank, axis=2)
+            dense_ref[0, pl.ds(i * chunk, chunk), :] = dn.astype(jnp.int32)
             return 0
 
         jax.lax.fori_loop(0, n_chunks, body_sizes, 0)
@@ -145,7 +168,9 @@ def _cc_sizes_kernel(
 
 @partial(
     jax.jit,
-    static_argnames=("connectivity", "s_slots", "max_iters", "chunk", "interpret"),
+    static_argnames=(
+        "connectivity", "s_slots", "max_iters", "chunk", "min_size", "interpret",
+    ),
 )
 def pallas_cc_sizes(
     mask: jnp.ndarray,
@@ -153,24 +178,29 @@ def pallas_cc_sizes(
     s_slots: int = 4096,
     max_iters: int = 128,
     chunk: int = 8,
+    min_size: int = 0,
     interpret: bool = False,
-) -> tuple[jnp.ndarray, jnp.ndarray]:
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Batched (B, H, W) bool mask → (labels (B, H, W) int32 [INF bg,
     ``label_components`` contract], sizes (B, H, W) int32 [0 bg,
-    ``component_sizes`` contract — up to ``s_slots`` components/tile])."""
+    ``component_sizes`` contract — up to ``s_slots`` components/tile],
+    dense (B, H, W) int32 [1..N ids of the components with size ≥
+    ``min_size``, ordered by root pixel index — exactly
+    ``compact_labels_device``'s ordering; 0 elsewhere])."""
     b, h, w = mask.shape
     assert h % chunk == 0, (h, chunk)
     vma = _vma_of(mask)
     blk = lambda: pl.BlockSpec((1, h, w), lambda i: (i, 0, 0))
-    lbl, sizes = pl.pallas_call(
-        _cc_sizes_kernel(h, w, s_slots, connectivity, max_iters, chunk),
+    lbl, sizes, dense = pl.pallas_call(
+        _cc_sizes_kernel(h, w, s_slots, connectivity, max_iters, chunk, min_size),
         out_shape=(
+            jax.ShapeDtypeStruct((b, h, w), jnp.int32, vma=vma),
             jax.ShapeDtypeStruct((b, h, w), jnp.int32, vma=vma),
             jax.ShapeDtypeStruct((b, h, w), jnp.int32, vma=vma),
         ),
         grid=(b,),
         in_specs=[blk()],
-        out_specs=(blk(), blk()),
+        out_specs=(blk(), blk(), blk()),
         scratch_shapes=[
             pltpu.VMEM((h, w), jnp.float32),
             pltpu.VMEM((h, w), jnp.float32),
@@ -178,4 +208,4 @@ def pallas_cc_sizes(
         compiler_params=VMEM_LIMIT,
         interpret=interpret,
     )(mask.astype(jnp.int32))
-    return jnp.where(lbl >= _INF32, INF, lbl), sizes
+    return jnp.where(lbl >= _INF32, INF, lbl), sizes, dense

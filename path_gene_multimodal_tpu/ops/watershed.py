@@ -157,7 +157,10 @@ def hover_instances(
 
 @partial(
     jax.jit,
-    static_argnames=("min_object_size", "min_marker_size", "levels", "use_pallas"),
+    static_argnames=(
+        "min_object_size", "min_marker_size", "levels", "use_pallas", "dense",
+        "interpret",
+    ),
 )
 def hover_instances_batch(
     np_prob: jnp.ndarray,
@@ -168,12 +171,21 @@ def hover_instances_batch(
     min_marker_size: int = 3,
     levels: int = 64,
     use_pallas: bool = False,
+    dense: bool = False,
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """Batched ``hover_instances``: (B, H, W) probs + (B, H, W, 2) HV →
     (B, H, W) labels. When ``use_pallas`` (TPU), the flood runs in the
     VMEM-resident Pallas kernel (2-3× faster than the vmapped XLA flood);
-    mask/marker preparation stays vmapped XLA either way."""
+    mask/marker preparation stays vmapped XLA either way.
 
+    ``dense`` (use_pallas only): label values are already-compact ids
+    1..N (INF bg) instead of min-pixel-index labels — saves the
+    downstream ``compact_labels_device`` gather; same partition and id
+    ordering."""
+
+    if dense and not use_pallas:
+        raise ValueError("dense labels require the Pallas path (use_pallas=True)")
     energy_b = jax.vmap(lambda h, v, b: hv_energy(h, v, b))
 
     blb = np_prob > np_threshold
@@ -182,12 +194,27 @@ def hover_instances_batch(
         # VMEM residency, no TPU segment scatter/gather
         from path_gene_multimodal_tpu.ops.pallas.cc_sizes import pallas_cc_sizes
 
-        _, blb_sizes = pallas_cc_sizes(blb, 1)
+        _, blb_sizes, _ = pallas_cc_sizes(blb, 1, interpret=interpret)
         blb = blb & (blb_sizes >= min_object_size)
         overall, dist = energy_b(hv[..., 0], hv[..., 1], blb)
         marker_mask = blb & (overall < marker_threshold)
-        marker_lbl, marker_sizes = pallas_cc_sizes(marker_mask, 1)
-        markers = jnp.where(marker_sizes >= min_marker_size, marker_lbl, INF)
+        if dense:
+            # flood already-dense marker ids (1..N by root pixel order, the
+            # exact compact_labels_device ordering) — the watershed output
+            # needs NO gather-based compaction afterwards. Min-propagation
+            # is order-preserving under this monotone relabeling, so the
+            # partition is identical to the min-index flood.
+            _, _, marker_dense = pallas_cc_sizes(
+                marker_mask, 1, min_size=min_marker_size, interpret=interpret
+            )
+            markers = jnp.where(marker_dense > 0, marker_dense, INF)
+        else:
+            marker_lbl, marker_sizes, _ = pallas_cc_sizes(
+                marker_mask, 1, interpret=interpret
+            )
+            markers = jnp.where(
+                marker_sizes >= min_marker_size, marker_lbl, INF
+            )
     else:
         from path_gene_multimodal_tpu.ops.components import component_sizes_batch
 
@@ -203,7 +230,9 @@ def hover_instances_batch(
     if use_pallas:
         from path_gene_multimodal_tpu.ops.pallas.flood import pallas_marker_watershed
 
-        return pallas_marker_watershed(dist, markers, blb, levels=levels)
+        return pallas_marker_watershed(
+            dist, markers, blb, levels=levels, interpret=interpret
+        )
     return jax.vmap(lambda d, m, k: marker_watershed(d, m, k, levels=levels))(
         dist, markers, blb
     )

@@ -139,7 +139,12 @@ class NucleiModel:
                 np_threshold=self.np_threshold,
                 marker_threshold=self.marker_threshold,
                 use_pallas=use_pallas,
+                dense=use_pallas,
             )
+            if use_pallas:
+                # the Pallas watershed already flooded dense 1..N ids —
+                # just zero the INF background (no compaction gather)
+                return jnp.where(lbl < 2**30, lbl, 0).astype(jnp.uint16)
             from path_gene_multimodal_tpu.ops.instances import compact_labels_device
 
             # dense uint16 labels computed ON DEVICE: kills the per-tile

@@ -32,6 +32,9 @@ def small_slide():
     return synthetic_wsi(width=2048, height=1536, seed=7, n_blobs=3, nuclei_per_blob=60)
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # function-scoped: every test sees the same stream it sees when run in
+    # isolation — a shared session stream made data (and pass/fail, for
+    # tolerance- or slot-count-sensitive tests) depend on execution order
     return np.random.default_rng(0)

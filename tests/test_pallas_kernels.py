@@ -117,7 +117,7 @@ def test_pallas_cc_sizes_matches_xla(rng, connectivity):
     mask = rng.random((b, h, w)) > 0.6
     mask[0, 5, :] = True  # a row crossing every chunk
     mask[1] = False       # empty tile
-    lbl, sizes = pallas_cc_sizes(
+    lbl, sizes, _ = pallas_cc_sizes(
         jnp.asarray(mask), connectivity, s_slots=256, chunk=8, interpret=True
     )
     for bi in range(b):
@@ -134,7 +134,7 @@ def test_pallas_cc_sizes_slot_overflow(rng):
 
     mask = np.zeros((1, 16, 16), bool)
     mask[0, ::2, ::2] = True  # 64 isolated pixels
-    _, sizes = pallas_cc_sizes(
+    _, sizes, _ = pallas_cc_sizes(
         jnp.asarray(mask), 1, s_slots=16, chunk=8, interpret=True
     )
     s = np.asarray(sizes[0])[mask[0]]
@@ -154,12 +154,31 @@ def test_hover_instances_batch_pallas_sizes_path(rng):
     mask = rng.random((3, 64, 64)) > 0.7
     # s_slots must cover the component count (speckle masks can exceed
     # 512 in 64² — the documented overflow would zero their sizes)
-    lbl, sizes = pallas_cc_sizes(jnp.asarray(mask), 1, s_slots=2048, interpret=True)
+    lbl, sizes, _ = pallas_cc_sizes(jnp.asarray(mask), 1, s_slots=2048, interpret=True)
     for bi in range(3):
         ref_l = label_components(jnp.asarray(mask[bi]), 1)
         keep_ref = np.asarray(mask[bi]) & (np.asarray(component_sizes(ref_l)) >= 10)
         keep_got = np.asarray(mask[bi]) & (np.asarray(sizes[bi]) >= 10)
         np.testing.assert_array_equal(keep_got, keep_ref)
+
+
+def test_hover_dense_flood_matches_compacted(rng):
+    """dense=True watershed (flooding pre-compacted marker ids) ==
+    compact_labels_device(min-index flood) — same partition, same 1..N
+    ordering (by root pixel index)."""
+    from path_gene_multimodal_tpu.ops.instances import compact_labels_device
+    from tests.test_hovernext import _two_blob_fixture
+
+    np_prob, hv, _ = _two_blob_fixture()
+    np_b = jnp.asarray(np.stack([np_prob, np_prob]))
+    hv_b = jnp.asarray(np.stack([hv, hv]))
+    lbl_min = ws.hover_instances_batch(np_b, hv_b, use_pallas=True, interpret=True)
+    ref = np.asarray(compact_labels_device(lbl_min))
+    lbl_dense = ws.hover_instances_batch(
+        np_b, hv_b, use_pallas=True, dense=True, interpret=True
+    )
+    got = np.asarray(jnp.where(lbl_dense < 2**30, lbl_dense, 0)).astype(np.uint16)
+    np.testing.assert_array_equal(got, ref)
 
 
 def test_instance_stats_pallas_matches_scatter(rng):
