@@ -102,14 +102,16 @@ def main() -> None:
     decode_rate = _median_rate(run_decode, len(grid))
     native_on = TiffTileSlide(svs_path)._native is not None
 
-    embed_batch = 128
+    # stage batch sizes = the pipeline defaults (config.py), which sit at
+    # the measured v5e throughput knees
+    embed_batch = 512
     tiles224 = np.stack(
         [
             slide.read_region((int(x), int(y)), 0, (224, 224))
             for x, y in rng.integers(0, 4096 - 224, size=(embed_batch, 2))
         ]
     )
-    nuclei_batch = 32
+    nuclei_batch = 64
     tiles256 = np.stack(
         [
             slide.read_region((int(x), int(y)), 0, (256, 256))
@@ -117,7 +119,7 @@ def main() -> None:
         ]
     )
 
-    # --- embed stage: CLIP ViT-B/16 bf16, batch 128 ------------------------
+    # --- embed stage: CLIP ViT-B/16 bf16 (batch = config knee) -------------
     encoder = ImageEncoder(CLIP_VIT_B16, dtype=jnp.bfloat16, seed=0)
     tiles224_dev = jnp.asarray(tiles224)
 
@@ -191,7 +193,7 @@ def main() -> None:
             {
                 "metric": "tiles_per_sec_per_chip_e2e",
                 "value": round(combined, 2),
-                "unit": "tiles/s/chip (JPEG decode + embed ViT-B/16 bf16 b128 + HoverNeXt tiny TTAx4 + watershed + instance features + kNN/radius graph)",
+                "unit": "tiles/s/chip (JPEG decode + embed ViT-B/16 bf16 b512 + HoverNeXt tiny TTAx4 b64 + watershed + instance features + kNN/radius graph)",
                 "vs_baseline": round(combined / TARGET_TILES_PER_SEC_PER_CHIP, 3),
                 "detail": {
                     "decode_tiles_per_sec": round(decode_rate, 2),

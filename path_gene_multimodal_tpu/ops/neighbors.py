@@ -30,6 +30,20 @@ import numpy as np
 
 _BIG = jnp.float32(1e30)
 
+# below this point count the host cKDTree beats the device path outright:
+# the chunked dense scan is dominated by top_k over the db lanes plus the
+# device round-trip, while a 10⁴-point tree query is ~1 ms on host. The
+# device path exists for WSI-scale graphs (10⁵-10⁶ nuclei).
+HOST_TREE_MAX_N = 32768
+
+
+def _host_tree(points: np.ndarray):
+    try:
+        from scipy.spatial import cKDTree
+    except Exception:  # pragma: no cover - scipy absent → device path
+        return None
+    return cKDTree(points)
+
 
 @partial(jax.jit, static_argnames=("k", "db_chunk"))
 def _knn_block(
@@ -101,6 +115,33 @@ def _knn_filtered(
     return idx
 
 
+def _host_or_device_indices(
+    pts_np: np.ndarray, n: int, kk: int, q_chunk: int, db_chunk: int,
+    drop_self: bool = True, radius=None,
+) -> np.ndarray:
+    """(N, kk) neighbor indices, nearest-first, -1 invalid (self dropped
+    when ``drop_self``, out-of-radius dropped when ``radius``) — host
+    cKDTree for small n, chunked device scan otherwise (same contract)."""
+    if n <= HOST_TREE_MAX_N and (tree := _host_tree(pts_np)) is not None:
+        d, i = tree.query(pts_np, k=kk)
+        d = np.asarray(d, np.float32).reshape(n, -1)
+        i = np.asarray(i).reshape(n, -1).astype(np.int32)
+        # push self-matches (and scipy's n-index "missing" sentinel) to the
+        # end, keeping distance order — the device path's convention
+        invalid = i >= n
+        if drop_self:
+            invalid |= i == np.arange(n)[:, None]
+        if radius is not None:
+            invalid |= d > radius
+        d = np.where(invalid, np.inf, d)
+        order = np.argsort(d, axis=1, kind="stable")
+        return np.take_along_axis(np.where(invalid, -1, i), order, axis=1)
+    return _neighbor_indices(
+        jnp.asarray(pts_np), n, kk, radius, q_chunk, db_chunk,
+        drop_self=drop_self,
+    )
+
+
 def _neighbor_indices(
     pts: jnp.ndarray, n: int, kk: int, radius, q_chunk: int, db_chunk: int,
     drop_self: bool,
@@ -138,8 +179,8 @@ def knn(
     # out-of-range indices / ~1e9 distances into the results)
     k = max(min(k, n if include_self else n - 1), 1)
     kk = min(k if include_self else k + 1, n)
-    idx = _neighbor_indices(
-        pts, n, kk, None, q_chunk, db_chunk, drop_self=not include_self
+    idx = _host_or_device_indices(
+        pts_np, n, kk, q_chunk, db_chunk, drop_self=not include_self
     )[:, :k]
     # distances recomputed host-side from the coordinates (exact same
     # f32 diff-based formula the device uses)
@@ -163,7 +204,6 @@ def combined_graphs(
     chip. Returns (knn_dists (N, k), knn_idx (N, k), edge_index (2, E),
     edge_dist (E,)) with exactly the ``knn``/``radius_graph`` contracts."""
     pts_np = np.asarray(points, np.float32)
-    pts = jnp.asarray(pts_np)
     n = len(points)
     if n == 0:
         return (
@@ -172,7 +212,7 @@ def combined_graphs(
         )
     k = max(min(k, n - 1), 1)
     kk = min(max(k + 1, max_degree + 1), n)
-    idx = _neighbor_indices(pts, n, kk, None, q_chunk, db_chunk, drop_self=True)
+    idx = _host_or_device_indices(pts_np, n, kk, q_chunk, db_chunk)
     diff = pts_np[:, None, :] - pts_np[np.maximum(idx, 0)]
     d = np.sqrt(np.sum(diff * diff, axis=-1, dtype=np.float32))
     d = np.where(idx < 0, np.inf, d)
@@ -205,8 +245,8 @@ def radius_graph(
     n = len(points)
     if n == 0:
         return np.zeros((2, 0), np.int64), np.zeros((0,), np.float32)
-    idx = _neighbor_indices(
-        pts, n, min(max_degree + 1, n), radius, q_chunk, db_chunk, drop_self=True
+    idx = _host_or_device_indices(
+        pts_np, n, min(max_degree + 1, n), q_chunk, db_chunk, radius=radius
     )[:, :max_degree]
     rr, cc = np.nonzero(idx >= 0)
     if len(rr) == 0:

@@ -75,6 +75,23 @@ def test_combined_graphs_matches_separate(rng):
     np.testing.assert_allclose(sorted(ed1), sorted(ed2), rtol=1e-5, atol=1e-3)
 
 
+def test_device_path_matches_host_tree(rng, monkeypatch):
+    """The chunked device scan (used above HOST_TREE_MAX_N) returns the
+    same neighbor sets as the host cKDTree fast path."""
+    import path_gene_multimodal_tpu.ops.neighbors as nb
+
+    pts = rng.uniform(0, 500, size=(300, 2)).astype(np.float32)
+    d_h, i_h = knn(pts, k=4)
+    ei_h, ed_h = radius_graph(pts, radius=50.0, max_degree=32)
+    monkeypatch.setattr(nb, "HOST_TREE_MAX_N", 0)  # force device path
+    d_d, i_d = knn(pts, k=4)
+    ei_d, ed_d = radius_graph(pts, radius=50.0, max_degree=32)
+    np.testing.assert_allclose(d_d, d_h, rtol=1e-5, atol=1e-3)
+    for r in range(0, 300, 17):  # ties may reorder — compare sets
+        assert set(i_d[r]) == set(i_h[r]), r
+    assert set(map(tuple, ei_d.T.tolist())) == set(map(tuple, ei_h.T.tolist()))
+
+
 def test_combined_graphs_empty():
     d, i, ei, ed = combined_graphs(np.zeros((0, 2), np.float32))
     assert d.shape[0] == 0 and ei.shape == (2, 0)
