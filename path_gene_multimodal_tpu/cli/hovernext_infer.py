@@ -33,6 +33,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--annotations-csv", default=None,
                     help="required for --mode tiles")
     ap.add_argument("--checkpoint", default=None, help="torch checkpoint to convert")
+    ap.add_argument(
+        "--allow-pickle", action="store_true",
+        help="permit full unpickling for trusted checkpoints that "
+        "weights_only loading cannot read (unpickling can execute code)",
+    )
     ap.add_argument("--tile-size", type=int, default=256)
     ap.add_argument("--overlap", type=float, default=0.96875)
     ap.add_argument("--tta", type=int, default=4)
@@ -75,7 +80,9 @@ def main(argv: list[str] | None = None) -> int:
 
         from path_gene_multimodal_tpu.core.checkpoints import load_hovernext_from_torch
 
-        loaded_cfg, params = load_hovernext_from_torch(args.checkpoint)
+        loaded_cfg, params = load_hovernext_from_torch(
+            args.checkpoint, allow_pickle=args.allow_pickle
+        )
         mcfg = dc_replace(loaded_cfg, input_size=cfg.hovernext.tile_size)
         logger.info(
             "loaded pretrained HoverNeXt from %s (encoder dims %s, %d types)",

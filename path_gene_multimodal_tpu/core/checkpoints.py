@@ -82,9 +82,14 @@ def _unflatten(flat: dict[str, np.ndarray]) -> dict:
 # ---------------------------------------------------------------------------
 
 
-def load_clip_from_torch(path: str | Path):
+def load_clip_from_torch(path: str | Path, allow_pickle: bool = False):
     """torch CLIP checkpoint → (vision_cfg, vision_params, text_cfg|None,
-    text_params|None). Accepts transformers CLIPModel or OpenAI naming."""
+    text_params|None). Accepts transformers CLIPModel or OpenAI naming.
+
+    ``allow_pickle`` (all loaders): permit the full-unpickle fallback for
+    trusted checkpoints that ``weights_only=True`` cannot read (pre-2.6
+    torch files with pickled wrapper objects) — see
+    ``models.weights.load_torch_checkpoint``."""
     from path_gene_multimodal_tpu.models.weights import (
         convert_clip_text,
         convert_clip_vision,
@@ -93,7 +98,7 @@ def load_clip_from_torch(path: str | Path):
         load_torch_checkpoint,
     )
 
-    sd = load_torch_checkpoint(path)
+    sd = load_torch_checkpoint(path, allow_pickle=allow_pickle)
     vcfg = infer_vision_config(sd)
     vparams = convert_clip_vision(sd, vcfg)
     has_text = any(
@@ -108,7 +113,7 @@ def load_clip_from_torch(path: str | Path):
     return vcfg, vparams, tcfg, tparams
 
 
-def load_convnext_encoder_from_torch(path: str | Path):
+def load_convnext_encoder_from_torch(path: str | Path, allow_pickle: bool = False):
     """HoverNeXt/FCMAE-style torch checkpoint → (ConvNeXtConfig, encoder
     variables, unconsumed decoder/head keys). Decoder mapping is checkpoint-
     specific; the unconsumed dict lets callers wire it explicitly."""
@@ -118,13 +123,15 @@ def load_convnext_encoder_from_torch(path: str | Path):
         infer_convnext_config,
     )
 
-    sd = load_torch_checkpoint(path)
+    sd = load_torch_checkpoint(path, allow_pickle=allow_pickle)
     cfg = infer_convnext_config(sd)
     variables, leftover = convert_convnextv2(sd, cfg)
     return cfg, variables, leftover
 
 
-def load_hovernext_from_torch(path: str | Path, strict: bool = True):
+def load_hovernext_from_torch(
+    path: str | Path, strict: bool = True, allow_pickle: bool = False
+):
     """Full pretrained HoverNeXt checkpoint (``pannuke_convnextv2_tiny_3``
     layout — encoder + U-Net decoder + NP/HV/TP heads; reference entry
     ``hovernet_inference.py:82-131``) → (HoverNeXtConfig, variables).
@@ -137,7 +144,7 @@ def load_hovernext_from_torch(path: str | Path, strict: bool = True):
     from path_gene_multimodal_tpu.models.weights import load_torch_checkpoint
     from path_gene_multimodal_tpu.models.weights_hovernext import convert_hovernext
 
-    sd = load_torch_checkpoint(path)
+    sd = load_torch_checkpoint(path, allow_pickle=allow_pickle)
     cfg, variables, leftover = convert_hovernext(sd)
     if leftover and strict:
         raise ValueError(
@@ -150,9 +157,9 @@ def load_hovernext_from_torch(path: str | Path, strict: bool = True):
     return cfg, variables
 
 
-def load_resnet_from_torch(path: str | Path):
+def load_resnet_from_torch(path: str | Path, allow_pickle: bool = False):
     """torchvision/TIAToolbox ResNet34 checkpoint → Flax variables."""
     from path_gene_multimodal_tpu.models.weights import load_torch_checkpoint
     from path_gene_multimodal_tpu.models.weights_resnet import convert_resnet34
 
-    return convert_resnet34(load_torch_checkpoint(path))
+    return convert_resnet34(load_torch_checkpoint(path, allow_pickle=allow_pickle))

@@ -121,7 +121,9 @@ def read_zarr_zip(path: str | Path) -> np.ndarray:
                 continue  # missing chunk = fill_value
             raw = zf.read(key)
             if comp is not None:
-                raw = zlib.decompress(raw)
+                # wbits=32+15 auto-detects zlib vs gzip headers — numcodecs
+                # GZip writes gzip-format streams that plain decompress rejects
+                raw = zlib.decompress(raw, 32 + 15)
             block = np.frombuffer(raw, dtype).reshape(chunks)
             sel = tuple(
                 slice(i * c, min((i + 1) * c, s))

@@ -24,6 +24,9 @@ from path_gene_multimodal_tpu.ops.pallas.convnext_block import (
     block_params_from_flax,
     fused_convnext_block,
 )
+from path_gene_multimodal_tpu.ops.pallas.decoder import (
+    upsample2x_nearest as _upsample2x_nearest,
+)
 
 
 def _conv(p, x, *, stride=1, pad=0, groups=1, dtype=jnp.float32):
@@ -121,11 +124,6 @@ def encoder_features(
     return feats
 
 
-def _upsample2x_nearest(x: jnp.ndarray) -> jnp.ndarray:
-    b, h, w, c = x.shape
-    return jnp.broadcast_to(
-        x[:, :, None, :, None, :], (b, h, 2, w, 2, c)
-    ).reshape(b, h * 2, w * 2, c)
 
 
 def hovernext_forward(

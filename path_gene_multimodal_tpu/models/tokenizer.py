@@ -235,5 +235,34 @@ def open_tokenizer(
         return CLIPTokenizer(bpe_path, vocab_json, merges_txt)
     found = find_vocab_files()
     if found:
-        return CLIPTokenizer(**found)
+        import os
+
+        tok = CLIPTokenizer(**found)
+        # explicit env-var paths are trusted (the user chose them); the
+        # assets/hub-cache auto-glob can surface non-OpenAI *clip* repos
+        # whose vocab doesn't match the CLIP text tower (49408 tokens) —
+        # wrong ids would silently degrade zero-shot scores, so validate
+        # those and fall back loudly instead
+        env_dirs = {
+            str(Path(v).resolve())
+            for v in (
+                os.environ.get("PGM_CLIP_BPE"),
+                os.environ.get("PGM_CLIP_VOCAB_DIR"),
+            )
+            if v
+        }
+        trusted = any(
+            str(Path(p).resolve()) in env_dirs
+            or str(Path(p).resolve().parent) in env_dirs
+            for p in found.values()
+        )
+        if trusted or len(tok.encoder) == 49408:
+            return tok
+        import warnings
+
+        warnings.warn(
+            f"discovered CLIP vocab {found} has {len(tok.encoder)} tokens "
+            "(expected 49408 for the OpenAI CLIP text tower) — ignoring it",
+            stacklevel=2,
+        )
     return FallbackTokenizer()

@@ -189,6 +189,9 @@ def pallas_cc_sizes(
     ``compact_labels_device``'s ordering; 0 elsewhere])."""
     b, h, w = mask.shape
     assert h % chunk == 0, (h, chunk)
+    # labels/ranks/counts live in f32 inside the kernel — exact only below
+    # 2^24; enforce the documented limit instead of returning rounded junk
+    assert h * w < 2**24, (h, w, "tile too large for exact f32 label math")
     vma = _vma_of(mask)
     blk = lambda: pl.BlockSpec((1, h, w), lambda i: (i, 0, 0))
     lbl, sizes, dense = pl.pallas_call(

@@ -140,7 +140,8 @@ def _decoder_kernel(g: int, h: int, w: int, cx: int, cs: int, cout: int,
 def _images_per_step(oh: int, ow: int, cin: int, cout: int) -> int:
     """Budget: f32 accumulator (4·cout B/px) + padded bf16 inputs
     (2·cin B/px) + Pallas double-buffered in/out blocks (2·2·(cin+cout)
-    B/px) under ~8 MB, weights (9·cin·cout bf16) resident."""
+    B/px) under 32 MB (needs the raised scoped-VMEM cap), weights
+    (9·cin·cout bf16) resident."""
     weights = 18 * cin * cout
     budget = 32 * 1024 * 1024 - weights
     per_img = oh * ow * 6 * (cin + cout)

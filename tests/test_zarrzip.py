@@ -72,6 +72,30 @@ def test_zarr_v2_format_details(tmp_path):
         assert (blk[0, 2:, :] == 0).all() and (blk[0, :, 2:] == 0).all()
 
 
+def test_read_gzip_coded_chunks(tmp_path):
+    """numcodecs.GZip writes gzip-format streams (not zlib); the reader's
+    whitelist accepts id 'gzip' so decode must handle both headers."""
+    import gzip
+    import json
+    import zipfile
+
+    import numpy as np
+
+    from path_gene_multimodal_tpu.io.zarrzip import read_zarr_zip
+
+    arr = np.arange(12, dtype=np.uint32).reshape(3, 4)
+    meta = {
+        "zarr_format": 2, "shape": [3, 4], "chunks": [3, 4],
+        "dtype": arr.dtype.str, "order": "C", "fill_value": 0,
+        "compressor": {"id": "gzip", "level": 5}, "filters": None,
+    }
+    p = tmp_path / "g.zip"
+    with zipfile.ZipFile(p, "w") as zf:
+        zf.writestr(".zarray", json.dumps(meta))
+        zf.writestr("0.0", gzip.compress(arr.tobytes()))
+    np.testing.assert_array_equal(read_zarr_zip(p), arr)
+
+
 def test_read_real_zarr_if_available(tmp_path):
     zarr = pytest.importorskip("zarr")
     arr = np.arange(100, dtype=np.uint32).reshape(10, 10)
