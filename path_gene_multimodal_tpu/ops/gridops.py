@@ -34,6 +34,59 @@ def full_tile_grid(slide_w: int, slide_h: int, patch_size: int) -> np.ndarray:
     return np.stack([gx.reshape(-1), gy.reshape(-1)], axis=1)
 
 
+@jax.jit
+def tile_foreground_fraction_edges(
+    mask: jnp.ndarray,
+    y0: jnp.ndarray,
+    y1: jnp.ndarray,
+    x0: jnp.ndarray,
+    x1: jnp.ndarray,
+) -> jnp.ndarray:
+    """Shape-canonical variant of ``tile_foreground_fraction``: the tile
+    edge arrays (in mask pixels) are computed HOST-side in float64 and
+    passed as dynamic operands, so ONE compiled program serves every
+    slide regardless of thumbnail aspect or mpp — a fresh (shape,
+    mask_scale) pair would otherwise recompile per slide (minutes each on
+    a remote-compile chip). Pad the edge arrays to a fixed length with
+    y0 == y1 (area 0 → fraction 0, dropped by any threshold).
+
+    Returns (len(y0), len(x0)) float32 fractions.
+    """
+    mh, mw = mask.shape
+    ii = jnp.pad(
+        jnp.cumsum(jnp.cumsum(mask.astype(jnp.float32), 0), 1), ((1, 0), (1, 0))
+    )
+    y0 = jnp.clip(y0, 0, mh)
+    y1 = jnp.clip(y1, 0, mh)
+    x0 = jnp.clip(x0, 0, mw)
+    x1 = jnp.clip(x1, 0, mw)
+    a = ii[y1[:, None], x1[None, :]]
+    b = ii[y0[:, None], x1[None, :]]
+    c = ii[y1[:, None], x0[None, :]]
+    d = ii[y0[:, None], x0[None, :]]
+    counts = a - b - c + d
+    areas = (y1 - y0)[:, None] * (x1 - x0)[None, :]
+    return counts / jnp.maximum(areas.astype(jnp.float32), 1.0)
+
+
+def tile_edges_for_scale(
+    mh: int, mw: int, patch_size: int, mask_scale: float
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, int, int]:
+    """Host-side float64 tile-edge arrays matching
+    ``tile_foreground_fraction``'s rounding exactly. Returns
+    (y0, y1, x0, x1, ny, nx)."""
+    tile_m = patch_size / mask_scale
+    ny = int(np.floor(mh / tile_m))
+    nx = int(np.floor(mw / tile_m))
+    ty = np.arange(ny, dtype=np.float64)
+    tx = np.arange(nx, dtype=np.float64)
+    y0 = np.clip(np.round(ty * tile_m).astype(np.int32), 0, mh)
+    y1 = np.clip(np.round((ty + 1) * tile_m).astype(np.int32), 0, mh)
+    x0 = np.clip(np.round(tx * tile_m).astype(np.int32), 0, mw)
+    x1 = np.clip(np.round((tx + 1) * tile_m).astype(np.int32), 0, mw)
+    return y0, y1, x0, x1, ny, nx
+
+
 @partial(jax.jit, static_argnames=("patch_size", "mask_scale"))
 def tile_foreground_fraction(
     mask: jnp.ndarray, patch_size: int, mask_scale: float

@@ -40,16 +40,27 @@ def rgb_to_hsv(rgb: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([h, s, v], axis=-1)
 
 
-def histogram_256(img_u8: jnp.ndarray) -> jnp.ndarray:
-    """256-bin histogram of a uint8 image (any shape) via one-hot sum."""
+def histogram_256(
+    img_u8: jnp.ndarray, weights: jnp.ndarray | None = None
+) -> jnp.ndarray:
+    """256-bin histogram of a uint8 image (any shape) via one-hot sum.
+    ``weights`` (same shape, 0/1) excludes pixels — used to ignore the
+    padding of canonically-shaped thumbnails."""
     flat = img_u8.reshape(-1).astype(jnp.int32)
-    return jnp.zeros((256,), jnp.int32).at[flat].add(1)
+    w = (
+        jnp.ones_like(flat, jnp.int32)
+        if weights is None
+        else weights.reshape(-1).astype(jnp.int32)
+    )
+    return jnp.zeros((256,), jnp.int32).at[flat].add(w)
 
 
-def otsu_threshold(img_u8: jnp.ndarray) -> jnp.ndarray:
+def otsu_threshold(
+    img_u8: jnp.ndarray, weights: jnp.ndarray | None = None
+) -> jnp.ndarray:
     """Otsu's threshold over a uint8 image. Returns the scalar threshold t;
     foreground is ``img > t`` (skimage ``threshold_otsu`` convention)."""
-    hist = histogram_256(img_u8).astype(jnp.float32)
+    hist = histogram_256(img_u8, weights).astype(jnp.float32)
     total = jnp.sum(hist)
     bins = jnp.arange(256, dtype=jnp.float32)
     w0 = jnp.cumsum(hist)
@@ -79,6 +90,7 @@ def tissue_mask(
     thumbnail_rgb: jnp.ndarray,
     use_otsu: bool = True,
     segment_threshold: int = 20,
+    valid_hw: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Foreground tissue mask from an RGB thumbnail.
 
@@ -86,15 +98,30 @@ def tissue_mask(
     Otsu (or fixed) threshold. ``segment_threshold`` acts as a floor so
     near-blank slides don't segment noise (ref config ``segment_threshold=20``
     at ``tiling.py:29``). Returns bool (H, W).
+
+    ``valid_hw``: optional (2,) int32 DYNAMIC valid extent (rows, cols) —
+    lets callers pad thumbnails to one canonical shape (a fresh thumbnail
+    shape per slide would recompile this program per slide, minutes each
+    on a remote-compile chip); padding is excluded from the Otsu
+    histogram and forced to background in the output.
     """
     hsv = rgb_to_hsv(thumbnail_rgb)
     sat_u8 = (hsv[..., 1] * 255.0).astype(jnp.uint8)
     sat_u8 = median_blur_3x3(sat_u8)
+    valid = None
+    if valid_hw is not None:
+        h, w = sat_u8.shape
+        rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+        valid = (rows < valid_hw[0]) & (cols < valid_hw[1])
     if use_otsu:
-        t = jnp.maximum(otsu_threshold(sat_u8), jnp.uint8(segment_threshold))
+        t = jnp.maximum(
+            otsu_threshold(sat_u8, valid), jnp.uint8(segment_threshold)
+        )
     else:
         t = jnp.uint8(segment_threshold)
-    return sat_u8 > t
+    mask = sat_u8 > t
+    return mask if valid is None else mask & valid
 
 
 @jax.jit

@@ -53,15 +53,32 @@ def run_tessellation(
     w0, h0 = slide.level_dimensions[0]
     stem = stem or (Path(getattr(slide, "path", "slide") or "slide").stem)
 
-    thumb = slide.get_thumbnail((t.thumbnail_size, t.thumbnail_size))
-    mask = masking.tissue_mask(
-        jnp.asarray(thumb), use_otsu=t.use_otsu, segment_threshold=t.segment_threshold
+    # canonical-shape masking: pad the thumbnail to (S, S) and pass the
+    # valid extent + tile edges as DYNAMIC operands, so one compiled
+    # program serves every slide — per-slide thumbnail shapes/mpp would
+    # recompile the mask+grid programs per slide (minutes each over a
+    # remote-compile link)
+    s_canon = t.thumbnail_size
+    thumb = slide.get_thumbnail((s_canon, s_canon))
+    th, tw = thumb.shape[:2]
+    thumb_p = np.zeros((s_canon, s_canon, 3), thumb.dtype)
+    thumb_p[:th, :tw] = thumb
+    mask_dev = masking.tissue_mask(
+        jnp.asarray(thumb_p), use_otsu=t.use_otsu,
+        segment_threshold=t.segment_threshold,
+        valid_hw=jnp.asarray([th, tw], jnp.int32),
     )
-    mask_scale = w0 / thumb.shape[1]
+    mask_scale = w0 / tw
 
-    frac = gridops.tile_foreground_fraction(mask, patch, mask_scale)
-    frac_np = np.asarray(frac)
-    ny, nx = frac_np.shape
+    y0, y1, x0, x1, ny, nx = gridops.tile_edges_for_scale(
+        th, tw, patch, mask_scale
+    )
+    pad1 = lambda e: np.pad(e, (0, s_canon - len(e)))  # y0==y1 → frac 0
+    frac = gridops.tile_foreground_fraction_edges(
+        mask_dev, *(jnp.asarray(pad1(e)) for e in (y0, y1, x0, x1))
+    )
+    frac_np = np.asarray(frac)[:ny, :nx]
+    mask = np.asarray(mask_dev)[:th, :tw]
     keep = frac_np >= t.min_foreground_frac
     gy, gx = np.nonzero(keep)
     # row-major order (y outer) to match the reference's H5 layout

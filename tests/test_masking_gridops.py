@@ -118,3 +118,47 @@ def test_rasterize_drops_padding():
     g = np.asarray(grid)
     assert g[0, 0] == 1.0
     assert not np.any(g == 99.0)
+
+
+def test_canonical_padded_mask_matches_direct(rng):
+    """Padded canonical-shape tissue_mask + edge-array tile fractions ==
+    the direct per-shape path (the production tessellation route — one
+    compiled program for every slide shape)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from path_gene_multimodal_tpu.ops import gridops, masking
+
+    th, tw, S = 90, 140, 160
+    thumb = (rng.random((th, tw, 3)) * 255).astype(np.uint8)
+    thumb[:40, :60] = 230  # a saturated-ish block is irrelevant; any data
+
+    direct = np.asarray(masking.tissue_mask(jnp.asarray(thumb)))
+    padded = np.zeros((S, S, 3), np.uint8)
+    padded[:th, :tw] = thumb
+    canon = np.asarray(
+        masking.tissue_mask(
+            jnp.asarray(padded), valid_hw=jnp.asarray([th, tw], jnp.int32)
+        )
+    )
+    # interior must match exactly; the 3x3 median at the right/bottom frame
+    # differs (edge-replicate vs zero padding) — production crops anyway
+    np.testing.assert_array_equal(canon[: th - 1, : tw - 1], direct[: th - 1, : tw - 1])
+    assert not canon[th:, :].any() and not canon[:, tw:].any()
+
+    mask_scale = 1000.0 / tw
+    patch = 224
+    ref = np.asarray(
+        gridops.tile_foreground_fraction(jnp.asarray(direct), patch, mask_scale)
+    )
+    y0, y1, x0, x1, ny, nx = gridops.tile_edges_for_scale(th, tw, patch, mask_scale)
+    pad1 = lambda e: np.pad(e, (0, S - len(e)))
+    got = np.asarray(
+        gridops.tile_foreground_fraction_edges(
+            jnp.asarray(np.pad(direct, ((0, S - th), (0, S - tw)))),
+            *(jnp.asarray(pad1(e)) for e in (y0, y1, x0, x1)),
+        )
+    )
+    assert (ny, nx) == ref.shape
+    np.testing.assert_allclose(got[:ny, :nx], ref, atol=1e-6)
+    assert (got[ny:, :] == 0).all() and (got[:, nx:] == 0).all()
