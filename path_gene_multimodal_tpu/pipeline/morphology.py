@@ -74,12 +74,19 @@ def tissue_boundary_mask(
         )
         closing_radius = max(int(round(closing_radius / scale)), 1)
         min_size = max(int(round(min_size / (scale * scale))), 1)
+    # bucket the work shape to multiples of 256 (zero padding = black =
+    # background for the HSV mask): per-slide aspect ratios would
+    # otherwise compile a fresh closing/CC program per slide
+    wh, ww = work.shape[:2]
+    ph, pw = ((wh + 255) // 256) * 256, ((ww + 255) // 256) * 256
+    if (ph, pw) != (wh, ww):
+        work = np.pad(work, ((0, ph - wh), (0, pw - ww), (0, 0)))
     mask = masking.tissue_mask_hsv(jnp.asarray(work), sat_threshold)
     mask = morph.binary_closing(mask, morph.disk(closing_radius))
     use_pallas = _use_pallas_cc()
     m = cc.remove_small_objects(mask, min_size, use_pallas=use_pallas)
     m = cc.remove_small_holes(m, min_size, use_pallas=use_pallas)
-    mask_np = np.asarray(m)
+    mask_np = np.asarray(m)[:wh, :ww]
     if scale > 1.0:
         mask_np = cv2.resize(
             mask_np.astype(np.uint8), (w, h), interpolation=cv2.INTER_NEAREST
@@ -101,13 +108,17 @@ def mask_to_thumb_polygons(mask: np.ndarray, max_work_dim: int = 1024) -> list[n
             interpolation=cv2.INTER_NEAREST,
         ).astype(bool)
         return [r * scale for r in mask_to_thumb_polygons(small, max_work_dim)]
+    # bucket the labeling shape to multiples of 256 (padding = background)
+    # so heterogeneous thumbnails share compiled CC programs
+    ph, pw = ((h + 255) // 256) * 256, ((w + 255) // 256) * 256
+    mask_p = np.pad(mask, ((0, ph - h), (0, pw - w)))
     if _use_pallas_cc():
         from path_gene_multimodal_tpu.ops.pallas.cc import pallas_label_components_tiled
 
-        lbl_dev = pallas_label_components_tiled(jnp.asarray(mask), 1)
+        lbl_dev = pallas_label_components_tiled(jnp.asarray(mask_p), 1)
     else:
-        lbl_dev = cc.label_components(jnp.asarray(mask), 1)
-    lbl, n = cc.compact_labels(np.asarray(lbl_dev))
+        lbl_dev = cc.label_components(jnp.asarray(mask_p), 1)
+    lbl, n = cc.compact_labels(np.asarray(lbl_dev)[:h, :w])
     rings = []
     for k in range(1, n + 1):
         comp = lbl == k
