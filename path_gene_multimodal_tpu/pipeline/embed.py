@@ -47,6 +47,11 @@ def run_extract_features(
     compute: jax dispatch is async, so the Python loop decodes batch k+1
     while the TPU runs batch k."""
     batch = cfg.embedding.batch_size
+    if cfg.model_type.lower().startswith("virchow"):
+        # the default batch is tuned for ViT-B (knee 512 on v5e); the
+        # ViT-H Virchow2 tower measures 272 t/s at 64 but DEGRADES to 205
+        # at 128 (activation pressure) — clamp to its own knee
+        batch = min(batch, 64)
     tile = cfg.patch_size
     outs: list[jax.Array] = []
     valids: list[np.ndarray] = []
