@@ -179,7 +179,7 @@ def main() -> None:
     radius_px = 40.0 / 0.25  # 40 µm at mpp 0.25 (notebook cells 23-27)
 
     def run_graph():
-        combined_graphs(pts, k=5, radius=radius_px, max_degree=64)
+        combined_graphs(pts, k=5, radius=radius_px)  # uncapped = reference ball query
 
     graph_rate = _median_rate(run_graph, len(tiles256))
 

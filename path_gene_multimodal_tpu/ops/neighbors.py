@@ -15,9 +15,10 @@ both queries run as chunked dense-distance reductions under ``lax.scan``:
 f32; the ‖a‖²+‖b‖²-2a·b matmul trick loses ~1% relative accuracy on
 far-from-origin slide coordinates).
 
-Radius queries reuse the same machinery with k = ``max_degree`` and a
-distance mask — degree is capped (nearest-first), which the reference's
-unbounded ball query doesn't do; the cap is configurable and logged.
+Radius queries default to the reference's exact UNBOUNDED ball-query
+semantics (host cKDTree below ``HOST_TREE_MAX_N``); the static-shape
+device path used at WSI scale caps degree at 256 nearest-first, and an
+explicit ``max_degree`` opts into capping everywhere.
 """
 
 from __future__ import annotations
@@ -190,11 +191,33 @@ def knn(
     return d, idx
 
 
+
+def _host_ball_edges(
+    tree, pts_np: np.ndarray, radius: float
+) -> tuple[np.ndarray, np.ndarray]:
+    """UNCAPPED radius edges via cKDTree ball query — the reference's exact
+    semantics (``cKDTree.query_ball_tree(r)``, notebook cells 23-27). Used
+    when ``max_degree=None`` on the host path; the device path must cap
+    (static shapes)."""
+    lists = tree.query_ball_point(pts_np, r=radius)
+    src = np.concatenate(
+        [np.full(len(l), i, np.int64) for i, l in enumerate(lists)]
+    ) if len(lists) else np.zeros(0, np.int64)
+    dst = np.concatenate(
+        [np.asarray(l, np.int64) for l in lists]
+    ) if len(lists) else np.zeros(0, np.int64)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    diff = pts_np[src] - pts_np[dst]
+    d = np.sqrt(np.sum(diff * diff, axis=-1, dtype=np.float32))
+    return np.stack([src, dst], axis=0), d.astype(np.float32)
+
+
 def combined_graphs(
     points: np.ndarray,
     k: int = 5,
     radius: float = 160.0,
-    max_degree: int = 64,
+    max_degree: int | None = None,
     q_chunk: int = 2048,
     db_chunk: int = 4096,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
@@ -202,7 +225,12 @@ def combined_graphs(
     are a prefix of the radius candidates) — halves the device dispatch
     round-trips, which dominate graph-stage latency on a tunnel-attached
     chip. Returns (knn_dists (N, k), knn_idx (N, k), edge_index (2, E),
-    edge_dist (E,)) with exactly the ``knn``/``radius_graph`` contracts."""
+    edge_dist (E,)) with exactly the ``knn``/``radius_graph`` contracts.
+
+    ``max_degree=None`` (default) = UNCAPPED radius edges, the reference's
+    exact ball-query semantics — served by the host tree below
+    ``HOST_TREE_MAX_N``; the device path (static shapes) caps at 256 per
+    node, nearest-first."""
     pts_np = np.asarray(points, np.float32)
     n = len(points)
     if n == 0:
@@ -211,13 +239,31 @@ def combined_graphs(
             np.zeros((2, 0), np.int64), np.zeros((0,), np.float32),
         )
     k = max(min(k, n - 1), 1)
-    kk = min(max(k + 1, max_degree + 1), n)
+    if max_degree is None and n <= HOST_TREE_MAX_N and (
+        tree := _host_tree(pts_np)
+    ) is not None:
+        d_q, i_q = tree.query(pts_np, k=min(k + 1, n))
+        d_q = np.asarray(d_q, np.float32).reshape(n, -1)
+        i_q = np.asarray(i_q).reshape(n, -1).astype(np.int32)
+        invalid = (i_q == np.arange(n)[:, None]) | (i_q >= n)
+        d_q = np.where(invalid, np.inf, d_q)
+        order = np.argsort(d_q, axis=1, kind="stable")
+        i_q = np.take_along_axis(np.where(invalid, -1, i_q), order, axis=1)
+        d_q = np.take_along_axis(d_q, order, axis=1)
+        knn_i = np.pad(i_q[:, :k], ((0, 0), (0, max(k - i_q.shape[1], 0))),
+                       constant_values=-1)
+        knn_d = np.pad(d_q[:, :k], ((0, 0), (0, max(k - d_q.shape[1], 0))),
+                       constant_values=np.inf).astype(np.float32)
+        edge_index, edge_dist = _host_ball_edges(tree, pts_np, radius)
+        return knn_d, knn_i, edge_index, edge_dist
+    cap = 256 if max_degree is None else max_degree
+    kk = min(max(k + 1, cap + 1), n)
     idx = _host_or_device_indices(pts_np, n, kk, q_chunk, db_chunk)
     diff = pts_np[:, None, :] - pts_np[np.maximum(idx, 0)]
     d = np.sqrt(np.sum(diff * diff, axis=-1, dtype=np.float32))
     d = np.where(idx < 0, np.inf, d)
     knn_d, knn_i = d[:, :k].copy(), idx[:, :k].copy()
-    rmask = (idx[:, :max_degree] >= 0) & (d[:, :max_degree] <= radius)
+    rmask = (idx[:, :cap] >= 0) & (d[:, :cap] <= radius)
     rr, cc = np.nonzero(rmask)
     if len(rr) == 0:
         edge_index = np.zeros((2, 0), np.int64)
@@ -233,21 +279,28 @@ def combined_graphs(
 def radius_graph(
     points: np.ndarray,
     radius: float,
-    max_degree: int = 64,
+    max_degree: int | None = None,
     q_chunk: int = 2048,
     db_chunk: int = 4096,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Edges (i→j) for all pairs within ``radius`` (excluding self), degree
-    capped at ``max_degree`` nearest. Returns (edge_index (2, E) int64,
-    edge_dist (E,) float32) — the notebook's cKDTree ball-query contract."""
+    """Edges (i→j) for all pairs within ``radius`` (excluding self).
+    Returns (edge_index (2, E) int64, edge_dist (E,) float32) — the
+    notebook's cKDTree ball-query contract. ``max_degree=None`` (default)
+    = uncapped, exactly the reference's semantics (host tree below
+    ``HOST_TREE_MAX_N``; the static-shape device path caps at 256,
+    nearest-first); an int caps the degree explicitly."""
     pts_np = np.asarray(points, np.float32)
-    pts = jnp.asarray(pts_np)
     n = len(points)
     if n == 0:
         return np.zeros((2, 0), np.int64), np.zeros((0,), np.float32)
+    if max_degree is None and n <= HOST_TREE_MAX_N and (
+        tree := _host_tree(pts_np)
+    ) is not None:
+        return _host_ball_edges(tree, pts_np, radius)
+    cap = 256 if max_degree is None else max_degree
     idx = _host_or_device_indices(
-        pts_np, n, min(max_degree + 1, n), q_chunk, db_chunk, radius=radius
-    )[:, :max_degree]
+        pts_np, n, min(cap + 1, n), q_chunk, db_chunk, radius=radius
+    )[:, :cap]
     rr, cc = np.nonzero(idx >= 0)
     if len(rr) == 0:
         return np.zeros((2, 0), np.int64), np.zeros((0,), np.float32)

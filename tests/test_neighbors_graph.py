@@ -92,6 +92,32 @@ def test_device_path_matches_host_tree(rng, monkeypatch):
     assert set(map(tuple, ei_d.T.tolist())) == set(map(tuple, ei_h.T.tolist()))
 
 
+def test_uncapped_radius_matches_ball_query(rng):
+    """max_degree=None (the default) returns EVERY within-radius edge —
+    the reference's unbounded cKDTree ball query — even where local
+    density exceeds the old 64-neighbor cap."""
+    # a dense cluster: 120 points inside one radius of each other
+    cluster = rng.uniform(0, 10, size=(120, 2)).astype(np.float32)
+    rest = rng.uniform(100, 400, size=(80, 2)).astype(np.float32)
+    pts = np.concatenate([cluster, rest])
+    tree = cKDTree(pts)
+    pairs = tree.query_pairs(30.0)
+    n_ref = 2 * len(pairs)
+    ei, ed = radius_graph(pts, radius=30.0)  # default: uncapped
+    assert ei.shape[1] == n_ref
+    e_ref = set()
+    for a, b in pairs:
+        e_ref.add((a, b))
+        e_ref.add((b, a))
+    assert set(map(tuple, ei.T.tolist())) == e_ref
+    # combined_graphs default is uncapped too
+    _, _, ei2, _ = combined_graphs(pts, k=5, radius=30.0)
+    assert set(map(tuple, ei2.T.tolist())) == e_ref
+    # the capped mode still truncates (old behavior, explicit opt-in)
+    ei_cap, _ = radius_graph(pts, radius=30.0, max_degree=16)
+    assert ei_cap.shape[1] < n_ref
+
+
 def test_combined_graphs_empty():
     d, i, ei, ed = combined_graphs(np.zeros((0, 2), np.float32))
     assert d.shape[0] == 0 and ei.shape == (2, 0)
