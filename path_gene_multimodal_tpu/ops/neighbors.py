@@ -124,7 +124,7 @@ def _host_or_device_indices(
     when ``drop_self``, out-of-radius dropped when ``radius``) — host
     cKDTree for small n, chunked device scan otherwise (same contract)."""
     if n <= HOST_TREE_MAX_N and (tree := _host_tree(pts_np)) is not None:
-        d, i = tree.query(pts_np, k=kk)
+        d, i = tree.query(pts_np, k=kk, workers=-1)
         d = np.asarray(d, np.float32).reshape(n, -1)
         i = np.asarray(i).reshape(n, -1).astype(np.int32)
         # push self-matches (and scipy's n-index "missing" sentinel) to the
@@ -199,7 +199,7 @@ def _host_ball_edges(
     semantics (``cKDTree.query_ball_tree(r)``, notebook cells 23-27). Used
     when ``max_degree=None`` on the host path; the device path must cap
     (static shapes)."""
-    lists = tree.query_ball_point(pts_np, r=radius)
+    lists = tree.query_ball_point(pts_np, r=radius, workers=-1)
     src = np.concatenate(
         [np.full(len(l), i, np.int64) for i, l in enumerate(lists)]
     ) if len(lists) else np.zeros(0, np.int64)
@@ -242,7 +242,7 @@ def combined_graphs(
     if max_degree is None and n <= HOST_TREE_MAX_N and (
         tree := _host_tree(pts_np)
     ) is not None:
-        d_q, i_q = tree.query(pts_np, k=min(k + 1, n))
+        d_q, i_q = tree.query(pts_np, k=min(k + 1, n), workers=-1)
         d_q = np.asarray(d_q, np.float32).reshape(n, -1)
         i_q = np.asarray(i_q).reshape(n, -1).astype(np.int32)
         invalid = (i_q == np.arange(n)[:, None]) | (i_q >= n)
