@@ -199,13 +199,14 @@ def _host_ball_edges(
     semantics (``cKDTree.query_ball_tree(r)``, notebook cells 23-27). Used
     when ``max_degree=None`` on the host path; the device path must cap
     (static shapes)."""
+    import itertools
+
     lists = tree.query_ball_point(pts_np, r=radius, workers=-1)
-    src = np.concatenate(
-        [np.full(len(l), i, np.int64) for i, l in enumerate(lists)]
-    ) if len(lists) else np.zeros(0, np.int64)
-    dst = np.concatenate(
-        [np.asarray(l, np.int64) for l in lists]
-    ) if len(lists) else np.zeros(0, np.int64)
+    counts = np.fromiter(map(len, lists), np.int64, count=len(lists))
+    src = np.repeat(np.arange(len(lists), dtype=np.int64), counts)
+    dst = np.fromiter(
+        itertools.chain.from_iterable(lists), np.int64, count=int(counts.sum())
+    )
     keep = src != dst
     src, dst = src[keep], dst[keep]
     diff = pts_np[src] - pts_np[dst]
