@@ -133,6 +133,7 @@ def hovernext_forward(
     dtype=jnp.bfloat16,
     fused_blocks: bool = False,
     fused_decoder: bool | None = None,
+    fused_final: bool | None = None,
     interpret: bool = False,
 ) -> dict[str, jnp.ndarray]:
     """Full HoverNeXt forward (hovernext.py:74-96 parity): pixels
@@ -148,6 +149,15 @@ def hovernext_forward(
     fusion headroom."""
     if fused_decoder is None:
         fused_decoder = False
+    if fused_final is None:
+        # default OFF: although XLA materializes the 2× upsampled
+        # activation in HBM three times (resize dots → layout copy →
+        # conv in a batch-minor layout, ~54 ms of a 180 ms b256 forward,
+        # profiled), the kernel currently measures 275 vs 302 t/s — its
+        # K=64 tap matmuls run the MXU half-empty. Tap-pair K-packing
+        # (concat two taps to K=128) is the known fix; until then the
+        # kernel stays a tested opt-in.
+        fused_final = False
     p = params["params"] if "params" in params else params
     feats = encoder_features(
         p["encoder"], pixels.astype(dtype), cfg, dtype, fused_blocks, interpret
@@ -189,10 +199,20 @@ def hovernext_forward(
                 x = _conv(dp[f"conv{j}"], x, stride=1, pad=1, dtype=dtype)
                 x = _ln(dp[f"norm{j}"], x, dtype)
                 x = jax.nn.gelu(x, approximate=False)
-        b, h, w, ch = x.shape
-        x = jax.image.resize(x, (b, h * 2, w * 2, ch), method="bilinear")
-        x = _conv(p["final_conv"], x, stride=1, pad=1, dtype=dtype)
-        x = jax.nn.gelu(x, approximate=False)
+        if fused_final:
+            from path_gene_multimodal_tpu.ops.pallas.decoder import (
+                fused_upsample_final,
+            )
+
+            x = fused_upsample_final(
+                x, p["final_conv"]["kernel"], p["final_conv"]["bias"],
+                interpret=interpret,
+            ).astype(dtype)
+        else:
+            b, h, w, ch = x.shape
+            x = jax.image.resize(x, (b, h * 2, w * 2, ch), method="bilinear")
+            x = _conv(p["final_conv"], x, stride=1, pad=1, dtype=dtype)
+            x = jax.nn.gelu(x, approximate=False)
     # one fused head matmul instead of three 1×1 convs: each output channel
     # is the same dot product either way, but the full-res activation map is
     # read from HBM once instead of three times

@@ -215,6 +215,102 @@ def fused_decoder_conv(
     return out[:bsz]
 
 
+def _upsample_final_kernel(h: int, w: int, cin: int, cout: int):
+    """Whole-image 2× bilinear upsample + 3×3 conv + GELU, VMEM-resident.
+
+    The XLA lowering of ``jax.image.resize`` + final conv materializes the
+    2× activation in HBM THREE times (resize dot_generals → layout copy →
+    conv read in a batch-minor layout) — profiled at ~54 ms of a 180 ms
+    seg forward at batch 256. Here the 2× tensor exists only in VMEM.
+    """
+
+    def kernel(x_ref, w_ref, b_ref, out_ref):
+        x = x_ref[0].astype(jnp.float32)  # (h, w, cin)
+
+        def up_axis(v, axis):
+            n = v.shape[axis]
+            first = jax.lax.slice_in_dim(v, 0, 1, axis=axis)
+            last = jax.lax.slice_in_dim(v, n - 1, n, axis=axis)
+            prev = jax.lax.concatenate(
+                [first, jax.lax.slice_in_dim(v, 0, n - 1, axis=axis)], axis
+            )
+            nxt = jax.lax.concatenate(
+                [jax.lax.slice_in_dim(v, 1, n, axis=axis), last], axis
+            )
+            even = 0.25 * prev + 0.75 * v
+            odd = 0.75 * v + 0.25 * nxt
+            st = jnp.stack([even, odd], axis=axis + 1)
+            shape = list(v.shape)
+            shape[axis] *= 2
+            return st.reshape(shape)
+
+        up = up_axis(up_axis(x, 0), 1).astype(jnp.bfloat16)  # (2h, 2w, cin)
+        xp = jnp.pad(up, ((1, 1), (1, 1), (0, 0)))
+        # conv in 4 row-chunks: a whole-image f32 accumulator is ~34 MB
+        # after lane padding and tips total VMEM past the 128 MB chip limit
+        oh, ow = 2 * h, 2 * w
+        rc = oh // 4
+        bias = b_ref[...].astype(jnp.float32)
+        taps = [(dy, dx) for dy in range(3) for dx in range(3)]
+        # K-pack pairs of taps along the contraction dim: single-tap
+        # matmuls have K=cin (64 for HoverNeXt) and run the 128-lane MXU
+        # half-empty — pairing restores full K
+        pairs = [(taps[i], taps[i + 1]) for i in range(0, 8, 2)] + [(taps[8],)]
+        for c in range(4):
+            acc = jnp.zeros((rc * ow, cout), jnp.float32)
+
+            def tap_of(dy, dx):
+                return jax.lax.slice(
+                    xp, (c * rc + dy, dx, 0),
+                    (c * rc + dy + rc, dx + ow, cin),
+                ).reshape(rc * ow, cin)
+
+            for group in pairs:
+                t = jnp.concatenate([tap_of(*g) for g in group], axis=1)
+                wg = jnp.concatenate([w_ref[dy, dx] for dy, dx in group], axis=0)
+                acc = acc + jnp.dot(t, wg, preferred_element_type=jnp.float32)
+            acc = _gelu_exact(acc + bias)
+            out_ref[0, c * rc : (c + 1) * rc, :, :] = acc.reshape(
+                rc, ow, cout
+            ).astype(out_ref.dtype)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def fused_upsample_final(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    b: jnp.ndarray,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """x (B, H, W, cin) → 2× bilinear upsample → 3×3 conv(w, b) → exact
+    GELU, (B, 2H, 2W, cout) bf16. Matches ``jax.image.resize(bilinear)``
+    + conv + gelu element-wise (asserted in tests)."""
+    bsz, h, wd, cin = x.shape
+    cout = w.shape[-1]
+    vma = _vma_of(x)
+    out = pl.pallas_call(
+        _upsample_final_kernel(h, wd, cin, cout),
+        out_shape=jax.ShapeDtypeStruct(
+            (bsz, 2 * h, 2 * wd, cout), jnp.bfloat16, vma=vma
+        ),
+        grid=(bsz,),
+        in_specs=[
+            pl.BlockSpec((1, h, wd, cin), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((3, 3, cin, cout), lambda i: (0, 0, 0, 0)),
+            pl.BlockSpec((1, cout), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 2 * h, 2 * wd, cout), lambda i: (i, 0, 0, 0)),
+        compiler_params=VMEM_LIMIT,
+        interpret=interpret,
+    )(*_args_to_vma(
+        vma, [x.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+              b.reshape(1, -1).astype(jnp.bfloat16)]
+    ))
+    return out
+
+
 def _final_kernel(rows: int, w_: int, cin: int, cout: int, n_strips: int):
     def kernel(x_hbm, w_ref, b_ref, out_ref, xs, sem):
         i = pl.program_id(0)

@@ -131,6 +131,25 @@ def test_fused_decoder_conv_matches_xla(rng, with_skip):
     assert err < 2e-2, err
 
 
+def test_fused_upsample_final_matches_xla(rng):
+    """In-VMEM 2x bilinear + conv + GELU == resize + conv + gelu."""
+    from path_gene_multimodal_tpu.models.hovernext_fn import _conv
+    from path_gene_multimodal_tpu.ops.pallas.decoder import fused_upsample_final
+
+    b, h, w, cin, cout = 2, 16, 24, 6, 5
+    x = jnp.asarray(rng.standard_normal((b, h, w, cin)).astype(np.float32))
+    wk = jnp.asarray(rng.standard_normal((3, 3, cin, cout)).astype(np.float32) * 0.2)
+    bias = jnp.asarray(rng.standard_normal((cout,)).astype(np.float32) * 0.1)
+    ref = jax.image.resize(x, (b, 2 * h, 2 * w, cin), method="bilinear")
+    ref = _conv({"kernel": wk, "bias": bias}, ref, stride=1, pad=1, dtype=jnp.float32)
+    ref = np.asarray(jax.nn.gelu(ref, approximate=False))
+    got = np.asarray(
+        fused_upsample_final(x, wk, bias, interpret=True)
+    ).astype(np.float32)
+    err = np.abs(got - ref).max() / (np.abs(ref).max() or 1)
+    assert err < 2e-2, err
+
+
 @pytest.mark.parametrize("h", [32, 64, 96])  # 1 strip / edges only / middle strip
 def test_fused_final_conv_gelu_matches_xla(rng, h):
     from path_gene_multimodal_tpu.models.hovernext_fn import _conv
@@ -174,9 +193,11 @@ def test_fused_forward_in_shard_map(small_model, rng):
     )
     got = sharded(params, x)
     for k in ref:
-        np.testing.assert_allclose(
-            np.asarray(got[k]), np.asarray(ref[k]), atol=1e-4, rtol=1e-4
-        )
+        # bf16-level bar: the fused final stage stores bf16 internally and
+        # XLA may fuse the surrounding casts differently per compile
+        r, g = np.asarray(ref[k]), np.asarray(got[k])
+        scale = float(np.abs(r).max()) or 1.0
+        assert np.abs(g - r).max() / scale < 2e-2, k
 
 
 def test_fused_forward_full_model(small_model, rng):
