@@ -212,3 +212,42 @@ def pallas_cc_sizes(
         interpret=interpret,
     )(mask.astype(jnp.int32))
     return jnp.where(lbl >= _INF32, INF, lbl), sizes, dense
+
+
+@partial(
+    jax.jit,
+    static_argnames=("connectivity", "min_size", "small", "big", "interpret"),
+)
+def pallas_cc_sizes_adaptive(
+    mask: jnp.ndarray,
+    connectivity: int = 1,
+    min_size: int = 0,
+    small: int = 512,
+    big: int = 4096,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """``pallas_cc_sizes`` with an adaptive slot budget: the chunked
+    membership passes cost P·S compares (77% of postproc time at S=4096,
+    profiled), but real tiles rarely exceed a few hundred components.
+    Run at ``small`` slots, count roots from the label map (root-pixel
+    identity — cheap XLA), and only re-run the ``big`` variant under
+    ``lax.cond`` when any tile overflows. Same outputs as
+    ``pallas_cc_sizes(s_slots=big)`` up to the ``big`` overflow limit."""
+    b, h, w = mask.shape
+    lbl, sizes, dense = pallas_cc_sizes(
+        mask, connectivity, s_slots=small, min_size=min_size, interpret=interpret
+    )
+    pix = jnp.arange(h * w, dtype=jnp.int32).reshape(1, h, w)
+    n_roots = jnp.sum((lbl == pix).astype(jnp.int32), axis=(1, 2))
+    overflow = jnp.any(n_roots > small)
+
+    def big_path(m):
+        _, s2, d2 = pallas_cc_sizes(
+            m, connectivity, s_slots=big, min_size=min_size, interpret=interpret
+        )
+        return s2, d2
+
+    sizes, dense = jax.lax.cond(
+        overflow, big_path, lambda m: (sizes, dense), mask
+    )
+    return lbl, sizes, dense

@@ -192,9 +192,15 @@ def hover_instances_batch(
     if use_pallas:
         # fused CC+sizes kernel: labels and the per-pixel size map in one
         # VMEM residency, no TPU segment scatter/gather
-        from path_gene_multimodal_tpu.ops.pallas.cc_sizes import pallas_cc_sizes
+        from path_gene_multimodal_tpu.ops.pallas.cc_sizes import (
+            pallas_cc_sizes,
+            pallas_cc_sizes_adaptive,
+        )
 
-        _, blb_sizes, _ = pallas_cc_sizes(blb, 1, interpret=interpret)
+        if interpret:
+            _, blb_sizes, _ = pallas_cc_sizes(blb, 1, interpret=True)
+        else:
+            _, blb_sizes, _ = pallas_cc_sizes_adaptive(blb, 1)
         blb = blb & (blb_sizes >= min_object_size)
         overall, dist = energy_b(hv[..., 0], hv[..., 1], blb)
         marker_mask = blb & (overall < marker_threshold)
@@ -204,9 +210,14 @@ def hover_instances_batch(
             # needs NO gather-based compaction afterwards. Min-propagation
             # is order-preserving under this monotone relabeling, so the
             # partition is identical to the min-index flood.
-            _, _, marker_dense = pallas_cc_sizes(
-                marker_mask, 1, min_size=min_marker_size, interpret=interpret
-            )
+            if interpret:
+                _, _, marker_dense = pallas_cc_sizes(
+                    marker_mask, 1, min_size=min_marker_size, interpret=True
+                )
+            else:
+                _, _, marker_dense = pallas_cc_sizes_adaptive(
+                    marker_mask, 1, min_size=min_marker_size
+                )
             markers = jnp.where(marker_dense > 0, marker_dense, INF)
         else:
             marker_lbl, marker_sizes, _ = pallas_cc_sizes(

@@ -246,3 +246,39 @@ def test_hover_instances_batch_consistent(rng):
     single = np.asarray(ws.hover_instances(jnp.asarray(np_prob), jnp.asarray(hv)))
     np.testing.assert_array_equal(batched[0], single)
     np.testing.assert_array_equal(batched[1], single)
+
+
+def test_cc_sizes_adaptive_overflow_path(rng):
+    """Adaptive slot budget: a tile with more components than `small`
+    takes the big path and matches the direct big-S result; a normal tile
+    stays on the small path with identical outputs."""
+    from path_gene_multimodal_tpu.ops.pallas.cc_sizes import (
+        pallas_cc_sizes,
+        pallas_cc_sizes_adaptive,
+    )
+
+    # 64 isolated pixels > small=16 → overflow
+    mask = np.zeros((1, 16, 16), bool)
+    mask[0, ::2, ::2] = True
+    la, sa, da = pallas_cc_sizes_adaptive(
+        jnp.asarray(mask), 1, min_size=1, small=16, big=128, interpret=True
+    )
+    lb, sb, db = pallas_cc_sizes(
+        jnp.asarray(mask), 1, s_slots=128, min_size=1, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+    np.testing.assert_array_equal(np.asarray(sa), np.asarray(sb))
+    np.testing.assert_array_equal(np.asarray(da), np.asarray(db))
+
+    # two blobs < small → small path, same answers
+    mask2 = np.zeros((1, 16, 16), bool)
+    mask2[0, 2:6, 2:6] = True
+    mask2[0, 10:14, 9:15] = True
+    la2, sa2, da2 = pallas_cc_sizes_adaptive(
+        jnp.asarray(mask2), 1, min_size=1, small=16, big=128, interpret=True
+    )
+    lb2, sb2, db2 = pallas_cc_sizes(
+        jnp.asarray(mask2), 1, s_slots=128, min_size=1, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(sa2), np.asarray(sb2))
+    np.testing.assert_array_equal(np.asarray(da2), np.asarray(db2))
