@@ -126,6 +126,117 @@ def encoder_features(
 
 
 
+def _final_conv_lowres(p_final, x, dtype):
+    """resize(2×, bilinear) → conv3×3 → GELU computed WITHOUT the 2×
+    intermediate: the interpolation is linear, so conv∘upsample collapses
+    to FOUR parity convs on the low-res grid (composite weights
+    W̃[a,b] = Σ W·M_a⊗M_b) + a depth-to-space. Profiled: XLA materializes
+    the 2× tensor in HBM three times (~54 ms of a 180 ms b256 forward);
+    here it never exists. The outer 2-px ring (where resize's edge clamp
+    and the conv's zero pad interact) is recomputed exactly on thin
+    strips and overwritten."""
+    w = p_final["kernel"].astype(jnp.float32)  # (3, 3, cin, cout)
+    bias = p_final["bias"]
+    cout = w.shape[-1]
+    b, h, wd, cin = x.shape
+
+    # per-axis composition tables: row q of M_a maps conv tap dy=q-1 to
+    # low-res taps di∈{-1,0,1} through u[2i+a+dy]'s interpolation weights
+    m0 = jnp.asarray([[0.75, 0.25, 0.0], [0.25, 0.75, 0.0], [0.0, 0.75, 0.25]])
+    m1 = jnp.asarray([[0.25, 0.75, 0.0], [0.0, 0.75, 0.25], [0.0, 0.25, 0.75]])
+    mats = (m0, m1)
+    wc = jnp.concatenate(
+        [
+            jnp.einsum("yxio,yY,xX->YXio", w, mats[a], mats[bb])
+            for a in (0, 1)
+            for bb in (0, 1)
+        ],
+        axis=-1,
+    )  # (3, 3, cin, 4·cout), parity order (a, b) = 00, 01, 10, 11
+    bias4 = jnp.tile(bias, 4)
+
+    y = _conv({"kernel": wc, "bias": bias4}, x, stride=1, pad=1, dtype=dtype)
+    y = jax.nn.gelu(y, approximate=False)
+    # depth_to_space: (B, h, w, 2, 2, cout) → (B, 2h, 2w, cout)
+    out = (
+        y.reshape(b, h, wd, 2, 2, cout)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(b, 2 * h, 2 * wd, cout)
+    )
+
+    # exact border ring: clamp/zero-pad interactions differ from the
+    # composite's SAME-pad — recompute out's outer 2 px from thin strips
+    def exact(xs):
+        bb_, hh, ww, _ = xs.shape
+        us = jax.image.resize(xs, (bb_, hh * 2, ww * 2, cin), method="bilinear")
+        ys = _conv(p_final, us, stride=1, pad=1, dtype=dtype)
+        return jax.nn.gelu(ys, approximate=False)
+
+    top = exact(x[:, :4])[:, :2]
+    bot = exact(x[:, -4:])[:, -2:]
+    left = exact(x[:, :, :4])[:, :, :2]
+    right = exact(x[:, :, -4:])[:, :, -2:]
+    out = out.at[:, :2].set(top)
+    out = out.at[:, -2:].set(bot)
+    out = out.at[:, :, :2].set(left)
+    out = out.at[:, :, -2:].set(right)
+    return out
+
+
+def _final_heads_lowres(p, x, dtype):
+    """_final_conv_lowres ∘ fused-head-matmul with the head applied in the
+    LOW-RES parity domain: the (2H, 2W, cout) activation never
+    materializes — only the (2H, 2W, heads) logits do (cout→10 for
+    HoverNeXt: 6.4× less full-res HBM traffic)."""
+    p_final = p["final_conv"]
+    w = p_final["kernel"].astype(jnp.float32)
+    bias = p_final["bias"]
+    cout = w.shape[-1]
+    b, h, wd, cin = x.shape
+    heads = ["head_np", "head_hv", "head_tp"]
+    wcat = jnp.concatenate(
+        [p[n]["kernel"].reshape(cout, -1).astype(dtype) for n in heads], axis=-1
+    )
+    bcat = jnp.concatenate([p[n]["bias"].astype(dtype) for n in heads])
+    n_out = wcat.shape[-1]
+
+    m0 = jnp.asarray([[0.75, 0.25, 0.0], [0.25, 0.75, 0.0], [0.0, 0.75, 0.25]])
+    m1 = jnp.asarray([[0.25, 0.75, 0.0], [0.0, 0.75, 0.25], [0.0, 0.25, 0.75]])
+    mats = (m0, m1)
+    wc = jnp.concatenate(
+        [
+            jnp.einsum("yxio,yY,xX->YXio", w, mats[a], mats[bb])
+            for a in (0, 1)
+            for bb in (0, 1)
+        ],
+        axis=-1,
+    )
+    bias4 = jnp.tile(bias, 4)
+    y = _conv({"kernel": wc, "bias": bias4}, x, stride=1, pad=1, dtype=dtype)
+    y = jax.nn.gelu(y, approximate=False)
+    # heads per parity block, still at low res
+    y = y.reshape(b, h, wd, 4, cout)
+    z = jnp.einsum("bhwpc,cn->bhwpn", y.astype(dtype), wcat) + bcat
+    out = (
+        z.reshape(b, h, wd, 2, 2, n_out)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(b, 2 * h, 2 * wd, n_out)
+    )
+
+    def exact(xs):
+        bb_, hh, ww, _ = xs.shape
+        us = jax.image.resize(xs, (bb_, hh * 2, ww * 2, cin), method="bilinear")
+        ys = _conv(p_final, us, stride=1, pad=1, dtype=dtype)
+        ys = jax.nn.gelu(ys, approximate=False)
+        return jnp.dot(ys.astype(dtype), wcat) + bcat
+
+    out = out.at[:, :2].set(exact(x[:, :4])[:, :2])
+    out = out.at[:, -2:].set(exact(x[:, -4:])[:, -2:])
+    out = out.at[:, :, :2].set(exact(x[:, :, :4])[:, :, :2])
+    out = out.at[:, :, -2:].set(exact(x[:, :, -4:])[:, :, -2:])
+    return out.astype(jnp.float32)
+
+
 def hovernext_forward(
     params,
     pixels: jnp.ndarray,
@@ -150,14 +261,11 @@ def hovernext_forward(
     if fused_decoder is None:
         fused_decoder = False
     if fused_final is None:
-        # default OFF: although XLA materializes the 2× upsampled
-        # activation in HBM three times (resize dots → layout copy →
-        # conv in a batch-minor layout, ~54 ms of a 180 ms b256 forward,
-        # profiled), the kernel currently measures 275 vs 302 t/s — its
-        # K=64 tap matmuls run the MXU half-empty. Tap-pair K-packing
-        # (concat two taps to K=128) is the known fix; until then the
-        # kernel stays a tested opt-in.
-        fused_final = False
+        # "lowres" default: the composite-weight reformulation
+        # (_final_conv_lowres) avoids the 2× HBM intermediate entirely in
+        # pure XLA. True = the Pallas kernel (loses at HoverNeXt widths:
+        # 285 vs 303 t/s, kept opt-in); False = the plain resize path.
+        fused_final = "lowres"
     p = params["params"] if "params" in params else params
     feats = encoder_features(
         p["encoder"], pixels.astype(dtype), cfg, dtype, fused_blocks, interpret
@@ -199,7 +307,17 @@ def hovernext_forward(
                 x = _conv(dp[f"conv{j}"], x, stride=1, pad=1, dtype=dtype)
                 x = _ln(dp[f"norm{j}"], x, dtype)
                 x = jax.nn.gelu(x, approximate=False)
-        if fused_final:
+        if fused_final == "lowres":
+            # heads folded into the low-res parity domain: the full-res
+            # cout activation never materializes
+            out = _final_heads_lowres(p, x, dtype)
+            t = out.shape[-1] - 4
+            return {
+                "np": out[..., :2],
+                "hv": out[..., 2:4],
+                "tp": out[..., 4 : 4 + t],
+            }
+        elif fused_final:
             from path_gene_multimodal_tpu.ops.pallas.decoder import (
                 fused_upsample_final,
             )
