@@ -212,3 +212,42 @@ def test_fused_forward_full_model(small_model, rng):
         r, g = np.asarray(ref[k]), np.asarray(got[k])
         scale = float(np.abs(r).max()) or 1.0
         assert np.abs(g - r).max() / scale < 5e-2, k
+
+
+def test_final_conv_lowres_exact(rng):
+    """The composite-weight reformulation (conv∘upsample collapsed to
+    parity convs + depth-to-space, borders strip-fixed) is EXACT vs
+    resize+conv+gelu — f32 rounding only, borders included."""
+    from path_gene_multimodal_tpu.models.hovernext_fn import (
+        _conv,
+        _final_conv_lowres,
+        _final_heads_lowres,
+    )
+
+    b, h, w, cin, cout = 2, 16, 24, 6, 5
+    x = jnp.asarray(rng.standard_normal((b, h, w, cin)).astype(np.float32))
+    wk = jnp.asarray(rng.standard_normal((3, 3, cin, cout)).astype(np.float32) * 0.2)
+    bias = jnp.asarray(rng.standard_normal((cout,)).astype(np.float32) * 0.1)
+    p_final = {"kernel": wk, "bias": bias}
+    ref = jax.image.resize(x, (b, 2 * h, 2 * w, cin), method="bilinear")
+    ref = _conv(p_final, ref, stride=1, pad=1, dtype=jnp.float32)
+    ref = np.asarray(jax.nn.gelu(ref, approximate=False))
+    got = np.asarray(_final_conv_lowres(p_final, x, jnp.float32))
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+    # heads folded in the low-res domain == heads applied at full res
+    hw = {
+        n: {"kernel": jnp.asarray(
+                rng.standard_normal((1, 1, cout, d)).astype(np.float32) * 0.3),
+            "bias": jnp.asarray(rng.standard_normal((d,)).astype(np.float32))}
+        for n, d in (("head_np", 2), ("head_hv", 2), ("head_tp", 6))
+    }
+    params = {"final_conv": p_final, **hw}
+    wcat = np.concatenate(
+        [np.asarray(hw[n]["kernel"]).reshape(cout, -1) for n in
+         ("head_np", "head_hv", "head_tp")], axis=-1)
+    bcat = np.concatenate(
+        [np.asarray(hw[n]["bias"]) for n in ("head_np", "head_hv", "head_tp")])
+    ref_h = ref @ wcat + bcat
+    got_h = np.asarray(_final_heads_lowres(params, x, jnp.float32))
+    np.testing.assert_allclose(got_h, ref_h, atol=1e-4)
