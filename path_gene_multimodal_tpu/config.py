@@ -95,6 +95,10 @@ class EmbeddingConfig:
     # reference uses BATCH_SIZE=128; 512 is the measured v5e throughput
     # knee for ViT-B/16 bf16 (1493→2230 t/s going 128→512)
     batch_size: int = 512
+    # the ViT-H Virchow2 tower measures 272 t/s at 64 on v5e but DEGRADES
+    # to 205 at 128 (activation pressure) — its own knee, clamped in
+    # pipeline/embed.py when model_type startswith "virchow"
+    virchow2_batch_size: int = 64
     dtype: str = "bfloat16"
 
 

@@ -4,7 +4,10 @@ Used to materialize synthetic slides as real ``.svs``-style tiled files so
 the ``TiffTileSlide`` reader (and the native C++ decoder) are exercised
 end-to-end in tests — the reference has no fixtures at all (SURVEY.md §4).
 
-Supports compression: 8 (deflate via zlib) and 7 (JPEG via cv2.imencode).
+Supports compression: 8 (deflate via zlib), 7 (JPEG via cv2.imencode) and
+33003/33005 (Aperio JPEG2000: lossless raw J2K codestreams via cv2 —
+the tile payload convention of TCGA SVS slides, where each tile is a bare
+``FF4F FF51`` codestream rather than a JP2 container).
 """
 
 from __future__ import annotations
@@ -62,6 +65,22 @@ def write_tiled_tiff(
                     if not ok:
                         raise ValueError("jpeg encode failed")
                     data = enc.tobytes()
+                elif compression in (33003, 33005):
+                    import cv2
+
+                    ok, enc = cv2.imencode(
+                        ".jp2", tile[:, :, ::-1],
+                        [cv2.IMWRITE_JPEG2000_COMPRESSION_X1000, 1000],  # lossless
+                    )
+                    if not ok:
+                        raise ValueError("jpeg2000 encode failed")
+                    b = enc.tobytes()
+                    # Aperio stores bare J2K codestreams, not JP2 containers —
+                    # strip to the SOC marker
+                    soc = b.find(b"\xff\x4f\xff\x51")
+                    if soc < 0:
+                        raise ValueError("no J2K codestream in jp2 output")
+                    data = b[soc:]
                 else:
                     data = tile.tobytes()
                 _align()

@@ -78,12 +78,17 @@ def tile_edges_for_scale(
     tile_m = patch_size / mask_scale
     ny = int(np.floor(mh / tile_m))
     nx = int(np.floor(mw / tile_m))
-    ty = np.arange(ny, dtype=np.float64)
-    tx = np.arange(nx, dtype=np.float64)
-    y0 = np.clip(np.round(ty * tile_m).astype(np.int32), 0, mh)
-    y1 = np.clip(np.round((ty + 1) * tile_m).astype(np.int32), 0, mh)
-    x0 = np.clip(np.round(tx * tile_m).astype(np.int32), 0, mw)
-    x1 = np.clip(np.round((tx + 1) * tile_m).astype(np.int32), 0, mw)
+    # edge products in FLOAT32, matching the device path bit-for-bit:
+    # tile_foreground_fraction rounds jnp f32 products (x64 disabled), so
+    # float64 host math could differ by 1 mask px near .5 products and
+    # flip keep decisions at the threshold (ADVICE r2)
+    tile_m32 = np.float32(tile_m)
+    ty = np.arange(ny, dtype=np.float32)
+    tx = np.arange(nx, dtype=np.float32)
+    y0 = np.clip(np.round(ty * tile_m32).astype(np.int32), 0, mh)
+    y1 = np.clip(np.round((ty + 1.0).astype(np.float32) * tile_m32).astype(np.int32), 0, mh)
+    x0 = np.clip(np.round(tx * tile_m32).astype(np.int32), 0, mw)
+    x1 = np.clip(np.round((tx + 1.0).astype(np.float32) * tile_m32).astype(np.int32), 0, mw)
     return y0, y1, x0, x1, ny, nx
 
 

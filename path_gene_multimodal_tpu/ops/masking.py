@@ -107,13 +107,22 @@ def tissue_mask(
     """
     hsv = rgb_to_hsv(thumbnail_rgb)
     sat_u8 = (hsv[..., 1] * 255.0).astype(jnp.uint8)
-    sat_u8 = median_blur_3x3(sat_u8)
     valid = None
     if valid_hw is not None:
         h, w = sat_u8.shape
+        # replicate the last valid row/col into the padding BEFORE the
+        # median blur: zero-saturation padding would otherwise bleed into
+        # the last valid row/col through the 3×3 window, deviating from
+        # the unpadded per-shape path by a 1-px ring (ADVICE r2). After
+        # this fill the blur sees exactly the cropped image's
+        # edge-replicated neighborhood, so the paths match everywhere.
+        rows_idx = jnp.minimum(jnp.arange(h), valid_hw[0] - 1)
+        cols_idx = jnp.minimum(jnp.arange(w), valid_hw[1] - 1)
+        sat_u8 = sat_u8[rows_idx[:, None], cols_idx[None, :]]
         rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
         valid = (rows < valid_hw[0]) & (cols < valid_hw[1])
+    sat_u8 = median_blur_3x3(sat_u8)
     if use_otsu:
         t = jnp.maximum(
             otsu_threshold(sat_u8, valid), jnp.uint8(segment_threshold)

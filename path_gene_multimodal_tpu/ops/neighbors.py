@@ -29,7 +29,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from path_gene_multimodal_tpu.utils.log import get_logger
+
 _BIG = jnp.float32(1e30)
+
+# static-shape degree cap on the device radius path (max_degree=None asks
+# for the reference's uncapped semantics; above HOST_TREE_MAX_N we must cap
+# — an extra probe column detects and WARNS when the cap actually bites)
+DEVICE_RADIUS_CAP = 256
 
 # below this point count the host cKDTree beats the device path outright:
 # the chunked dense scan is dominated by top_k over the db lanes plus the
@@ -164,6 +171,40 @@ def _neighbor_indices(
     return idx
 
 
+def _dists_from_idx(
+    pts_np: np.ndarray, idx: np.ndarray, row_chunk: int = 65536
+) -> np.ndarray:
+    """Recompute Euclidean distances for an (N, K) index matrix host-side
+    in row chunks (a full (N, K, 2) broadcast is ~3 GB transient at WSI
+    scale, 10⁶ nuclei × cap 256 — ADVICE r2). -1 slots → inf."""
+    n = len(idx)
+    d = np.empty(idx.shape, np.float32)
+    for s in range(0, n, row_chunk):
+        blk = idx[s : s + row_chunk]
+        diff = pts_np[s : s + row_chunk, None, :] - pts_np[np.maximum(blk, 0)]
+        np.sqrt(np.sum(diff * diff, axis=-1, dtype=np.float32), out=d[s : s + row_chunk])
+    d[idx < 0] = np.inf
+    return d
+
+
+def _warn_radius_cap(idx: np.ndarray, d: np.ndarray, cap: int, radius: float) -> None:
+    """Probe column ``cap`` (requested beyond the emitted slots): a valid
+    in-radius entry there means that node has > ``cap`` neighbors and the
+    device path silently dropped edges (ADVICE r2 medium)."""
+    if idx.shape[1] <= cap:
+        return
+    overflow = (idx[:, cap] >= 0) & (d[:, cap] <= radius)
+    n_over = int(overflow.sum())
+    if n_over:
+        get_logger().warning(
+            "radius_graph device path: %d/%d nodes exceed the %d-neighbor "
+            "degree cap at r=%.1f — edges beyond the cap were dropped "
+            "(nearest-first). Pass max_degree to raise the cap or accept it "
+            "explicitly; the reference's uncapped ball query is host-only.",
+            n_over, len(idx), cap, radius,
+        )
+
+
 def knn(
     points: np.ndarray,
     k: int = 5,
@@ -184,10 +225,8 @@ def knn(
         pts_np, n, kk, q_chunk, db_chunk, drop_self=not include_self
     )[:, :k]
     # distances recomputed host-side from the coordinates (exact same
-    # f32 diff-based formula the device uses)
-    diff = pts_np[:, None, :] - pts_np[np.maximum(idx, 0)]
-    d = np.sqrt(np.sum(diff * diff, axis=-1, dtype=np.float32))
-    d = np.where(idx < 0, np.inf, d)
+    # f32 diff-based formula the device uses), chunked to bound memory
+    d = _dists_from_idx(pts_np, idx)
     return d, idx
 
 
@@ -257,12 +296,15 @@ def combined_graphs(
                        constant_values=np.inf).astype(np.float32)
         edge_index, edge_dist = _host_ball_edges(tree, pts_np, radius)
         return knn_d, knn_i, edge_index, edge_dist
-    cap = 256 if max_degree is None else max_degree
-    kk = min(max(k + 1, cap + 1), n)
+    cap = DEVICE_RADIUS_CAP if max_degree is None else max_degree
+    # when the caller asked for UNCAPPED semantics, request one probe
+    # column past the cap so a silent overflow becomes a logged warning
+    probe = 1 if max_degree is None else 0
+    kk = min(max(k + 1, cap + 1 + probe), n)
     idx = _host_or_device_indices(pts_np, n, kk, q_chunk, db_chunk)
-    diff = pts_np[:, None, :] - pts_np[np.maximum(idx, 0)]
-    d = np.sqrt(np.sum(diff * diff, axis=-1, dtype=np.float32))
-    d = np.where(idx < 0, np.inf, d)
+    d = _dists_from_idx(pts_np, idx)
+    if probe:
+        _warn_radius_cap(idx, d, cap, radius)
     knn_d, knn_i = d[:, :k].copy(), idx[:, :k].copy()
     rmask = (idx[:, :cap] >= 0) & (d[:, :cap] <= radius)
     rr, cc = np.nonzero(rmask)
@@ -298,10 +340,24 @@ def radius_graph(
         tree := _host_tree(pts_np)
     ) is not None:
         return _host_ball_edges(tree, pts_np, radius)
-    cap = 256 if max_degree is None else max_degree
+    cap = DEVICE_RADIUS_CAP if max_degree is None else max_degree
+    probe = 1 if max_degree is None else 0
     idx = _host_or_device_indices(
-        pts_np, n, min(cap + 1, n), q_chunk, db_chunk, radius=radius
-    )[:, :cap]
+        pts_np, n, min(cap + 1 + probe, n), q_chunk, db_chunk, radius=radius
+    )
+    if probe and idx.shape[1] > cap:
+        # the radius filter already ran on device: a valid probe slot IS
+        # an in-radius neighbor beyond the cap
+        n_over = int((idx[:, cap] >= 0).sum())
+        if n_over:
+            get_logger().warning(
+                "radius_graph device path: %d/%d nodes exceed the "
+                "%d-neighbor degree cap at r=%.1f — edges beyond the cap "
+                "were dropped (nearest-first). Pass max_degree to raise "
+                "the cap or accept it explicitly.",
+                n_over, n, cap, radius,
+            )
+    idx = idx[:, :cap]
     rr, cc = np.nonzero(idx >= 0)
     if len(rr) == 0:
         return np.zeros((2, 0), np.int64), np.zeros((0,), np.float32)

@@ -216,7 +216,9 @@ def pallas_cc_sizes(
 
 @partial(
     jax.jit,
-    static_argnames=("connectivity", "min_size", "small", "big", "interpret"),
+    static_argnames=(
+        "connectivity", "min_size", "small", "big", "interpret", "count_overflow",
+    ),
 )
 def pallas_cc_sizes_adaptive(
     mask: jnp.ndarray,
@@ -225,14 +227,20 @@ def pallas_cc_sizes_adaptive(
     small: int = 512,
     big: int = 4096,
     interpret: bool = False,
-) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    count_overflow: bool = False,
+):
     """``pallas_cc_sizes`` with an adaptive slot budget: the chunked
     membership passes cost P·S compares (77% of postproc time at S=4096,
     profiled), but real tiles rarely exceed a few hundred components.
     Run at ``small`` slots, count roots from the label map (root-pixel
     identity — cheap XLA), and only re-run the ``big`` variant under
     ``lax.cond`` when any tile overflows. Same outputs as
-    ``pallas_cc_sizes(s_slots=big)`` up to the ``big`` overflow limit."""
+    ``pallas_cc_sizes(s_slots=big)`` up to the ``big`` overflow limit.
+
+    ``count_overflow``: also return a device scalar int32 = number of
+    tiles whose component count exceeds even ``big`` (those components
+    silently get size 0 — the no-silent-caps counter; surface it in the
+    stage report)."""
     b, h, w = mask.shape
     lbl, sizes, dense = pallas_cc_sizes(
         mask, connectivity, s_slots=small, min_size=min_size, interpret=interpret
@@ -250,4 +258,7 @@ def pallas_cc_sizes_adaptive(
     sizes, dense = jax.lax.cond(
         overflow, big_path, lambda m: (sizes, dense), mask
     )
+    if count_overflow:
+        n_over_big = jnp.sum((n_roots > big).astype(jnp.int32))
+        return lbl, sizes, dense, n_over_big
     return lbl, sizes, dense

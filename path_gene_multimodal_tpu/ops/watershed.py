@@ -159,7 +159,7 @@ def hover_instances(
     jax.jit,
     static_argnames=(
         "min_object_size", "min_marker_size", "levels", "use_pallas", "dense",
-        "interpret",
+        "interpret", "return_overflow",
     ),
 )
 def hover_instances_batch(
@@ -173,7 +173,8 @@ def hover_instances_batch(
     use_pallas: bool = False,
     dense: bool = False,
     interpret: bool = False,
-) -> jnp.ndarray:
+    return_overflow: bool = False,
+):
     """Batched ``hover_instances``: (B, H, W) probs + (B, H, W, 2) HV →
     (B, H, W) labels. When ``use_pallas`` (TPU), the flood runs in the
     VMEM-resident Pallas kernel (2-3× faster than the vmapped XLA flood);
@@ -182,11 +183,17 @@ def hover_instances_batch(
     ``dense`` (use_pallas only): label values are already-compact ids
     1..N (INF bg) instead of min-pixel-index labels — saves the
     downstream ``compact_labels_device`` gather; same partition and id
-    ordering."""
+    ordering.
+
+    ``return_overflow``: also return a (1,) int32 device array counting
+    tiles whose component count exceeded the Pallas CC slot budget
+    (components beyond it silently vanish — the no-silent-caps counter;
+    always 0 on the XLA path, which has no slot cap)."""
 
     if dense and not use_pallas:
         raise ValueError("dense labels require the Pallas path (use_pallas=True)")
     energy_b = jax.vmap(lambda h, v, b: hv_energy(h, v, b))
+    n_over = jnp.zeros((), jnp.int32)
 
     blb = np_prob > np_threshold
     if use_pallas:
@@ -200,7 +207,10 @@ def hover_instances_batch(
         if interpret:
             _, blb_sizes, _ = pallas_cc_sizes(blb, 1, interpret=True)
         else:
-            _, blb_sizes, _ = pallas_cc_sizes_adaptive(blb, 1)
+            _, blb_sizes, _, over1 = pallas_cc_sizes_adaptive(
+                blb, 1, count_overflow=True
+            )
+            n_over = n_over + over1
         blb = blb & (blb_sizes >= min_object_size)
         overall, dist = energy_b(hv[..., 0], hv[..., 1], blb)
         marker_mask = blb & (overall < marker_threshold)
@@ -215,9 +225,10 @@ def hover_instances_batch(
                     marker_mask, 1, min_size=min_marker_size, interpret=True
                 )
             else:
-                _, _, marker_dense = pallas_cc_sizes_adaptive(
-                    marker_mask, 1, min_size=min_marker_size
+                _, _, marker_dense, over2 = pallas_cc_sizes_adaptive(
+                    marker_mask, 1, min_size=min_marker_size, count_overflow=True
                 )
+                n_over = n_over + over2
             markers = jnp.where(marker_dense > 0, marker_dense, INF)
         else:
             marker_lbl, marker_sizes, _ = pallas_cc_sizes(
@@ -241,12 +252,16 @@ def hover_instances_batch(
     if use_pallas:
         from path_gene_multimodal_tpu.ops.pallas.flood import pallas_marker_watershed
 
-        return pallas_marker_watershed(
+        lbl = pallas_marker_watershed(
             dist, markers, blb, levels=levels, interpret=interpret
         )
-    return jax.vmap(lambda d, m, k: marker_watershed(d, m, k, levels=levels))(
-        dist, markers, blb
-    )
+    else:
+        lbl = jax.vmap(lambda d, m, k: marker_watershed(d, m, k, levels=levels))(
+            dist, markers, blb
+        )
+    if return_overflow:
+        return lbl, n_over.reshape(1)
+    return lbl
 
 
 def instances_to_dense(lbl: jnp.ndarray) -> jnp.ndarray:

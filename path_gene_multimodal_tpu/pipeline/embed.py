@@ -10,7 +10,8 @@ TPU-native rebuild of the reference's Mussel wrappers:
   reference's torch ``.pt`` sidecar + an ``.npy`` sidecar.
 - step 3 ``run_create_class_embeddings`` (ref ``create_embedding.py:13-69``):
   tokenize the class prompts, run the text tower once, save
-  ``<slide>_classes.npy``.
+  ``<slide>_classes.npy`` + the reference's torch ``.pt``
+  (create_embedding.py:65-66).
 - step 4 ``run_annotation`` (ref ``find_annotation_from_embedding.py:9-72``):
   cosine similarity tile×class on device → per-class score columns +
   ``predicted_class`` argmax → ``<slide>_annotations.csv``.
@@ -48,10 +49,9 @@ def run_extract_features(
     while the TPU runs batch k."""
     batch = cfg.embedding.batch_size
     if cfg.model_type.lower().startswith("virchow"):
-        # the default batch is tuned for ViT-B (knee 512 on v5e); the
-        # ViT-H Virchow2 tower measures 272 t/s at 64 but DEGRADES to 205
-        # at 128 (activation pressure) — clamp to its own knee
-        batch = min(batch, 64)
+        # the ViT-H Virchow2 tower has its own measured knee (see
+        # EmbeddingConfig.virchow2_batch_size) — clamp to it
+        batch = min(batch, cfg.embedding.virchow2_batch_size)
     tile = cfg.patch_size
     outs: list[jax.Array] = []
     valids: list[np.ndarray] = []
@@ -105,6 +105,14 @@ def run_create_class_embeddings(
         out_dir.mkdir(parents=True, exist_ok=True)
         path = out_dir / f"{stem}_classes.npy"
         np.save(path, embs)
+        # reference writes a torch .pt (create_embedding.py:65-66) — keep
+        # that contract alongside the .npy
+        try:
+            import torch
+
+            torch.save(torch.from_numpy(embs), out_dir / f"{stem}_classes.pt")
+        except ImportError:
+            pass
         if not path.exists():
             raise RuntimeError(f"class-embedding step failed to produce {path}")
     return embs

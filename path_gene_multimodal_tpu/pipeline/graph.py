@@ -145,17 +145,22 @@ def to_networkx(graph: CellGraph):
     import networkx as nx
 
     g = nx.Graph()
-    for i, nid in enumerate(graph.node_ids):
-        g.add_node(nid, pos=tuple(graph.pos_um[i]), cell_type=int(graph.types[i]))
+    g.add_nodes_from(
+        (nid, {"pos": tuple(p), "cell_type": int(t)})
+        for nid, p, t in zip(graph.node_ids, graph.pos_um, graph.types)
+    )
+    # vectorized edge extraction — the per-(i, j_pos) python double loop is
+    # O(N·k) interpreter work and crawls at the 10⁵-10⁶-nuclei WSI scale
     n = len(graph.node_ids)
-    for i in range(n):
-        for j_pos in range(graph.knn_index.shape[1]):
-            j = int(graph.knn_index[i, j_pos])
-            if 0 <= j < n:
-                g.add_edge(
-                    graph.node_ids[i], graph.node_ids[j],
-                    weight=float(graph.knn_dist_um[i, j_pos]),
-                )
+    idx = np.asarray(graph.knn_index)
+    rr, cc = np.nonzero((idx >= 0) & (idx < n))
+    g.add_edges_from(
+        zip(
+            graph.node_ids[rr],
+            graph.node_ids[idx[rr, cc]],
+            ({"weight": w} for w in graph.knn_dist_um[rr, cc].astype(float)),
+        )
+    )
     return g
 
 

@@ -24,6 +24,7 @@ from datetime import datetime
 from pathlib import Path
 from typing import Any, Mapping, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pandas as pd
@@ -85,6 +86,21 @@ def tissue_boundary_mask(
     mask = morph.binary_closing(mask, morph.disk(closing_radius))
     use_pallas = _use_pallas_cc()
     m = cc.remove_small_objects(mask, min_size, use_pallas=use_pallas)
+    if (ph, pw) != (wh, ww):
+        # hole-fill with the padding forced to FOREGROUND: zero padding
+        # would connect right/bottom border pockets into one giant
+        # background component that never fills, deviating from the
+        # unpadded skimage semantics (ADVICE r2). True padding keeps each
+        # pocket's exact in-image extent and is cropped away after.
+        # wh/ww ride as device scalars so one program serves all shapes.
+        valid = (
+            jax.lax.broadcasted_iota(jnp.int32, (ph, pw), 0)
+            < jnp.asarray(wh, jnp.int32)
+        ) & (
+            jax.lax.broadcasted_iota(jnp.int32, (ph, pw), 1)
+            < jnp.asarray(ww, jnp.int32)
+        )
+        m = jnp.where(valid, m, True)
     m = cc.remove_small_holes(m, min_size, use_pallas=use_pallas)
     mask_np = np.asarray(m)[:wh, :ww]
     if scale > 1.0:

@@ -134,22 +134,23 @@ class NucleiModel:
             return np_prob, out["hv"], tp_cls
 
         def _postproc_body(np_prob, hv):
-            lbl = ws.hover_instances_batch(
+            lbl, n_over = ws.hover_instances_batch(
                 np_prob, hv,
                 np_threshold=self.np_threshold,
                 marker_threshold=self.marker_threshold,
                 use_pallas=use_pallas,
                 dense=use_pallas,
+                return_overflow=True,
             )
             if use_pallas:
                 # the Pallas watershed already flooded dense 1..N ids —
                 # just zero the INF background (no compaction gather)
-                return jnp.where(lbl < 2**30, lbl, 0).astype(jnp.uint16)
+                return jnp.where(lbl < 2**30, lbl, 0).astype(jnp.uint16), n_over
             from path_gene_multimodal_tpu.ops.instances import compact_labels_device
 
             # dense uint16 labels computed ON DEVICE: kills the per-tile
             # host np.unique pass and halves the D2H bytes
-            return compact_labels_device(lbl)
+            return compact_labels_device(lbl), n_over
 
         if mesh is None:
             _infer = jax.jit(_infer_body)
@@ -178,7 +179,7 @@ class NucleiModel:
             )
             _postproc = jax.jit(
                 jax.shard_map(
-                    _postproc_body, mesh=mesh, in_specs=(t, t), out_specs=t,
+                    _postproc_body, mesh=mesh, in_specs=(t, t), out_specs=(t, t),
                     check_vma=False,
                 )
             )
@@ -188,8 +189,20 @@ class NucleiModel:
         # unjitted/unsharded versions for callers that fuse further
         # (bench, WSI mode)
         self._infer_raw = _infer_body
-        self._postproc_raw = _postproc_body
+        self._postproc_raw = lambda np_prob, hv: _postproc_body(np_prob, hv)[0]
+        # device-side CC slot-overflow counters, one (1,)-or-(n_shards,)
+        # array per dispatched batch; summed lazily by cc_overflow_tiles()
+        self._overflow_parts: list = []
         return self
+
+    def cc_overflow_tiles(self, reset: bool = False) -> int:
+        """Total tiles (across batches dispatched so far) whose component
+        count exceeded the Pallas CC slot budget — components beyond it
+        were silently dropped (no-silent-caps counter for stage reports)."""
+        total = int(sum(int(np.asarray(p).sum()) for p in self._overflow_parts))
+        if reset:
+            self._overflow_parts.clear()
+        return total
 
     def segment_async(self, tiles_u8: np.ndarray):
         """Dispatch without materializing: returns device arrays
@@ -204,7 +217,8 @@ class NucleiModel:
         else:
             tiles_dev = jnp.asarray(tiles_u8)
         np_prob, hv, tp_cls = self._infer(self.params, tiles_dev)
-        lbl = self._postproc(np_prob, hv)
+        lbl, n_over = self._postproc(np_prob, hv)
+        self._overflow_parts.append(n_over)  # tiny; materialized lazily
         return lbl, tp_cls
 
     def segment(self, tiles_u8: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -318,7 +332,15 @@ def run_hovernet_pipeline_on_wsi_tiles(
             pending = (chunk, offsets, lbl_dev, tp_dev)
         if pending is not None:
             _process(*pending)
+    n_over = getattr(model, "cc_overflow_tiles", lambda **_: 0)(reset=True)
+    if n_over:
+        logger.warning(
+            "%s: %d tile(s) exceeded the CC slot budget — components beyond "
+            "it were dropped (pathological speckle; raise `big` in "
+            "pallas_cc_sizes_adaptive to keep them)", stem, n_over,
+        )
     nuclei = pd.DataFrame(rows)
+    nuclei.attrs["cc_slot_overflow_tiles"] = n_over
     if write_artifacts:
         if len(nuclei) == 0:
             return _write_empty(out_dir, stem, True)

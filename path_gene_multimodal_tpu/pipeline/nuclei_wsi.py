@@ -301,6 +301,18 @@ def run_hovernext_wsi(
         if pending is not None:
             _process(*pending)
 
+    n_over = getattr(model, "cc_overflow_tiles", lambda **_: 0)(reset=True)
+    if n_over:
+        logger.warning(
+            "%s: %d window(s) exceeded the CC slot budget — components "
+            "beyond it were dropped (no-silent-caps counter)", stem, n_over,
+        )
+    if timer is not None and timer.records:
+        timer.records[-1].extra = {
+            **(timer.records[-1].extra or {}),
+            "cc_slot_overflow_tiles": n_over,
+        }
+
     # residual seam duplicates (both views clipped, centroids in different
     # cells) — keep the larger fragment
     keep_rows = _dedup_seam_duplicates(rows)

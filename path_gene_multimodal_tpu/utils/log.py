@@ -37,6 +37,9 @@ class StageRecord:
     name: str
     seconds: float
     items: int | None = None
+    # free-form counters surfaced into the stage report (e.g. the CC
+    # slot-overflow tile count — no-silent-caps principle)
+    extra: dict | None = None
 
     @property
     def items_per_sec(self) -> float | None:
@@ -63,14 +66,22 @@ class StageTimer:
         with ctx:
             yield info
         dt = time.perf_counter() - t0
-        rec = StageRecord(name=name, seconds=dt, items=info.get("items"))
+        extra = {k: v for k, v in info.items() if k != "items" and v is not None}
+        rec = StageRecord(
+            name=name, seconds=dt, items=info.get("items"), extra=extra or None
+        )
         self.records.append(rec)
         rate = f" ({rec.items_per_sec:.1f}/s)" if rec.items_per_sec else ""
         logger.info("%s✓ %s: %.2fs%s", prefix, name, dt, rate)
 
     def report(self) -> dict[str, dict]:
         return {
-            r.name: {"seconds": r.seconds, "items": r.items, "items_per_sec": r.items_per_sec}
+            r.name: {
+                "seconds": r.seconds,
+                "items": r.items,
+                "items_per_sec": r.items_per_sec,
+                **(r.extra or {}),
+            }
             for r in self.records
         }
 

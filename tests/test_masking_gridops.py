@@ -141,9 +141,10 @@ def test_canonical_padded_mask_matches_direct(rng):
             jnp.asarray(padded), valid_hw=jnp.asarray([th, tw], jnp.int32)
         )
     )
-    # interior must match exactly; the 3x3 median at the right/bottom frame
-    # differs (edge-replicate vs zero padding) — production crops anyway
-    np.testing.assert_array_equal(canon[: th - 1, : tw - 1], direct[: th - 1, : tw - 1])
+    # must match EVERYWHERE: the padding is filled with the last valid
+    # row/col before the median blur, so even the border ring agrees with
+    # the unpadded per-shape path
+    np.testing.assert_array_equal(canon[:th, :tw], direct)
     assert not canon[th:, :].any() and not canon[:, tw:].any()
 
     mask_scale = 1000.0 / tw

@@ -203,3 +203,52 @@ def test_empty_raises():
     with pytest.raises(ValueError, match="no nuclei"):
         build_cell_graph(pd.DataFrame({"type": []}), GraphConfig(), None, "s",
                          write_artifacts=False)
+
+
+def test_radius_cap_warning_device_path(monkeypatch):
+    """max_degree=None above HOST_TREE_MAX_N falls to the capped device
+    path — the probe column must turn the silent degree cap into a logged
+    warning (r2 advisor medium), and edges stay nearest-first-capped."""
+    import logging
+
+    from path_gene_multimodal_tpu.ops import neighbors as nb
+    from path_gene_multimodal_tpu.utils.log import get_logger
+
+    monkeypatch.setattr(nb, "HOST_TREE_MAX_N", 0)  # force the device path
+    monkeypatch.setattr(nb, "DEVICE_RADIUS_CAP", 16)  # small cap for speed
+    rng = np.random.default_rng(0)
+    pts = rng.random((40, 2)).astype(np.float32) * 3.0  # all within r=10
+
+    records = []
+    handler = logging.Handler()
+    handler.emit = records.append
+    logger = get_logger()
+    logger.addHandler(handler)
+    try:
+        ei, ed = nb.radius_graph(pts, radius=10.0)
+    finally:
+        logger.removeHandler(handler)
+    warned = [r for r in records if "degree cap" in r.getMessage()]
+    assert warned, "expected a degree-cap warning on the device path"
+    assert "40/40" in warned[0].getMessage()
+    # every node capped at 16 nearest-first edges
+    src_counts = np.bincount(ei[0], minlength=40)
+    assert (src_counts == 16).all()
+
+    # combined_graphs warns through the same probe
+    records.clear()
+    logger.addHandler(handler)
+    try:
+        _, _, ei2, _ = nb.combined_graphs(pts, k=3, radius=10.0)
+    finally:
+        logger.removeHandler(handler)
+    assert any("degree cap" in r.getMessage() for r in records)
+
+    # an explicit max_degree opts into capping: no warning
+    records.clear()
+    logger.addHandler(handler)
+    try:
+        nb.radius_graph(pts, radius=10.0, max_degree=16)
+    finally:
+        logger.removeHandler(handler)
+    assert not any("degree cap" in r.getMessage() for r in records)

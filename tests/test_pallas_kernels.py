@@ -282,3 +282,26 @@ def test_cc_sizes_adaptive_overflow_path(rng):
     )
     np.testing.assert_array_equal(np.asarray(sa2), np.asarray(sb2))
     np.testing.assert_array_equal(np.asarray(da2), np.asarray(db2))
+
+
+def test_cc_sizes_adaptive_overflow_counter():
+    """`count_overflow=True` surfaces the tiles whose component count
+    exceeds even `big` (those components silently get size 0 — the
+    no-silent-caps counter from the r2 verdict)."""
+    from path_gene_multimodal_tpu.ops.pallas.cc_sizes import pallas_cc_sizes_adaptive
+
+    # 64 isolated pixels > big=32 → 1 overflowing tile; second tile clean
+    mask = np.zeros((2, 16, 16), bool)
+    mask[0, ::2, ::2] = True
+    mask[1, 2:6, 2:6] = True
+    _, _, _, n_over = pallas_cc_sizes_adaptive(
+        jnp.asarray(mask), 1, min_size=1, small=16, big=32, interpret=True,
+        count_overflow=True,
+    )
+    assert int(n_over) == 1
+
+    _, _, _, n_over2 = pallas_cc_sizes_adaptive(
+        jnp.asarray(mask), 1, min_size=1, small=16, big=128, interpret=True,
+        count_overflow=True,
+    )
+    assert int(n_over2) == 0

@@ -92,6 +92,36 @@ def test_tiff_roundtrip(tmp_path, compression):
         np.testing.assert_array_equal(r1, g1)
 
 
+@pytest.mark.parametrize("compression", [33003, 33005])
+def test_tiff_jpeg2000_roundtrip(tmp_path, compression):
+    """Aperio J2K slides (the common TCGA SVS case): tiles are bare J2K
+    codestreams under compression tag 33003/33005 — written lossless here,
+    so the read must be pixel-exact (ref consumer surface:
+    tnbc_config.py:28 `.svs` in WSI_EXTS)."""
+    rng = np.random.default_rng(5)
+    base = np.kron(
+        rng.integers(30, 225, size=(12, 10, 3), dtype=np.uint8),
+        np.ones((64, 64, 1), np.uint8),
+    )
+    levels = [base, base[::2, ::2]]
+    p = write_tiled_tiff(
+        tmp_path / "j2k.svs", levels, tile_size=256, compression=compression,
+        description="Aperio fake |MPP = 0.2520|",
+    )
+    slide = TiffTileSlide(p)
+    assert slide.level_dimensions[0] == (640, 768)
+    # cross-tile level-0 read: exact (lossless codestreams)
+    region = slide.read_region((128, 192), 0, (384, 320))
+    np.testing.assert_array_equal(region, base[192:512, 128:512])
+    # level-1 read
+    r1 = slide.read_region((100, 100), 1, (200, 200))
+    np.testing.assert_array_equal(r1, levels[1][50:250, 50:250])
+    # tile payloads really are raw codestreams (FF4F FF51 SOC marker)
+    page = slide._pages[0]
+    blob = slide._tile_bytes(page, 0)
+    assert blob[:4] == b"\xff\x4f\xff\x51"
+
+
 def test_open_slide_dispatch_tiff(tmp_path):
     img = np.full((300, 300, 3), 128, np.uint8)
     p = write_tiled_tiff(tmp_path / "x.tif", [img], tile_size=256, compression=8)

@@ -154,6 +154,11 @@ def test_class_embeddings_artifact(pipeline_run):
     assert r["class_embs"].shape == (5, 32)
     loaded = np.load(r["out"] / "synth_classes.npy")
     np.testing.assert_allclose(loaded, r["class_embs"])
+    # the reference's torch .pt sidecar (create_embedding.py:65-66)
+    import torch
+
+    pt = torch.load(r["out"] / "synth_classes.pt", weights_only=True)
+    np.testing.assert_allclose(pt.numpy(), r["class_embs"])
 
 
 def test_annotation_frame(pipeline_run):
