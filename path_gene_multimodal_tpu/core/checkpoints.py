@@ -129,12 +129,33 @@ def load_convnext_encoder_from_torch(path: str | Path, allow_pickle: bool = Fals
     return cfg, variables, leftover
 
 
+def _is_real_hovernext_layout(sd) -> bool:
+    """True for the published smp/timm ``hover_next`` layout (smp decoder
+    blocks ``*.blocks.N.conv1.0.weight`` or a timm-universal encoder)."""
+    import re
+
+    pat = re.compile(r"\.blocks\.\d+\.conv1\.0\.weight$")
+    return any(pat.search(k) for k in sd) or any(
+        k.startswith(("encoder.model.stem.", "model.encoder.model.stem."))
+        for k in sd
+    )
+
+
 def load_hovernext_from_torch(
     path: str | Path, strict: bool = True, allow_pickle: bool = False
 ):
-    """Full pretrained HoverNeXt checkpoint (``pannuke_convnextv2_tiny_3``
-    layout — encoder + U-Net decoder + NP/HV/TP heads; reference entry
-    ``hovernet_inference.py:82-131``) → (HoverNeXtConfig, variables).
+    """Full pretrained HoverNeXt checkpoint → (config, variables).
+
+    Auto-detects the layout family:
+
+    - the published ``pannuke_convnextv2_tiny_3`` smp/timm layout
+      (``hover_next`` multi-head U-Net; reference entry
+      ``hovernet_inference.py:82-131``) → ``RealHoverNeXtConfig`` +
+      ``models.hovernext_real.RealHoverNeXt`` params, via
+      ``weights_hovernext_real.convert_real_hovernext``;
+    - the canonical TPU-native layout (``decoder.I.convJ/normJ``,
+      ``head_np|hv|tp``) → ``HoverNeXtConfig`` + ``models.hovernext``
+      params, via ``weights_hovernext.convert_hovernext``.
 
     ``strict=True`` (default) raises if any checkpoint key is not consumed
     by the mapping, so a naming mismatch is loud rather than a silently
@@ -142,10 +163,20 @@ def load_hovernext_from_torch(
     (cfg, variables, unconsumed) back for manual wiring.
     """
     from path_gene_multimodal_tpu.models.weights import load_torch_checkpoint
-    from path_gene_multimodal_tpu.models.weights_hovernext import convert_hovernext
 
     sd = load_torch_checkpoint(path, allow_pickle=allow_pickle)
-    cfg, variables, leftover = convert_hovernext(sd)
+    if _is_real_hovernext_layout(sd):
+        from path_gene_multimodal_tpu.models.weights_hovernext_real import (
+            convert_real_hovernext,
+        )
+
+        cfg, variables, leftover = convert_real_hovernext(sd)
+    else:
+        from path_gene_multimodal_tpu.models.weights_hovernext import (
+            convert_hovernext,
+        )
+
+        cfg, variables, leftover = convert_hovernext(sd)
     if leftover and strict:
         raise ValueError(
             f"{len(leftover)} checkpoint keys were not consumed by the "

@@ -1,0 +1,293 @@
+"""Real ``hover_next`` checkpoint → Flax ``models.hovernext_real``.
+
+Converts the published ``pannuke_convnextv2_tiny_3``-style state dicts the
+reference consumes (``/root/reference/hovernet_inference.py:82-131``) with
+ZERO unconsumed keys and no manual re-keying. The expected naming is the
+smp/timm layout of the public ``hover_next`` repos (reconstructed from
+knowledge of the smp + timm sources — zero-egress environment; every
+assumption is parity-tested against a torch mirror built with exactly
+this naming in ``tests/test_hovernext_real_parity.py``):
+
+- encoder: ``encoder.model.*`` (smp TimmUniversalEncoder wraps the timm
+  model as ``.model``) or bare ``encoder.*``, in timm ConvNeXtV2 naming —
+  ``stem.{0,1}``, ``stages.S.downsample.{0,1}`` (S ≥ 1),
+  ``stages.S.blocks.B.{conv_dw,norm,mlp.fc1,mlp.grn,mlp.fc2}``; the
+  official FCMAE naming (``downsample_layers.*``, ``stages.S.B.dwconv``)
+  is also accepted via ``weights_convnext.convert_convnextv2``.
+- decoders: any prefix with ``<p>.blocks.N.conv{1,2}.{0,1}.*``
+  (smp ``UnetDecoder``: Conv3×3 no-bias + BatchNorm2d pairs) — one U-Net
+  decoder per output branch (``multi_head_unet`` style) or one shared.
+- heads: any remaining prefix with ``<p>.0.{weight,bias}`` holding a 4-D
+  conv kernel (smp ``SegmentationHead``: Conv3×3 → upsample).
+
+Branch pairing: matching name suffixes (``decoder_inst`` ↔ ``head_inst``)
+when present, positional otherwise; a single decoder feeds every head.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Mapping
+
+import numpy as np
+
+from path_gene_multimodal_tpu.models.convnext import ConvNeXtConfig
+from path_gene_multimodal_tpu.models.hovernext_real import RealHoverNeXtConfig
+
+
+def _np(t) -> np.ndarray:
+    if hasattr(t, "detach"):
+        t = t.detach().cpu().numpy()
+    return np.asarray(t, dtype=np.float32)
+
+
+def _conv(sd: Mapping, key: str, consumed: set[str]) -> dict:
+    out = {"kernel": _np(sd[f"{key}.weight"]).transpose(2, 3, 1, 0)}
+    consumed.add(f"{key}.weight")
+    if f"{key}.bias" in sd:
+        out["bias"] = _np(sd[f"{key}.bias"])
+        consumed.add(f"{key}.bias")
+    return out
+
+
+def _ln(sd: Mapping, key: str, consumed: set[str]) -> dict:
+    consumed.update({f"{key}.weight", f"{key}.bias"})
+    return {"scale": _np(sd[f"{key}.weight"]), "bias": _np(sd[f"{key}.bias"])}
+
+
+def _bn(sd: Mapping, key: str, consumed: set[str]) -> dict:
+    consumed.update(
+        {f"{key}.weight", f"{key}.bias", f"{key}.running_mean",
+         f"{key}.running_var"}
+    )
+    if f"{key}.num_batches_tracked" in sd:
+        consumed.add(f"{key}.num_batches_tracked")
+    return {
+        "scale": _np(sd[f"{key}.weight"]),
+        "bias": _np(sd[f"{key}.bias"]),
+        "mean": _np(sd[f"{key}.running_mean"]),
+        "var": _np(sd[f"{key}.running_var"]),
+    }
+
+
+def _dense(sd: Mapping, key: str, consumed: set[str]) -> dict:
+    consumed.update({f"{key}.weight", f"{key}.bias"})
+    return {"kernel": _np(sd[f"{key}.weight"]).T, "bias": _np(sd[f"{key}.bias"])}
+
+
+# ---------------------------------------------------------------- encoder
+
+
+def infer_convnext_config_timm(sd: Mapping[str, np.ndarray]) -> ConvNeXtConfig:
+    """Config from timm ConvNeXtV2 naming (``stages.S.blocks.B.conv_dw``)."""
+    dims, depths = [], []
+    s = 0
+    while f"stages.{s}.blocks.0.conv_dw.weight" in sd:
+        b = 0
+        while f"stages.{s}.blocks.{b}.conv_dw.weight" in sd:
+            b += 1
+        depths.append(b)
+        dims.append(int(np.shape(sd[f"stages.{s}.blocks.0.conv_dw.weight"])[0]))
+        s += 1
+    if not depths:
+        raise ValueError("no timm ConvNeXt stages found in state_dict")
+    return ConvNeXtConfig(depths=tuple(depths), dims=tuple(dims))
+
+
+def convert_convnextv2_timm(
+    sd: Mapping[str, np.ndarray], cfg: ConvNeXtConfig | None = None
+) -> tuple[dict, set[str]]:
+    """timm-naming ConvNeXtV2 → ``models.convnext.ConvNeXtV2`` params.
+    Returns (params, consumed keys)."""
+    if cfg is None:
+        cfg = infer_convnext_config_timm(sd)
+    consumed: set[str] = set()
+    p: dict = {
+        "stem_conv": _conv(sd, "stem.0", consumed),
+        "stem_norm": _ln(sd, "stem.1", consumed),
+    }
+    for s in range(1, cfg.num_stages):
+        p[f"down{s}_norm"] = _ln(sd, f"stages.{s}.downsample.0", consumed)
+        p[f"down{s}_conv"] = _conv(sd, f"stages.{s}.downsample.1", consumed)
+    for s in range(cfg.num_stages):
+        for b in range(cfg.depths[s]):
+            t = f"stages.{s}.blocks.{b}"
+            p[f"stage{s}_block{b}"] = {
+                "dwconv": _conv(sd, f"{t}.conv_dw", consumed),
+                "norm": _ln(sd, f"{t}.norm", consumed),
+                "pwconv1": _dense(sd, f"{t}.mlp.fc1", consumed),
+                "pwconv2": _dense(sd, f"{t}.mlp.fc2", consumed),
+                "grn": {
+                    "gamma": _np(sd[f"{t}.mlp.grn.weight"]).reshape(-1),
+                    "beta": _np(sd[f"{t}.mlp.grn.bias"]).reshape(-1),
+                },
+            }
+            consumed.update({f"{t}.mlp.grn.weight", f"{t}.mlp.grn.bias"})
+    return p, consumed
+
+
+def _convert_encoder(
+    sd: Mapping[str, np.ndarray]
+) -> tuple[ConvNeXtConfig, dict, set[str]]:
+    """Detect the encoder naming family, convert, return consumed FULL keys."""
+    for prefix in ("encoder.model.", "encoder."):
+        sub = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+        if not sub:
+            continue
+        if "stem.0.weight" in sub:  # timm naming
+            cfg = infer_convnext_config_timm(sub)
+            p, consumed = convert_convnextv2_timm(sub, cfg)
+            return cfg, p, {prefix + k for k in consumed}
+        if "downsample_layers.0.0.weight" in sub:  # official FCMAE naming
+            from path_gene_multimodal_tpu.models.weights_convnext import (
+                convert_convnextv2,
+                infer_convnext_config,
+            )
+
+            cfg = infer_convnext_config(sub)
+            variables, left = convert_convnextv2(sub, cfg)
+            return cfg, variables["params"], {
+                prefix + k for k in sub if k not in left
+            }
+    raise ValueError(
+        "no encoder found: expected 'encoder.model.stem.0.weight' (timm), "
+        "'encoder.stem.0.weight', or 'encoder.downsample_layers.0.0.weight' "
+        "(FCMAE) keys"
+    )
+
+
+# ------------------------------------------------------- decoders & heads
+
+
+def _sanitize(prefix: str) -> str:
+    return prefix.replace(".", "_")
+
+
+def _discover_decoders(sd: Mapping[str, np.ndarray]) -> list[str]:
+    pat = re.compile(r"^(.+?)\.blocks\.\d+\.conv1\.0\.weight$")
+    found = sorted({m.group(1) for k in sd if (m := pat.match(k))})
+    return found
+
+
+def _discover_heads(
+    sd: Mapping[str, np.ndarray], decoder_prefixes: list[str]
+) -> list[str]:
+    pat = re.compile(r"^(.+?)\.0\.weight$")
+    heads = []
+    for k, v in sd.items():
+        m = pat.match(k)
+        if not m:
+            continue
+        p = m.group(1)
+        if p.startswith("encoder") or any(
+            p == d or p.startswith(d + ".") for d in decoder_prefixes
+        ):
+            continue
+        if np.ndim(v) == 4:
+            heads.append(p)
+    return sorted(set(heads))
+
+
+def _pair_branches(
+    decoders: list[str], heads: list[str]
+) -> list[tuple[str, str]]:
+    """(decoder, head) per branch — suffix-matched when possible."""
+    if not decoders or not heads:
+        raise ValueError(f"decoders={decoders}, heads={heads}: need ≥1 of each")
+    if len(decoders) == 1:
+        return [(decoders[0], h) for h in heads]
+
+    def suffix(name: str) -> str:
+        return re.split(r"[._]", name)[-1]
+
+    pairs = []
+    used = set()
+    for h in heads:
+        match = [d for d in decoders if suffix(d) == suffix(h)]
+        if len(match) == 1:
+            pairs.append((match[0], h))
+            used.add(match[0])
+        else:
+            pairs.append((None, h))
+    leftovers = [d for d in decoders if d not in used]
+    fixed = []
+    for d, h in pairs:
+        if d is None:
+            if not leftovers:
+                raise ValueError(
+                    f"cannot pair head '{h}' with a decoder (decoders="
+                    f"{decoders}, heads={heads})"
+                )
+            d = leftovers.pop(0)
+        fixed.append((d, h))
+    return fixed
+
+
+def infer_real_config(
+    sd: Mapping[str, np.ndarray], input_size: int = 256
+) -> RealHoverNeXtConfig:
+    enc_cfg, _, _ = _convert_encoder(sd)
+    decoders = _discover_decoders(sd)
+    heads = _discover_heads(sd, decoders)
+    pairs = _pair_branches(decoders, heads)
+    d0 = decoders[0]
+    channels = []
+    i = 0
+    while f"{d0}.blocks.{i}.conv2.0.weight" in sd:
+        channels.append(int(np.shape(sd[f"{d0}.blocks.{i}.conv2.0.weight"])[0]))
+        i += 1
+    branches = tuple(
+        (_sanitize(d), _sanitize(h), int(np.shape(sd[f"{h}.0.weight"])[0]))
+        for d, h in pairs
+    )
+    return RealHoverNeXtConfig(
+        encoder=enc_cfg,
+        decoder_channels=tuple(channels),
+        branches=branches,
+        input_size=input_size,
+    )
+
+
+def convert_real_hovernext(
+    sd: Mapping[str, np.ndarray], cfg: RealHoverNeXtConfig | None = None
+) -> tuple[RealHoverNeXtConfig, dict, dict]:
+    """Full real-layout state dict → (cfg, {"params": ...}, unconsumed)."""
+    sd = dict(sd)
+    for prefix in ("module.", "model."):
+        if any(k.startswith(prefix + "encoder.") for k in sd):
+            sd = {
+                k[len(prefix):] if k.startswith(prefix) else k: v
+                for k, v in sd.items()
+            }
+    if cfg is None:
+        cfg = infer_real_config(sd)
+
+    _, enc_params, consumed = _convert_encoder(sd)
+    p: dict = {"encoder": enc_params}
+
+    decoders = _discover_decoders(sd)
+    heads = _discover_heads(sd, decoders)
+    pairs = _pair_branches(decoders, heads)
+    san2orig = {_sanitize(d): d for d in decoders} | {_sanitize(h): h for h in heads}
+
+    for dec_san, head_san, _ in cfg.branches:
+        dec = san2orig.get(dec_san, dec_san)
+        head = san2orig.get(head_san, head_san)
+        if dec_san not in p:
+            blocks: dict = {}
+            for i in range(len(cfg.decoder_channels)):
+                blocks[f"block{i}"] = {
+                    "conv1": {
+                        "conv": _conv(sd, f"{dec}.blocks.{i}.conv1.0", consumed),
+                        "bn": _bn(sd, f"{dec}.blocks.{i}.conv1.1", consumed),
+                    },
+                    "conv2": {
+                        "conv": _conv(sd, f"{dec}.blocks.{i}.conv2.0", consumed),
+                        "bn": _bn(sd, f"{dec}.blocks.{i}.conv2.1", consumed),
+                    },
+                }
+            p[dec_san] = blocks
+        p[head_san] = {"conv": _conv(sd, f"{head}.0", consumed)}
+
+    unconsumed = {k: v for k, v in sd.items() if k not in consumed}
+    return cfg, {"params": p}, unconsumed

