@@ -75,26 +75,43 @@ def main(argv: list[str] | None = None) -> int:
 
     mcfg = HoverNeXtConfig(input_size=cfg.hovernext.tile_size)
     params = None
+    real = False
     if args.checkpoint:
         from dataclasses import replace as dc_replace
 
         from path_gene_multimodal_tpu.core.checkpoints import load_hovernext_from_torch
+        from path_gene_multimodal_tpu.models.hovernext_real import RealHoverNeXtConfig
 
         loaded_cfg, params = load_hovernext_from_torch(
             args.checkpoint, allow_pickle=args.allow_pickle
         )
         mcfg = dc_replace(loaded_cfg, input_size=cfg.hovernext.tile_size)
-        logger.info(
-            "loaded pretrained HoverNeXt from %s (encoder dims %s, %d types)",
-            args.checkpoint, mcfg.encoder.dims, mcfg.num_types,
-        )
+        real = isinstance(loaded_cfg, RealHoverNeXtConfig)
+        if real:
+            logger.info(
+                "loaded REAL-layout hover_next from %s (encoder dims %s, "
+                "branches %s)", args.checkpoint, mcfg.encoder.dims, mcfg.branches,
+            )
+        else:
+            logger.info(
+                "loaded pretrained HoverNeXt from %s (encoder dims %s, %d types)",
+                args.checkpoint, mcfg.encoder.dims, mcfg.num_types,
+            )
     else:
         logger.warning("no --checkpoint given: running with RANDOM weights "
                        "(plumbing/benchmark mode, not biology)")
-    model = NucleiModel.build(
-        mcfg, params=params, tta=args.tta,
-        max_instances=cfg.hovernext.max_instances_per_tile,
-    )
+    if real:
+        from path_gene_multimodal_tpu.pipeline.nuclei import RealNucleiModel
+
+        model = RealNucleiModel.build(
+            mcfg, params=params, tta=args.tta,
+            max_instances=cfg.hovernext.max_instances_per_tile,
+        )
+    else:
+        model = NucleiModel.build(
+            mcfg, params=params, tta=args.tta,
+            max_instances=cfg.hovernext.max_instances_per_tile,
+        )
 
     slide = open_slide(wsi)
     t0 = time.perf_counter()

@@ -196,9 +196,23 @@ def hover_instances_batch(
     n_over = jnp.zeros((), jnp.int32)
 
     blb = np_prob > np_threshold
+    blb, n_over = _filter_small_objects(
+        blb, min_object_size, use_pallas, interpret, n_over
+    )
+    overall, dist = energy_b(hv[..., 0], hv[..., 1], blb)
+    marker_mask = blb & (overall < marker_threshold)
+    lbl, n_over = _label_markers_and_flood(
+        blb, dist, marker_mask, min_marker_size, levels, use_pallas, dense,
+        interpret, n_over,
+    )
+    if return_overflow:
+        return lbl, n_over.reshape(1)
+    return lbl
+
+
+def _filter_small_objects(blb, min_object_size, use_pallas, interpret, n_over):
+    """Foreground small-object removal (+ CC slot-overflow accumulation)."""
     if use_pallas:
-        # fused CC+sizes kernel: labels and the per-pixel size map in one
-        # VMEM residency, no TPU segment scatter/gather
         from path_gene_multimodal_tpu.ops.pallas.cc_sizes import (
             pallas_cc_sizes,
             pallas_cc_sizes_adaptive,
@@ -211,9 +225,25 @@ def hover_instances_batch(
                 blb, 1, count_overflow=True
             )
             n_over = n_over + over1
-        blb = blb & (blb_sizes >= min_object_size)
-        overall, dist = energy_b(hv[..., 0], hv[..., 1], blb)
-        marker_mask = blb & (overall < marker_threshold)
+        return blb & (blb_sizes >= min_object_size), n_over
+    from path_gene_multimodal_tpu.ops.components import component_sizes_batch
+
+    label_b = jax.vmap(lambda m: label_components(m, 1))
+    return blb & (component_sizes_batch(label_b(blb)) >= min_object_size), n_over
+
+
+def _label_markers_and_flood(
+    blb, dist, marker_mask, min_marker_size, levels, use_pallas, dense,
+    interpret, n_over,
+):
+    """Shared tail of the instance decoders: label the marker mask, filter
+    small markers, flood over ``blb`` following descending ``dist``."""
+    if use_pallas:
+        from path_gene_multimodal_tpu.ops.pallas.cc_sizes import (
+            pallas_cc_sizes,
+            pallas_cc_sizes_adaptive,
+        )
+
         if dense:
             # flood already-dense marker ids (1..N by root pixel order, the
             # exact compact_labels_device ordering) — the watershed output
@@ -237,28 +267,72 @@ def hover_instances_batch(
             markers = jnp.where(
                 marker_sizes >= min_marker_size, marker_lbl, INF
             )
-    else:
-        from path_gene_multimodal_tpu.ops.components import component_sizes_batch
-
-        label_b = jax.vmap(lambda m: label_components(m, 1))
-        sizes_b = component_sizes_batch
-        blb = blb & (sizes_b(label_b(blb)) >= min_object_size)
-        overall, dist = energy_b(hv[..., 0], hv[..., 1], blb)
-        marker_mask = blb & (overall < marker_threshold)
-        marker_lbl = label_b(marker_mask)
-        markers = jnp.where(
-            sizes_b(marker_lbl) >= min_marker_size, marker_lbl, INF
-        )
-    if use_pallas:
         from path_gene_multimodal_tpu.ops.pallas.flood import pallas_marker_watershed
 
         lbl = pallas_marker_watershed(
             dist, markers, blb, levels=levels, interpret=interpret
         )
-    else:
-        lbl = jax.vmap(lambda d, m, k: marker_watershed(d, m, k, levels=levels))(
-            dist, markers, blb
-        )
+        return lbl, n_over
+    from path_gene_multimodal_tpu.ops.components import component_sizes_batch
+
+    label_b = jax.vmap(lambda m: label_components(m, 1))
+    marker_lbl = label_b(marker_mask)
+    markers = jnp.where(
+        component_sizes_batch(marker_lbl) >= min_marker_size, marker_lbl, INF
+    )
+    lbl = jax.vmap(lambda d, m, k: marker_watershed(d, m, k, levels=levels))(
+        dist, markers, blb
+    )
+    return lbl, n_over
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "min_object_size", "min_marker_size", "levels", "use_pallas", "dense",
+        "interpret", "return_overflow",
+    ),
+)
+def threeclass_instances_batch(
+    inst_logits: jnp.ndarray,
+    fg_threshold: float = 0.5,
+    seed_threshold: float = 0.8,
+    min_object_size: int = 10,
+    min_marker_size: int = 3,
+    levels: int = 64,
+    use_pallas: bool = False,
+    dense: bool = False,
+    interpret: bool = False,
+    return_overflow: bool = False,
+):
+    """Instance decoding for the real hover_next 3-class representation:
+    (B, H, W, 3) logits over (background, nucleus interior, border) →
+    (B, H, W) instance labels (INF background).
+
+    The public ``hover_next`` post-processing thresholds the foreground
+    probability at ``fg_threshold`` and the confident-interior (seed)
+    probability at ``seed_threshold``, then grows seeds over the
+    foreground (reference consumer: ``hovernet_inference.py:150``
+    ``post_process_main``). Here the growth is the same level-set flood as
+    ``hover_instances_batch`` with the interior probability as the energy:
+    seeds flood outward through decreasing P(interior) until the
+    foreground mask ends — the border class separates touching nuclei
+    exactly like the reference's seed expansion."""
+    if dense and not use_pallas:
+        raise ValueError("dense labels require the Pallas path (use_pallas=True)")
+    p = jax.nn.softmax(inst_logits.astype(jnp.float32), axis=-1)
+    p_interior = p[..., 1]
+    fg = (p_interior + p[..., 2]) > fg_threshold  # nucleus body incl. border
+    n_over = jnp.zeros((), jnp.int32)
+    fg, n_over = _filter_small_objects(
+        fg, min_object_size, use_pallas, interpret, n_over
+    )
+    marker_mask = fg & (p_interior > seed_threshold)
+    dist = jnp.where(fg, p_interior, 0.0)
+    lbl, n_over = _label_markers_and_flood(
+        fg, dist, marker_mask, min_marker_size, levels, use_pallas, dense,
+        interpret, n_over,
+    )
     if return_overflow:
         return lbl, n_over.reshape(1)
     return lbl

@@ -228,6 +228,188 @@ class NucleiModel:
         return np.asarray(lbl).astype(np.int32), np.asarray(tp_cls).astype(np.int32)
 
 
+@dataclass
+class RealNucleiModel:
+    """Jitted bundle around the REAL hover_next layout
+    (``models.hovernext_real.RealHoverNeXt`` — loaded from a published
+    ``pannuke_convnextv2_tiny_3`` checkpoint via
+    ``core.checkpoints.load_hovernext_from_torch``). Same duck-typed
+    surface as ``NucleiModel`` (``segment_async`` / ``segment`` /
+    ``cc_overflow_tiles``), so the per-tile pipeline and the WSI stitcher
+    accept either.
+
+    Branch semantics (reconstructed; reference consumer
+    ``hovernet_inference.py:150``):
+
+    - the *instance* branch (name containing "inst", else the one with
+      3 or 5 channels): 3-channel (bg, interior, border) → seed-growing
+      decode (``ops.watershed.threeclass_instances_batch``); 5-channel →
+      first 3 as the class triplet + last 2 as HV maps, decoded with the
+      hover recipe over the 3-class foreground.
+    - the *type* branch: per-pixel (1 + num_types) logits, argmax → type
+      id (0 = background), matching TYPE_NAMES directly.
+    """
+
+    cfg: Any
+    params: Any
+    tta: int = 4
+    fg_threshold: float = 0.5
+    seed_threshold: float = 0.8
+    max_instances: int = 512
+
+    @classmethod
+    def build(
+        cls, cfg, params=None, seed: int = 0, dtype=jnp.bfloat16, tta: int = 4,
+        mesh=None, **kw,
+    ) -> "RealNucleiModel":
+        from path_gene_multimodal_tpu.models.hovernext_real import RealHoverNeXt
+        from path_gene_multimodal_tpu.ops.pallas.flood import pallas_supported
+
+        model = RealHoverNeXt(cfg, dtype=dtype)
+        if params is None:
+            dummy = jnp.zeros((1, cfg.input_size, cfg.input_size, 3), jnp.float32)
+            params = model.init(jax.random.PRNGKey(seed), dummy)
+        if mesh is not None:
+            from path_gene_multimodal_tpu.parallel.mesh import shard_params
+
+            params = shard_params(params, mesh)
+        self = cls(cfg=cfg, params=params, tta=tta, **kw)
+        self._mesh = mesh
+        use_pallas = pallas_supported()
+
+        inst_head, type_head = _pick_real_branches(cfg)
+        inst_ch = dict((h, c) for _, h, c in cfg.branches)[inst_head]
+
+        def _infer_body(params, tiles_u8):
+            pixels = tiles_u8.astype(jnp.float32) / 255.0
+            out = _tta_forward_real(
+                model.apply, params, pixels, tta=self.tta,
+                hv_heads={inst_head: (3, 5)} if inst_ch == 5 else {},
+            )
+            inst_logits = out[inst_head]
+            tp_cls = jnp.argmax(out[type_head], axis=-1).astype(jnp.uint8)
+            return inst_logits, tp_cls
+
+        def _postproc_body(inst_logits):
+            if inst_ch == 5:
+                p3 = jax.nn.softmax(inst_logits[..., :3], axis=-1)
+                lbl, n_over = ws.hover_instances_batch(
+                    p3[..., 1] + p3[..., 2], inst_logits[..., 3:5],
+                    np_threshold=self.fg_threshold,
+                    use_pallas=use_pallas, dense=use_pallas,
+                    return_overflow=True,
+                )
+            else:
+                lbl, n_over = ws.threeclass_instances_batch(
+                    inst_logits,
+                    fg_threshold=self.fg_threshold,
+                    seed_threshold=self.seed_threshold,
+                    use_pallas=use_pallas, dense=use_pallas,
+                    return_overflow=True,
+                )
+            if use_pallas:
+                return jnp.where(lbl < 2**30, lbl, 0).astype(jnp.uint16), n_over
+            from path_gene_multimodal_tpu.ops.instances import compact_labels_device
+
+            return compact_labels_device(lbl), n_over
+
+        if mesh is None:
+            self._infer = jax.jit(_infer_body)
+            self._postproc = jax.jit(_postproc_body)
+        else:
+            from jax.sharding import PartitionSpec as P
+
+            from path_gene_multimodal_tpu.parallel.mesh import TILE_AXIS
+
+            t = P(TILE_AXIS)
+            self._infer = jax.jit(jax.shard_map(
+                _infer_body, mesh=mesh, in_specs=(P(), t), out_specs=(t, t),
+                check_vma=False,
+            ))
+            self._postproc = jax.jit(jax.shard_map(
+                _postproc_body, mesh=mesh, in_specs=(t,), out_specs=(t, t),
+                check_vma=False,
+            ))
+        self._overflow_parts: list = []
+        return self
+
+    def cc_overflow_tiles(self, reset: bool = False) -> int:
+        total = int(sum(int(np.asarray(p).sum()) for p in self._overflow_parts))
+        if reset:
+            self._overflow_parts.clear()
+        return total
+
+    def segment_async(self, tiles_u8: np.ndarray):
+        if getattr(self, "_mesh", None) is not None:
+            from path_gene_multimodal_tpu.parallel.mesh import batch_sharding
+
+            tiles_dev = jax.device_put(
+                np.asarray(tiles_u8), batch_sharding(self._mesh, 4)
+            )
+        else:
+            tiles_dev = jnp.asarray(tiles_u8)
+        inst_logits, tp_cls = self._infer(self.params, tiles_dev)
+        lbl, n_over = self._postproc(inst_logits)
+        self._overflow_parts.append(n_over)
+        return lbl, tp_cls
+
+    def segment(self, tiles_u8: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        lbl, tp_cls = self.segment_async(tiles_u8)
+        return np.asarray(lbl).astype(np.int32), np.asarray(tp_cls).astype(np.int32)
+
+
+def _pick_real_branches(cfg) -> tuple[str, str]:
+    """(instance head, type head) from a RealHoverNeXtConfig."""
+    heads = [(h, c) for _, h, c in cfg.branches]
+    if len(heads) == 1:
+        raise ValueError("real hover_next checkpoint has a single branch; "
+                         "need instance + type heads")
+    inst = [h for h, _ in heads if "inst" in h.lower()]
+    if not inst:
+        inst = [h for h, c in heads if c in (3, 5)]
+    if not inst:
+        raise ValueError(f"cannot identify the instance branch among {heads}")
+    others = [h for h, _ in heads if h != inst[0]]
+    return inst[0], others[0]
+
+
+def _tta_forward_real(
+    apply_fn, params, pixels, tta: int = 4, hv_heads: dict | None = None
+):
+    """Rotation TTA for dict-output models whose channels are per-pixel
+    class maps (rotation-invariant); ``hv_heads`` marks heads whose given
+    channel range (lo, hi) holds HV vectors needing the rot-90 swap."""
+    hv_heads = hv_heads or {}
+    b = pixels.shape[0]
+    stacked = jnp.concatenate(
+        [jnp.rot90(pixels, k=k, axes=(1, 2)) for k in range(tta)], axis=0
+    )
+    out = apply_fn(params, stacked)
+
+    def invert(name, t, k):
+        t = jnp.rot90(t, k=-k, axes=(1, 2))
+        if name in hv_heads:
+            lo, hi = hv_heads[name]
+            h, v = t[..., lo], t[..., lo + 1]
+            if k % 4 == 1:
+                h, v = -v, h
+            elif k % 4 == 2:
+                h, v = -h, -v
+            elif k % 4 == 3:
+                h, v = v, -h
+            t = jnp.concatenate(
+                [t[..., :lo], jnp.stack([h, v], axis=-1), t[..., hi:]], axis=-1
+            )
+        return t
+
+    return {
+        name: sum(
+            invert(name, full[k * b : (k + 1) * b], k) for k in range(tta)
+        ) / tta
+        for name, full in out.items()
+    }
+
+
 def _pad_tile_to_input(tile: np.ndarray, input_size: int) -> tuple[np.ndarray, int]:
     """Reflect-pad a (T, T, 3) tile to the model input size; returns
     (padded, offset) where offset is the crop origin to undo."""

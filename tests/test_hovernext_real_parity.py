@@ -276,3 +276,89 @@ def test_upsample_align_corners_parity():
             torch.from_numpy(x.transpose(0, 3, 1, 2))
         ).numpy().transpose(0, 2, 3, 1)
     np.testing.assert_allclose(ours, ref, atol=1e-6, rtol=1e-6)
+
+
+def test_threeclass_instances_separates_touching():
+    """Two touching nuclei separated by a border-class ridge decode into
+    two instances whose interiors map 1:1 to the ground truth."""
+    import jax
+
+    from path_gene_multimodal_tpu.ops.watershed import threeclass_instances_batch
+
+    h = w = 64
+    yy, xx = np.mgrid[0:h, 0:w]
+    d1 = np.hypot(yy - 32, xx - 22)
+    d2 = np.hypot(yy - 32, xx - 42)
+    inside1, inside2 = d1 < 9, d2 < 9
+    fg = inside1 | inside2
+    border = fg & (np.abs(d1 - d2) < 2.5)  # ridge where the disks meet
+    interior = fg & ~border
+    cls = np.zeros((h, w), np.int64)
+    cls[border] = 2
+    cls[interior] = 1
+    logits = (np.eye(3, dtype=np.float32)[cls] * 10.0)[None]  # (1, H, W, 3)
+
+    lbl = np.asarray(
+        threeclass_instances_batch(jnp.asarray(logits), use_pallas=False)
+    )[0]
+    ids = np.unique(lbl[lbl < 2**30])
+    assert len(ids) == 2, ids
+    # each ground-truth interior is wholly one instance
+    left_ids = np.unique(lbl[inside1 & interior & (d1 < 6)])
+    right_ids = np.unique(lbl[inside2 & interior & (d2 < 6)])
+    assert len(left_ids) == 1 and len(right_ids) == 1
+    assert left_ids[0] != right_ids[0]
+    # the border ridge was flooded (instances grow through it to the edge)
+    assert (lbl[fg] < 2**30).mean() > 0.95
+
+
+def test_real_nuclei_model_runs(tmp_path):
+    """RealNucleiModel end-to-end on the WSI sliding-window stitcher with a
+    converted real-layout checkpoint (random weights: plumbing, not
+    biology)."""
+    from path_gene_multimodal_tpu.cli import hovernext_infer as hn
+    from path_gene_multimodal_tpu.io.slide import synthetic_wsi
+
+    torch.manual_seed(5)
+    tmodel = _real_hovernext_torch(
+        torch, (1, 1, 1, 1), (8, 16, 32, 64), (16, 8, 8, 8),
+        {"inst": 3, "ct": 6},
+    )
+    with torch.no_grad():
+        _randomize_bn_stats(torch, tmodel, seed=5)
+    ckpt = tmp_path / "real_hnx.pt"
+    torch.save(tmodel.state_dict(), ckpt)
+
+    slide = synthetic_wsi(600, 500, seed=6, n_blobs=2, nuclei_per_blob=8)
+    p = tmp_path / "s.npz"
+    slide.save(p)
+    rc = hn.main([
+        "--input", str(p), "--output", str(tmp_path / "out"),
+        "--mode", "wsi", "--batch-size", "4", "--tta", "4",
+        "--checkpoint", str(ckpt),
+    ])
+    assert rc == 0
+    assert (tmp_path / "out" / "s_hovernet_nuclei_wsi.csv").exists()
+
+
+def test_real_5ch_inst_branch(tmp_path):
+    """5-channel instance branch (3-class + HV) builds and segments."""
+    from path_gene_multimodal_tpu.models.weights_hovernext_real import (
+        convert_real_hovernext,
+    )
+    from path_gene_multimodal_tpu.pipeline.nuclei import RealNucleiModel
+
+    torch.manual_seed(7)
+    tmodel = _real_hovernext_torch(
+        torch, (1, 1, 1, 1), (8, 16, 32, 64), (16, 8, 8, 8),
+        {"inst": 5, "ct": 6},
+    )
+    with torch.no_grad():
+        _randomize_bn_stats(torch, tmodel, seed=7)
+    cfg, variables, leftover = convert_real_hovernext(tmodel.state_dict())
+    assert leftover == {}
+    model = RealNucleiModel.build(cfg, params=variables, tta=2)
+    tiles = (np.random.default_rng(0).random((2, 256, 256, 3)) * 255).astype(np.uint8)
+    lbl, tp = model.segment(tiles)
+    assert lbl.shape == (2, 256, 256) and tp.shape == (2, 256, 256)
+    assert tp.max() <= 5
