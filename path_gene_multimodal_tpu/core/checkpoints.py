@@ -113,6 +113,33 @@ def load_clip_from_torch(path: str | Path, allow_pickle: bool = False):
     return vcfg, vparams, tcfg, tparams
 
 
+def load_virchow2_from_torch(
+    path: str | Path, strict: bool = True, allow_pickle: bool = False
+):
+    """Published Virchow2 checkpoint (timm ViT-H/14 naming: ``cls_token``,
+    ``reg_token``, ``blocks.N.attn.qkv``, SwiGLU ``mlp.fc1/fc2``,
+    ``ls1/ls2.gamma``) → (TimmViTConfig, variables). Reference consumer:
+    ``extract_embedding_from_tiles.py:14`` (``MODEL_TYPE="Virchow2"``).
+    Use the returned config with ``models.clip.ImageEncoder`` (ImageNet
+    mean/std) — the tile embedding is concat(cls, patch-mean), 2560-d."""
+    from path_gene_multimodal_tpu.models.weights import (
+        convert_timm_vit,
+        load_torch_checkpoint,
+    )
+
+    sd = load_torch_checkpoint(path, allow_pickle=allow_pickle)
+    cfg, variables, leftover = convert_timm_vit(sd)
+    if leftover and strict:
+        raise ValueError(
+            f"{len(leftover)} checkpoint keys were not consumed by the timm "
+            f"ViT mapping (first 10: {sorted(leftover)[:10]}); pass "
+            "strict=False to get them back for manual wiring"
+        )
+    if not strict:
+        return cfg, variables, leftover
+    return cfg, variables
+
+
 def load_convnext_encoder_from_torch(path: str | Path, allow_pickle: bool = False):
     """HoverNeXt/FCMAE-style torch checkpoint → (ConvNeXtConfig, encoder
     variables, unconsumed decoder/head keys). Decoder mapping is checkpoint-

@@ -195,7 +195,14 @@ class ImageEncoder:
     ):
         self.cfg = cfg
         self.mesh = mesh
-        self.model = VisionTower(cfg, dtype=dtype)
+        from path_gene_multimodal_tpu.models.vit_timm import TimmViT, TimmViTConfig
+
+        if isinstance(cfg, TimmViTConfig):
+            # the REAL Virchow2 architecture (timm ViT: SwiGLU, LayerScale,
+            # registers) — loaded via core.checkpoints.load_virchow2_from_torch
+            self.model = TimmViT(cfg, dtype=dtype)
+        else:
+            self.model = VisionTower(cfg, dtype=dtype)
         if params is None:
             dummy = jnp.zeros((1, cfg.image_size, cfg.image_size, 3), jnp.float32)
             params = self.model.init(jax.random.PRNGKey(seed), dummy)

@@ -206,6 +206,115 @@ def infer_text_config(sd: Mapping[str, np.ndarray]) -> TextConfig:
     )
 
 
+def is_timm_vit_layout(sd: Mapping[str, np.ndarray]) -> bool:
+    """True for timm VisionTransformer naming (the real Virchow2 layout:
+    ``blocks.N.attn.qkv`` + ``patch_embed.proj``)."""
+    return "patch_embed.proj.weight" in sd and any(
+        k.startswith("blocks.0.attn.qkv.") for k in sd
+    )
+
+
+def infer_timm_vit_config(sd: Mapping[str, np.ndarray]):
+    """TimmViTConfig from a timm ViT checkpoint's shapes (Virchow2:
+    ViT-H/14, 4 registers, SwiGLU 5.3375, LayerScale)."""
+    from path_gene_multimodal_tpu.models.vit_timm import (
+        _HEADS_BY_WIDTH,
+        TimmViTConfig,
+    )
+
+    conv = sd["patch_embed.proj.weight"]
+    width, _, patch, _ = conv.shape
+    layers = max(
+        int(k.split(".")[1]) for k in sd if k.startswith("blocks.")
+    ) + 1
+    regs = int(sd["reg_token"].shape[1]) if "reg_token" in sd else 0
+    n_pos = int(sd["pos_embed"].shape[-2])
+    g = int(round(n_pos ** 0.5))
+    if g * g == n_pos:
+        mode, grid = "patches_only", g
+    else:
+        g = int(round((n_pos - 1 - regs) ** 0.5))
+        if g * g != n_pos - 1 - regs:
+            raise ValueError(f"cannot infer grid from pos_embed length {n_pos}")
+        mode, grid = "prefix", g
+    fc1_out = int(sd["blocks.0.mlp.fc1.weight"].shape[0])
+    fc2_in = int(sd["blocks.0.mlp.fc2.weight"].shape[1])
+    if fc1_out == 2 * fc2_in:
+        mlp_type = "swiglu"
+    elif fc1_out == fc2_in:
+        mlp_type = "gelu"
+    else:
+        raise ValueError(f"unrecognized MLP shapes fc1={fc1_out}, fc2_in={fc2_in}")
+    return TimmViTConfig(
+        image_size=grid * int(patch),
+        patch_size=int(patch),
+        width=int(width),
+        layers=layers,
+        heads=_HEADS_BY_WIDTH.get(int(width), max(int(width) // 64, 1)),
+        num_registers=regs,
+        mlp_hidden=fc1_out,
+        mlp_type=mlp_type,
+        use_layerscale="blocks.0.ls1.gamma" in sd,
+        pos_embed_mode=mode,
+    )
+
+
+def convert_timm_vit(
+    sd: Mapping[str, np.ndarray], cfg=None
+) -> tuple[object, dict, dict]:
+    """timm ViT (Virchow2) state dict → (TimmViTConfig, {"params": ...},
+    unconsumed). Zero unconsumed keys on a clean checkpoint; ``head.*`` of
+    num_classes=0 exports is absent by construction."""
+    for prefix in ("module.", "model."):
+        if any(k.startswith(prefix + "patch_embed.") for k in sd):
+            sd = {
+                k[len(prefix):] if k.startswith(prefix) else k: v
+                for k, v in sd.items()
+            }
+    if cfg is None:
+        cfg = infer_timm_vit_config(sd)
+    consumed: set[str] = set()
+
+    def take(key: str) -> np.ndarray:
+        consumed.add(key)
+        return _np(sd[key])
+
+    def lin(prefix: str) -> dict:
+        out = {"kernel": take(f"{prefix}.weight").T}
+        if f"{prefix}.bias" in sd:
+            out["bias"] = take(f"{prefix}.bias")
+        return out
+
+    def ln(prefix: str) -> dict:
+        return {"scale": take(f"{prefix}.weight"), "bias": take(f"{prefix}.bias")}
+
+    p: dict = {
+        "patch_embed": {
+            "kernel": take("patch_embed.proj.weight").transpose(2, 3, 1, 0),
+            "bias": take("patch_embed.proj.bias"),
+        },
+        "cls_token": take("cls_token").reshape(-1),
+        "pos_embed": take("pos_embed").reshape(cfg.pos_len, cfg.width),
+        "norm": ln("norm"),
+    }
+    if cfg.num_registers:
+        p["reg_token"] = take("reg_token").reshape(cfg.num_registers, cfg.width)
+    for i in range(cfg.layers):
+        t = f"blocks.{i}"
+        blk = {
+            "norm1": ln(f"{t}.norm1"),
+            "attn": {"qkv": lin(f"{t}.attn.qkv"), "proj": lin(f"{t}.attn.proj")},
+            "norm2": ln(f"{t}.norm2"),
+            "mlp": {"fc1": lin(f"{t}.mlp.fc1"), "fc2": lin(f"{t}.mlp.fc2")},
+        }
+        if cfg.use_layerscale:
+            blk["ls1"] = {"gamma": take(f"{t}.ls1.gamma")}
+            blk["ls2"] = {"gamma": take(f"{t}.ls2.gamma")}
+        p[f"block{i}"] = blk
+    unconsumed = {k: v for k, v in sd.items() if k not in consumed}
+    return cfg, {"params": p}, unconsumed
+
+
 def infer_vision_config(sd: Mapping[str, np.ndarray]) -> VisionConfig:
     """Derive a VisionConfig from a CLIP checkpoint's shapes."""
     hf = any(k.startswith("vision_model.") for k in sd)

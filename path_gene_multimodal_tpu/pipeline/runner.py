@@ -74,15 +74,29 @@ class PipelineModels:
         seed: int = 0,
         mesh=None,
     ) -> "PipelineModels":
+        virchow = cfg.model_type.lower().startswith("virchow")
         if vision_cfg is None:
-            vision_cfg = VIRCHOW2 if cfg.model_type.lower() == "virchow2" else CLIP_VIT_B16
+            vision_cfg = VIRCHOW2 if virchow else CLIP_VIT_B16
         text_cfg = text_cfg or CLIP_TEXT
         import jax.numpy as jnp
 
+        from path_gene_multimodal_tpu.models.clip import (
+            CLIP_MEAN,
+            CLIP_STD,
+            IMAGENET_MEAN,
+            IMAGENET_STD,
+        )
+        from path_gene_multimodal_tpu.models.vit_timm import TimmViTConfig
+
+        # Virchow2 (either the CLIP-style stand-in or a real timm config
+        # from load_virchow2_from_torch) normalizes with ImageNet stats
+        imagenet = virchow or isinstance(vision_cfg, TimmViTConfig)
         dtype = jnp.bfloat16 if cfg.embedding.dtype == "bfloat16" else jnp.float32
         return cls(
             image_encoder=ImageEncoder(
-                vision_cfg, params=vision_params, dtype=dtype, seed=seed, mesh=mesh
+                vision_cfg, params=vision_params, dtype=dtype, seed=seed, mesh=mesh,
+                mean=IMAGENET_MEAN if imagenet else CLIP_MEAN,
+                std=IMAGENET_STD if imagenet else CLIP_STD,
             ),
             text_encoder=TextEncoder(text_cfg, params=text_params, seed=seed + 1),
             tokenizer=tokenizer or open_tokenizer(),
