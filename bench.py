@@ -188,6 +188,73 @@ def main() -> None:
         1.0 / decode_rate + 1.0 / embed_rate + 1.0 / nuclei_rate + 1.0 / graph_rate
     )
 
+    # --- MEASURED streamed WSI run (one chain, same tile stream) -----------
+    # The harmonic composition above assumes zero pipeline overlap; this is
+    # the real thing: JPEG bytes → decoded batches → embed + HoverNeXt
+    # forward + watershed + instance features per batch (async dispatch
+    # overlaps host decode with device compute) → kNN/radius graph over the
+    # accumulated nuclei. Because random weights produce empty masks, the
+    # watershed consumes the same synthetic 40-nuclei maps as the pp stage,
+    # mixed with a 0× term of the real forward outputs so the data
+    # dependency (and therefore stage ordering) is preserved while the
+    # workload stays realistic.
+    stream_batch = nuclei_batch  # 64: the nuclei knee ties the chain
+
+    @jax.jit
+    def _pad224_to_256(tiles_u8):
+        # derive the seg window from the SAME uploaded batch on device —
+        # one H2D per batch instead of two (uploading both views costs
+        # 22 MB/batch; the dev tunnel moves ~25 MB/s, and even on an
+        # attached chip one transfer is strictly better)
+        return jnp.pad(
+            tiles_u8, ((0, 0), (16, 16), (16, 16), (0, 0)), mode="reflect"
+        )
+
+    @jax.jit
+    def _pp_mixed(np_real, hv_real, syn_np, syn_hv, tp):
+        np_mix = syn_np + 0.0 * np_real
+        hv_mix = syn_hv + 0.0 * hv_real[..., :2]
+        lbl = seg._postproc_raw(np_mix, hv_mix)
+        feats = instance_features_batch(
+            lbl.astype(jnp.int32), tp, max_instances=seg.max_instances,
+            use_pallas=_pallas_ok(),
+        )
+        return feats["area"], feats["centroid_x"], feats["centroid_y"]
+
+    def run_streamed(time_it: bool) -> tuple[float, int]:
+        reader = TiffTileSlide(svs_path, cache_tiles=512)
+        t0 = time.perf_counter()
+        embs, feats = [], []
+        n_tiles = 0
+        for tiles, valid in iter_tile_batches(
+            reader, grid, 224, stream_batch, pad_to_batch=True, prefetch=2
+        ):
+            n_tiles += int(valid.sum())
+            tiles_dev = jnp.asarray(tiles)  # ONE async upload per batch
+            emb = encoder(tiles_dev)
+            np_real, hv_real, _tp = seg._infer(seg.params, _pad224_to_256(tiles_dev))
+            feats.append(_pp_mixed(np_real, hv_real, np_prob_d, hv_d, tp_d))
+            embs.append(emb)
+        # materialize with TWO D2H transfers total (device-side concat):
+        # per-array fetches pay the tunnel dispatch RTT 4× per batch
+        _ = np.asarray(jnp.concatenate(embs))
+        acc = np.asarray(jnp.stack([jnp.stack(f, axis=-1) for f in feats]))
+        a, cx, cy = acc[..., 0], acc[..., 1], acc[..., 2]
+        bb, rr, cc = np.nonzero(a > 0)
+        g = bb * stream_batch + rr  # GLOBAL tile index spreads the nuclei
+        pts_s = np.stack(
+            [cx[bb, rr, cc] + (g % 8) * 256, cy[bb, rr, cc] + (g // 8) * 256],
+            axis=1,
+        ).astype(np.float32)
+        combined_graphs(pts_s, k=5, radius=radius_px)
+        return time.perf_counter() - t0, n_tiles
+
+    run_streamed(False)  # warmup: compile every per-batch program
+    runs = [run_streamed(True) for _ in range(2)]
+    wsi_sec = min(sec for sec, _ in runs)
+    wsi_tiles = runs[0][1]
+    wsi_rate = wsi_tiles / wsi_sec
+
     print(
         json.dumps(
             {
@@ -203,6 +270,9 @@ def main() -> None:
                     "seg_forward_tiles_per_sec": round(seg_fwd_rate, 2),
                     "postproc_tiles_per_sec": round(pp_rate, 2),
                     "graph_tiles_per_sec": round(graph_rate, 2),
+                    "wsi_e2e_sec": round(wsi_sec, 3),
+                    "wsi_tiles": int(wsi_tiles),
+                    "wsi_tiles_per_sec": round(wsi_rate, 2),
                     "graph_nuclei": int(len(pts)),
                     "instances_in_pp_workload": n_found,
                     "target_tiles_per_sec_per_chip": round(TARGET_TILES_PER_SEC_PER_CHIP, 2),

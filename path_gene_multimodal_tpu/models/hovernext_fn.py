@@ -126,6 +126,57 @@ def encoder_features(
 
 
 
+def _dec_conv0_lowres(dp, x, skip, dtype):
+    """``conv0(concat(nearest_up2x(x), skip))`` with the upsampled tensor
+    NEVER materialized: nearest ×2 + zero-pad SAME compose exactly, so the
+    x-path of conv0 collapses to ONE VALID 2×2 conv in the low-res parity
+    domain (4 phase outputs stacked on the channel axis, 4/9 of the
+    hi-res FLOPs), followed by depth-to-space; the skip-path is the
+    kernel's skip-channel slice as a plain hi-res conv (conv over a
+    concat == sum of per-slice convs). Exact — no border fixups needed:
+    hi-res pad row -1 maps to low-res pad row -1 under floor division.
+    Returns the pre-LN conv0 output at (B, 2H, 2W, cout)."""
+    w = dp["kernel"].astype(jnp.float32)  # (3, 3, cin_total, cout)
+    bias = dp["bias"]
+    b, h, wd, cin = x.shape
+    cout = w.shape[-1]
+    w_up = w[:, :, :cin]
+    # per-axis fold (nearest): phase 0 2-tap = [w(-1), w(0)+w(1)],
+    #                          phase 1 2-tap = [w(-1)+w(0), w(1)]
+    a0 = jnp.asarray([[1.0, 0.0, 0.0], [0.0, 1.0, 1.0]])
+    a1 = jnp.asarray([[1.0, 1.0, 0.0], [0.0, 0.0, 1.0]])
+    mats = (a0, a1)
+    wc = jnp.concatenate(
+        [
+            jnp.einsum("yxio,ty,sx->tsio", w_up, mats[a], mats[bb])
+            for a in (0, 1)
+            for bb in (0, 1)
+        ],
+        axis=-1,
+    )  # (2, 2, cin, 4·cout), phase order (a, b) = 00, 01, 10, 11
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    z = jax.lax.conv_general_dilated(
+        xp.astype(dtype), wc.astype(dtype), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )  # (B, H+1, W+1, 4·cout); phase (a, b) lives at rows a..a+H-1
+    phases = [
+        z[:, a : a + h, bb : bb + wd, p * cout : (p + 1) * cout]
+        for p, (a, bb) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1)))
+    ]
+    y = (
+        jnp.stack(phases, axis=3)
+        .reshape(b, h, wd, 2, 2, cout)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(b, 2 * h, 2 * wd, cout)
+    )
+    if skip is not None:
+        y = y + jax.lax.conv_general_dilated(
+            skip.astype(dtype), w[:, :, cin:].astype(dtype), (1, 1),
+            ((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+    return y + bias.astype(dtype)
+
+
 def _final_conv_lowres(p_final, x, dtype):
     """resize(2×, bilinear) → conv3×3 → GELU computed WITHOUT the 2×
     intermediate: the interpolation is linear, so conv∘upsample collapses
@@ -245,6 +296,7 @@ def hovernext_forward(
     fused_blocks: bool = False,
     fused_decoder: bool | None = None,
     fused_final: bool | None = None,
+    lowres_decoder: bool = False,
     interpret: bool = False,
 ) -> dict[str, jnp.ndarray]:
     """Full HoverNeXt forward (hovernext.py:74-96 parity): pixels
@@ -261,10 +313,16 @@ def hovernext_forward(
     if fused_decoder is None:
         fused_decoder = False
     if fused_final is None:
-        # "lowres" default: the composite-weight reformulation
-        # (_final_conv_lowres) avoids the 2× HBM intermediate entirely in
-        # pure XLA. True = the Pallas kernel (loses at HoverNeXt widths:
-        # 285 vs 303 t/s, kept opt-in); False = the plain resize path.
+        # "lowres" default: the composite-weight XLA reformulation
+        # (_final_heads_lowres) avoids the 2× HBM intermediate and beats
+        # every Pallas variant measured on v5e. "heads" = the fused
+        # upsample+conv+GELU+head kernel (ops.pallas.decoder.
+        # fused_final_heads) — in-situ it LOSES (230 vs 199 ms/b256
+        # _infer: the per-image grid serializes the VPU upsample and
+        # undersized matmuls that XLA batches across images; kept as a
+        # tested opt-in for wider heads). True = the older Pallas
+        # upsample+conv kernel without the head fold (285 vs 303 t/s,
+        # opt-in); False = the plain resize path.
         fused_final = "lowres"
     p = params["params"] if "params" in params else params
     feats = encoder_features(
@@ -300,6 +358,20 @@ def hovernext_forward(
     else:
         for i in range(len(cfg.decoder_dims)):
             dp = p[f"dec{i}"]
+            if lowres_decoder:
+                # conv0∘upsample collapsed into the low-res parity domain
+                # (exact; the 2× concat tensor never hits HBM). Measured on
+                # v5e at tiny widths this LOSES to the hi-res XLA conv
+                # (86 vs 75 ms/b256 decoder-only: the 4·cout phase concat
+                # defeats XLA's implicit-GEMM tiling) — kept opt-in for
+                # wider decoders where the 2× concat dominates HBM
+                x = _dec_conv0_lowres(dp["conv0"], x, skips[i], dtype)
+                x = _ln(dp["norm0"], x, dtype)
+                x = jax.nn.gelu(x, approximate=False)
+                x = _conv(dp["conv1"], x, stride=1, pad=1, dtype=dtype)
+                x = _ln(dp["norm1"], x, dtype)
+                x = jax.nn.gelu(x, approximate=False)
+                continue
             x = _upsample2x_nearest(x)
             if skips[i] is not None:
                 x = jnp.concatenate([x, skips[i]], axis=-1)
@@ -307,6 +379,30 @@ def hovernext_forward(
                 x = _conv(dp[f"conv{j}"], x, stride=1, pad=1, dtype=dtype)
                 x = _ln(dp[f"norm{j}"], x, dtype)
                 x = jax.nn.gelu(x, approximate=False)
+        if fused_final == "heads":
+            from path_gene_multimodal_tpu.ops.pallas.decoder import (
+                fused_final_heads,
+            )
+
+            p_final = p["final_conv"]
+            ch = p_final["kernel"].shape[-1]
+            heads = ["head_np", "head_hv", "head_tp"]
+            wcat = jnp.concatenate(
+                [p[n]["kernel"].reshape(ch, -1).astype(dtype) for n in heads],
+                axis=-1,
+            )
+            bcat = jnp.concatenate([p[n]["bias"].astype(dtype) for n in heads])
+            z = fused_final_heads(
+                x, p_final["kernel"], p_final["bias"], wcat, bcat,
+                interpret=interpret,
+            )  # (B, n_out, 2H, 2W) bf16
+            out = jnp.transpose(z, (0, 2, 3, 1)).astype(jnp.float32)
+            t = out.shape[-1] - 4
+            return {
+                "np": out[..., :2],
+                "hv": out[..., 2:4],
+                "tp": out[..., 4 : 4 + t],
+            }
         if fused_final == "lowres":
             # heads folded into the low-res parity domain: the full-res
             # cout activation never materializes

@@ -311,6 +311,125 @@ def fused_upsample_final(
     return out
 
 
+def _upsample_final_heads_kernel(h: int, w: int, cin: int, cout: int,
+                                 n_out: int):
+    """2× bilinear upsample + 3×3 conv + GELU + the three head matmuls
+    folded, per image, VMEM-resident.
+
+    The only HBM traffic is x in (2 MB/img) and the packed logits out
+    (B, n_out, 2H, 2W) bf16 (1.3 MB/img at HoverNeXt widths) — the
+    full-res cout activation never leaves VMEM. NCHW output: the logits'
+    channel dim (10) would waste a 128-lane tile in NHWC; as (n_out, 2h,
+    2w) the last two dims tile perfectly and the head matmul writes it
+    via one small transposed dot_general per row chunk.
+
+    Measured on v5e at HoverNeXt-tiny widths this LOSES in situ to the
+    XLA composite-weight path (230 vs 199 ms/b256 seg forward): the
+    per-image grid serializes the VPU upsample + M=32k/N=64 matmuls that
+    XLA batches across all images, and the final stage is only ~20 ms of
+    the forward to begin with (its 75 ms standalone reading was a jit-
+    boundary artifact). Kept as a tested opt-in for models with wider
+    final stages/heads where the full-res activation dominates HBM."""
+
+    def kernel(x_ref, w_ref, b_ref, wh_ref, bh_ref, out_ref):
+        x = x_ref[0].astype(jnp.float32)  # (h, w, cin)
+
+        def up_axis(v, axis):
+            n = v.shape[axis]
+            first = jax.lax.slice_in_dim(v, 0, 1, axis=axis)
+            last = jax.lax.slice_in_dim(v, n - 1, n, axis=axis)
+            prev = jax.lax.concatenate(
+                [first, jax.lax.slice_in_dim(v, 0, n - 1, axis=axis)], axis
+            )
+            nxt = jax.lax.concatenate(
+                [jax.lax.slice_in_dim(v, 1, n, axis=axis), last], axis
+            )
+            even = 0.25 * prev + 0.75 * v
+            odd = 0.75 * v + 0.25 * nxt
+            st = jnp.stack([even, odd], axis=axis + 1)
+            shape = list(v.shape)
+            shape[axis] *= 2
+            return st.reshape(shape)
+
+        up = up_axis(up_axis(x, 0), 1).astype(jnp.bfloat16)  # (2h, 2w, cin)
+        xp = jnp.pad(up, ((1, 1), (1, 1), (0, 0)))
+        oh, ow = 2 * h, 2 * w
+        rc = oh // 4
+        bias = b_ref[...].astype(jnp.float32)
+        bh = bh_ref[...].astype(jnp.float32)  # (1, n_out)
+        taps = [(dy, dx) for dy in range(3) for dx in range(3)]
+        pairs = [(taps[i], taps[i + 1]) for i in range(0, 8, 2)] + [(taps[8],)]
+        for c in range(4):
+            acc = jnp.zeros((rc * ow, cout), jnp.float32)
+
+            def tap_of(dy, dx):
+                return jax.lax.slice(
+                    xp, (c * rc + dy, dx, 0),
+                    (c * rc + dy + rc, dx + ow, cin),
+                ).reshape(rc * ow, cin)
+
+            for group in pairs:
+                t = jnp.concatenate([tap_of(*g) for g in group], axis=1)
+                wg = jnp.concatenate([w_ref[dy, dx] for dy, dx in group], axis=0)
+                acc = acc + jnp.dot(t, wg, preferred_element_type=jnp.float32)
+            acc = _gelu_exact(acc + bias).astype(jnp.bfloat16)
+            # transposed head matmul: (cout, n_out)ᵀ·(rc·ow, cout)ᵀ →
+            # (n_out, rc·ow) lands directly in the NCHW output layout
+            z = jax.lax.dot_general(
+                wh_ref[...], acc, (((0,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + bh.reshape(n_out, 1)
+            out_ref[0, :, c * rc : (c + 1) * rc, :] = z.reshape(
+                n_out, rc, ow
+            ).astype(out_ref.dtype)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def fused_final_heads(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    b: jnp.ndarray,
+    wh: jnp.ndarray,
+    bh: jnp.ndarray,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """x (B, H, W, cin) → 2× bilinear upsample → 3×3 conv(w, b) → exact
+    GELU → head matmul (wh (cout, n_out), bh) → logits (B, n_out, 2H, 2W)
+    bf16 (NCHW — see kernel docstring). Element-exact vs
+    ``jax.image.resize(bilinear)`` + conv + gelu + dot at bf16 precision."""
+    bsz, h, wd, cin = x.shape
+    cout = w.shape[-1]
+    n_out = wh.shape[-1]
+    bf = jnp.bfloat16
+    vma = _vma_of(x)
+    out = pl.pallas_call(
+        _upsample_final_heads_kernel(h, wd, cin, cout, n_out),
+        out_shape=jax.ShapeDtypeStruct(
+            (bsz, n_out, 2 * h, 2 * wd), bf, vma=vma
+        ),
+        grid=(bsz,),
+        in_specs=[
+            pl.BlockSpec((1, h, wd, cin), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((3, 3, cin, cout), lambda i: (0, 0, 0, 0)),
+            pl.BlockSpec((1, cout), lambda i: (0, 0)),
+            pl.BlockSpec((cout, n_out), lambda i: (0, 0)),
+            pl.BlockSpec((1, n_out), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, n_out, 2 * h, 2 * wd), lambda i: (i, 0, 0, 0)
+        ),
+        compiler_params=VMEM_LIMIT,
+        interpret=interpret,
+    )(*_args_to_vma(
+        vma,
+        [x.astype(bf), w.astype(bf), b.reshape(1, -1).astype(bf),
+         wh.astype(bf), bh.reshape(1, -1).astype(bf)],
+    ))
+    return out
+
+
 def _final_kernel(rows: int, w_: int, cin: int, cout: int, n_strips: int):
     def kernel(x_hbm, w_ref, b_ref, out_ref, xs, sem):
         i = pl.program_id(0)

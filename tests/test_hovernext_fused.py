@@ -150,6 +150,29 @@ def test_fused_upsample_final_matches_xla(rng):
     assert err < 2e-2, err
 
 
+def test_fused_final_heads_matches_xla(rng):
+    """In-VMEM 2× bilinear + conv + GELU + folded heads == the plain
+    resize → conv → gelu → head-matmul chain (bf16-level, NCHW output)."""
+    from path_gene_multimodal_tpu.models.hovernext_fn import _conv
+    from path_gene_multimodal_tpu.ops.pallas.decoder import fused_final_heads
+
+    b, h, w, cin, cout, n_out = 2, 16, 24, 6, 5, 10
+    x = jnp.asarray(rng.standard_normal((b, h, w, cin)).astype(np.float32))
+    wk = jnp.asarray(rng.standard_normal((3, 3, cin, cout)).astype(np.float32) * 0.2)
+    bias = jnp.asarray(rng.standard_normal((cout,)).astype(np.float32) * 0.1)
+    wh = jnp.asarray(rng.standard_normal((cout, n_out)).astype(np.float32) * 0.3)
+    bh = jnp.asarray(rng.standard_normal((n_out,)).astype(np.float32) * 0.1)
+    ref = jax.image.resize(x, (b, 2 * h, 2 * w, cin), method="bilinear")
+    ref = _conv({"kernel": wk, "bias": bias}, ref, stride=1, pad=1, dtype=jnp.float32)
+    ref = np.asarray(jax.nn.gelu(ref, approximate=False)) @ np.asarray(wh) + np.asarray(bh)
+    got = np.asarray(
+        jnp.transpose(fused_final_heads(x, wk, bias, wh, bh, interpret=True),
+                      (0, 2, 3, 1))
+    ).astype(np.float32)
+    err = np.abs(got - ref).max() / (np.abs(ref).max() or 1)
+    assert err < 2e-2, err
+
+
 @pytest.mark.parametrize("h", [32, 64, 96])  # 1 strip / edges only / middle strip
 def test_fused_final_conv_gelu_matches_xla(rng, h):
     from path_gene_multimodal_tpu.models.hovernext_fn import _conv
