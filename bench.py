@@ -73,7 +73,11 @@ def main() -> None:
     from path_gene_multimodal_tpu.pipeline.tessellate import iter_tile_batches
 
     rng = np.random.default_rng(0)
-    slide = synthetic_wsi(4096, 4096, seed=0, n_blobs=5, nuclei_per_blob=200)
+    SLIDE_PX = 8192  # 1225-tile grid: enough batches for the streamed run
+    # to amortize pipeline fill/drain + tunnel RTT (324 tiles were 3
+    # batches — fixed costs ate ~40% of the wall clock)
+    slide = synthetic_wsi(SLIDE_PX, SLIDE_PX, seed=0, n_blobs=20,
+                          nuclei_per_blob=200)
 
     # --- host tile decode from REAL JPEG TIFF bytes (native C++ decoder) ---
     # materialize the synthetic slide as a real JPEG-compressed tiled SVS so
@@ -85,10 +89,10 @@ def main() -> None:
         svs_path, [slide._levels[0], slide._levels[1]], tile_size=256,
         compression=7, description="Aperio bench |MPP = 0.2500|",
     )
+    side = np.arange(0, SLIDE_PX - 224, 224)
     grid = np.stack(
-        np.meshgrid(np.arange(0, 4096 - 224, 224), np.arange(0, 4096 - 224, 224)),
-        axis=-1,
-    ).reshape(-1, 2).astype(np.int64)  # 324 grid-aligned 224px tiles
+        np.meshgrid(side, side), axis=-1
+    ).reshape(-1, 2).astype(np.int64)  # grid-aligned 224px tiles
 
     def run_decode():
         # fresh reader each iteration: no warm LRU carry-over between runs
@@ -108,14 +112,14 @@ def main() -> None:
     tiles224 = np.stack(
         [
             slide.read_region((int(x), int(y)), 0, (224, 224))
-            for x, y in rng.integers(0, 4096 - 224, size=(embed_batch, 2))
+            for x, y in rng.integers(0, SLIDE_PX - 224, size=(embed_batch, 2))
         ]
     )
-    nuclei_batch = 64
+    nuclei_batch = 128
     tiles256 = np.stack(
         [
             slide.read_region((int(x), int(y)), 0, (256, 256))
-            for x, y in rng.integers(0, 4096 - 256, size=(nuclei_batch, 2))
+            for x, y in rng.integers(0, SLIDE_PX - 256, size=(nuclei_batch, 2))
         ]
     )
 
@@ -236,10 +240,20 @@ def main() -> None:
             feats.append(_pp_mixed(np_real, hv_real, np_prob_d, hv_d, tp_d))
             embs.append(emb)
         # materialize with TWO D2H transfers total (device-side concat):
-        # per-array fetches pay the tunnel dispatch RTT 4× per batch
+        # per-array fetches pay the tunnel dispatch RTT 4× per batch.
+        # Instance stats travel as uint16 (areas < 2¹⁶; centroids ×128 →
+        # 1/128-px quantization) — the production compact-transfer
+        # convention; the tunnel moves ~25 MB/s so f32 here is 2× wall.
         _ = np.asarray(jnp.concatenate(embs))
-        acc = np.asarray(jnp.stack([jnp.stack(f, axis=-1) for f in feats]))
-        a, cx, cy = acc[..., 0], acc[..., 1], acc[..., 2]
+        acc = np.asarray(jnp.stack(
+            [jnp.stack(
+                [jnp.clip(f[0], 0, 65535),
+                 f[1] * 128.0, f[2] * 128.0], axis=-1).astype(jnp.uint16)
+             for f in feats]
+        ))
+        a = acc[..., 0]
+        cx = acc[..., 1].astype(np.float32) / 128.0
+        cy = acc[..., 2].astype(np.float32) / 128.0
         bb, rr, cc = np.nonzero(a > 0)
         g = bb * stream_batch + rr  # GLOBAL tile index spreads the nuclei
         pts_s = np.stack(
@@ -260,7 +274,7 @@ def main() -> None:
             {
                 "metric": "tiles_per_sec_per_chip_e2e",
                 "value": round(combined, 2),
-                "unit": "tiles/s/chip (JPEG decode + embed ViT-B/16 bf16 b512 + HoverNeXt tiny TTAx4 b64 + watershed + instance features + kNN/radius graph)",
+                "unit": "tiles/s/chip (JPEG decode + embed ViT-B/16 bf16 b512 + HoverNeXt tiny TTAx4 b128 + watershed + instance features + kNN/radius graph)",
                 "vs_baseline": round(combined / TARGET_TILES_PER_SEC_PER_CHIP, 3),
                 "detail": {
                     "decode_tiles_per_sec": round(decode_rate, 2),
@@ -273,6 +287,13 @@ def main() -> None:
                     "wsi_e2e_sec": round(wsi_sec, 3),
                     "wsi_tiles": int(wsi_tiles),
                     "wsi_tiles_per_sec": round(wsi_rate, 2),
+                    # north star (BASELINE.md): 100k-tile WSI < 300 s on
+                    # v5e-8 — extrapolated from the MEASURED streamed rate
+                    # (tile-axis DP scales linearly: zero collectives in
+                    # the per-tile chain, stitch/graph are per-shard)
+                    "wsi_100k_sec_v5e8_extrapolated": round(
+                        100_000 / (8 * wsi_rate), 1
+                    ),
                     "graph_nuclei": int(len(pts)),
                     "instances_in_pp_workload": n_found,
                     "target_tiles_per_sec_per_chip": round(TARGET_TILES_PER_SEC_PER_CHIP, 2),

@@ -122,9 +122,10 @@ class HoverNeXtConfig:
     tile_size: int = 256
     overlap: float = 0.96875
     tta: int = 4
-    # 64 is the measured throughput knee on v5e (TTA×4 folded forward:
-    # 269→297 t/s going 32→64, only +6% more at 96); the reference uses 32
-    batch_size: int = 64
+    # 128 is the measured throughput knee on v5e for the round-3 fused
+    # pipeline (TTA×4 folded forward: 311→356 t/s going 64→128, flat at
+    # 256; watershed postproc 936→1182 t/s); the reference uses 32
+    batch_size: int = 128
     pp_tiling: int = 8
     pp_overlap: int = 256
     max_instances_per_tile: int = 512

@@ -40,9 +40,14 @@ DEVICE_RADIUS_CAP = 256
 
 # below this point count the host cKDTree beats the device path outright:
 # the chunked dense scan is dominated by top_k over the db lanes plus the
-# device round-trip, while a 10⁴-point tree query is ~1 ms on host. The
-# device path exists for WSI-scale graphs (10⁵-10⁶ nuclei).
-HOST_TREE_MAX_N = 32768
+# device round-trip (the (N, cap+1) index download alone is ~1 MB per 1k
+# points), while tree queries are cheap on host — measured at WSI-tile
+# density (40 nuclei / 256 px cell): 54k points = 0.15 s build+kNN+ball
+# on ONE host core vs ~2 s of device-path D2H over the dev tunnel. The
+# host path is also the one with the reference's exact uncapped ball-query
+# semantics, so the threshold doubles as the exact-semantics range; the
+# device path exists for full-WSI graphs (10⁵-10⁶ nuclei).
+HOST_TREE_MAX_N = 131072
 
 
 def _host_tree(points: np.ndarray):
