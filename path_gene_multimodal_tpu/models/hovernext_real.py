@@ -133,7 +133,6 @@ class SMPDecoderBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, skip: jnp.ndarray | None) -> jnp.ndarray:
-        b, h, w, c = x.shape
         x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)  # exact nearest 2×
         if skip is not None:
             x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
