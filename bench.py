@@ -73,9 +73,9 @@ def main() -> None:
     from path_gene_multimodal_tpu.pipeline.tessellate import iter_tile_batches
 
     rng = np.random.default_rng(0)
-    SLIDE_PX = 8192  # 1225-tile grid: enough batches for the streamed run
-    # to amortize pipeline fill/drain + tunnel RTT (324 tiles were 3
-    # batches — fixed costs ate ~40% of the wall clock)
+    SLIDE_PX = 8192  # 36×36 = 1296-tile grid: enough batches for the
+    # streamed run to amortize pipeline fill/drain + tunnel RTT (324
+    # tiles were 3 batches — fixed costs ate ~40% of the wall clock)
     slide = synthetic_wsi(SLIDE_PX, SLIDE_PX, seed=0, n_blobs=20,
                           nuclei_per_blob=200)
 
@@ -202,7 +202,7 @@ def main() -> None:
     # mixed with a 0× term of the real forward outputs so the data
     # dependency (and therefore stage ordering) is preserved while the
     # workload stays realistic.
-    stream_batch = nuclei_batch  # 64: the nuclei knee ties the chain
+    stream_batch = nuclei_batch  # the nuclei knee (config) ties the chain
 
     @jax.jit
     def _pad224_to_256(tiles_u8):

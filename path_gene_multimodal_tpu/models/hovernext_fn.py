@@ -177,6 +177,18 @@ def _dec_conv0_lowres(dp, x, skip, dtype):
     return y + bias.astype(dtype)
 
 
+def _head_cat(p, ch, dtype):
+    """Concatenated (np, hv, tp) head weights: one (ch, n_out) matmul
+    instead of three 1×1 convs (each output channel is the same dot
+    product either way)."""
+    heads = ["head_np", "head_hv", "head_tp"]
+    wcat = jnp.concatenate(
+        [p[n]["kernel"].reshape(ch, -1).astype(dtype) for n in heads], axis=-1
+    )
+    bcat = jnp.concatenate([p[n]["bias"].astype(dtype) for n in heads])
+    return wcat, bcat
+
+
 def _final_conv_lowres(p_final, x, dtype):
     """resize(2×, bilinear) → conv3×3 → GELU computed WITHOUT the 2×
     intermediate: the interpolation is linear, so conv∘upsample collapses
@@ -312,6 +324,12 @@ def hovernext_forward(
     fusion headroom."""
     if fused_decoder is None:
         fused_decoder = False
+    if fused_decoder and fused_final in ("heads", "lowres"):
+        raise ValueError(
+            "fused_decoder=True uses its own final-stage kernel; "
+            f"fused_final={fused_final!r} would be silently ignored — pass "
+            "fused_final=None/True/False with fused_decoder"
+        )
     if fused_final is None:
         # "lowres" default: the composite-weight XLA reformulation
         # (_final_heads_lowres) avoids the 2× HBM intermediate and beats
@@ -385,13 +403,7 @@ def hovernext_forward(
             )
 
             p_final = p["final_conv"]
-            ch = p_final["kernel"].shape[-1]
-            heads = ["head_np", "head_hv", "head_tp"]
-            wcat = jnp.concatenate(
-                [p[n]["kernel"].reshape(ch, -1).astype(dtype) for n in heads],
-                axis=-1,
-            )
-            bcat = jnp.concatenate([p[n]["bias"].astype(dtype) for n in heads])
+            wcat, bcat = _head_cat(p, p_final["kernel"].shape[-1], dtype)
             z = fused_final_heads(
                 x, p_final["kernel"], p_final["bias"], wcat, bcat,
                 interpret=interpret,
@@ -427,15 +439,9 @@ def hovernext_forward(
             x = jax.image.resize(x, (b, h * 2, w * 2, ch), method="bilinear")
             x = _conv(p["final_conv"], x, stride=1, pad=1, dtype=dtype)
             x = jax.nn.gelu(x, approximate=False)
-    # one fused head matmul instead of three 1×1 convs: each output channel
-    # is the same dot product either way, but the full-res activation map is
-    # read from HBM once instead of three times
-    ch = x.shape[-1]
-    heads = ["head_np", "head_hv", "head_tp"]
-    wcat = jnp.concatenate(
-        [p[n]["kernel"].reshape(ch, -1).astype(dtype) for n in heads], axis=-1
-    )
-    bcat = jnp.concatenate([p[n]["bias"].astype(dtype) for n in heads])
+    # fused head matmul: the full-res activation map is read from HBM once
+    # instead of three times
+    wcat, bcat = _head_cat(p, x.shape[-1], dtype)
     out = (jnp.dot(x, wcat) + bcat).astype(jnp.float32)
     t = out.shape[-1] - 4
     return {"np": out[..., :2], "hv": out[..., 2:4], "tp": out[..., 4 : 4 + t]}

@@ -33,26 +33,7 @@ import numpy as np
 
 from path_gene_multimodal_tpu.models.convnext import ConvNeXtConfig
 from path_gene_multimodal_tpu.models.hovernext_real import RealHoverNeXtConfig
-
-
-def _np(t) -> np.ndarray:
-    if hasattr(t, "detach"):
-        t = t.detach().cpu().numpy()
-    return np.asarray(t, dtype=np.float32)
-
-
-def _conv(sd: Mapping, key: str, consumed: set[str]) -> dict:
-    out = {"kernel": _np(sd[f"{key}.weight"]).transpose(2, 3, 1, 0)}
-    consumed.add(f"{key}.weight")
-    if f"{key}.bias" in sd:
-        out["bias"] = _np(sd[f"{key}.bias"])
-        consumed.add(f"{key}.bias")
-    return out
-
-
-def _ln(sd: Mapping, key: str, consumed: set[str]) -> dict:
-    consumed.update({f"{key}.weight", f"{key}.bias"})
-    return {"scale": _np(sd[f"{key}.weight"]), "bias": _np(sd[f"{key}.bias"])}
+from path_gene_multimodal_tpu.models.weights_hovernext import _conv, _ln, _np
 
 
 def _bn(sd: Mapping, key: str, consumed: set[str]) -> dict:

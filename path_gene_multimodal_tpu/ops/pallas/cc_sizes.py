@@ -237,10 +237,11 @@ def pallas_cc_sizes_adaptive(
     ``lax.cond`` when any tile overflows. Same outputs as
     ``pallas_cc_sizes(s_slots=big)`` up to the ``big`` overflow limit.
 
-    ``count_overflow``: also return a device scalar int32 = number of
+    ``count_overflow``: also return a (B,) bool device array marking the
     tiles whose component count exceeds even ``big`` (those components
     silently get size 0 — the no-silent-caps counter; surface it in the
-    stage report)."""
+    stage report). Per-tile so callers running several CC passes over the
+    same batch can OR the masks and count each tile once."""
     b, h, w = mask.shape
     lbl, sizes, dense = pallas_cc_sizes(
         mask, connectivity, s_slots=small, min_size=min_size, interpret=interpret
@@ -259,6 +260,5 @@ def pallas_cc_sizes_adaptive(
         overflow, big_path, lambda m: (sizes, dense), mask
     )
     if count_overflow:
-        n_over_big = jnp.sum((n_roots > big).astype(jnp.int32))
-        return lbl, sizes, dense, n_over_big
+        return lbl, sizes, dense, n_roots > big
     return lbl, sizes, dense

@@ -402,6 +402,11 @@ def fused_final_heads(
     bsz, h, wd, cin = x.shape
     cout = w.shape[-1]
     n_out = wh.shape[-1]
+    if (2 * h) % 4:
+        raise ValueError(
+            f"fused_final_heads needs 2*H divisible by 4 (got H={h}): the "
+            "kernel writes the output in 4 row chunks"
+        )
     bf = jnp.bfloat16
     vma = _vma_of(x)
     out = pl.pallas_call(

@@ -193,25 +193,27 @@ def hover_instances_batch(
     if dense and not use_pallas:
         raise ValueError("dense labels require the Pallas path (use_pallas=True)")
     energy_b = jax.vmap(lambda h, v, b: hv_energy(h, v, b))
-    n_over = jnp.zeros((), jnp.int32)
+    # per-tile overflow mask ORed across both CC passes so a tile that
+    # overflows foreground-CC AND marker-CC is counted once
+    over_t = jnp.zeros((np_prob.shape[0],), bool)
 
     blb = np_prob > np_threshold
-    blb, n_over = _filter_small_objects(
-        blb, min_object_size, use_pallas, interpret, n_over
+    blb, over_t = _filter_small_objects(
+        blb, min_object_size, use_pallas, interpret, over_t
     )
     overall, dist = energy_b(hv[..., 0], hv[..., 1], blb)
     marker_mask = blb & (overall < marker_threshold)
-    lbl, n_over = _label_markers_and_flood(
+    lbl, over_t = _label_markers_and_flood(
         blb, dist, marker_mask, min_marker_size, levels, use_pallas, dense,
-        interpret, n_over,
+        interpret, over_t,
     )
     if return_overflow:
-        return lbl, n_over.reshape(1)
+        return lbl, jnp.sum(over_t.astype(jnp.int32)).reshape(1)
     return lbl
 
 
-def _filter_small_objects(blb, min_object_size, use_pallas, interpret, n_over):
-    """Foreground small-object removal (+ CC slot-overflow accumulation)."""
+def _filter_small_objects(blb, min_object_size, use_pallas, interpret, over_t):
+    """Foreground small-object removal (+ per-tile CC slot-overflow OR)."""
     if use_pallas:
         from path_gene_multimodal_tpu.ops.pallas.cc_sizes import (
             pallas_cc_sizes,
@@ -224,17 +226,17 @@ def _filter_small_objects(blb, min_object_size, use_pallas, interpret, n_over):
             _, blb_sizes, _, over1 = pallas_cc_sizes_adaptive(
                 blb, 1, count_overflow=True
             )
-            n_over = n_over + over1
-        return blb & (blb_sizes >= min_object_size), n_over
+            over_t = over_t | over1
+        return blb & (blb_sizes >= min_object_size), over_t
     from path_gene_multimodal_tpu.ops.components import component_sizes_batch
 
     label_b = jax.vmap(lambda m: label_components(m, 1))
-    return blb & (component_sizes_batch(label_b(blb)) >= min_object_size), n_over
+    return blb & (component_sizes_batch(label_b(blb)) >= min_object_size), over_t
 
 
 def _label_markers_and_flood(
     blb, dist, marker_mask, min_marker_size, levels, use_pallas, dense,
-    interpret, n_over,
+    interpret, over_t,
 ):
     """Shared tail of the instance decoders: label the marker mask, filter
     small markers, flood over ``blb`` following descending ``dist``."""
@@ -258,7 +260,7 @@ def _label_markers_and_flood(
                 _, _, marker_dense, over2 = pallas_cc_sizes_adaptive(
                     marker_mask, 1, min_size=min_marker_size, count_overflow=True
                 )
-                n_over = n_over + over2
+                over_t = over_t | over2
             markers = jnp.where(marker_dense > 0, marker_dense, INF)
         else:
             marker_lbl, marker_sizes, _ = pallas_cc_sizes(
@@ -272,7 +274,7 @@ def _label_markers_and_flood(
         lbl = pallas_marker_watershed(
             dist, markers, blb, levels=levels, interpret=interpret
         )
-        return lbl, n_over
+        return lbl, over_t
     from path_gene_multimodal_tpu.ops.components import component_sizes_batch
 
     label_b = jax.vmap(lambda m: label_components(m, 1))
@@ -283,7 +285,7 @@ def _label_markers_and_flood(
     lbl = jax.vmap(lambda d, m, k: marker_watershed(d, m, k, levels=levels))(
         dist, markers, blb
     )
-    return lbl, n_over
+    return lbl, over_t
 
 
 @partial(
@@ -323,18 +325,18 @@ def threeclass_instances_batch(
     p = jax.nn.softmax(inst_logits.astype(jnp.float32), axis=-1)
     p_interior = p[..., 1]
     fg = (p_interior + p[..., 2]) > fg_threshold  # nucleus body incl. border
-    n_over = jnp.zeros((), jnp.int32)
-    fg, n_over = _filter_small_objects(
-        fg, min_object_size, use_pallas, interpret, n_over
+    over_t = jnp.zeros((fg.shape[0],), bool)
+    fg, over_t = _filter_small_objects(
+        fg, min_object_size, use_pallas, interpret, over_t
     )
     marker_mask = fg & (p_interior > seed_threshold)
     dist = jnp.where(fg, p_interior, 0.0)
-    lbl, n_over = _label_markers_and_flood(
+    lbl, over_t = _label_markers_and_flood(
         fg, dist, marker_mask, min_marker_size, levels, use_pallas, dense,
-        interpret, n_over,
+        interpret, over_t,
     )
     if return_overflow:
-        return lbl, n_over.reshape(1)
+        return lbl, jnp.sum(over_t.astype(jnp.int32)).reshape(1)
     return lbl
 
 

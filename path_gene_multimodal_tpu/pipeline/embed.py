@@ -19,6 +19,7 @@ TPU-native rebuild of the reference's Mussel wrappers:
 
 from __future__ import annotations
 
+import time
 from pathlib import Path
 
 import jax
@@ -47,6 +48,7 @@ def run_extract_features(
     """Embed every tile; returns (N, D) float32. Host decode overlaps device
     compute: jax dispatch is async, so the Python loop decodes batch k+1
     while the TPU runs batch k."""
+    t0 = time.perf_counter()
     batch = cfg.embedding.batch_size
     if cfg.model_type.lower().startswith("virchow"):
         # the ViT-H Virchow2 tower has its own measured knee (see
@@ -64,8 +66,15 @@ def run_extract_features(
         feats = np.concatenate(
             [np.asarray(o)[v] for o, v in zip(outs, valids)], axis=0
         ).astype(np.float32)
-    if timer is not None and timer.records:
-        timer.records[-1].items = len(feats)
+    if timer is not None:
+        # own the record: records[-1] during an open stage context is the
+        # PREVIOUS stage (StageTimer appends on context exit)
+        from path_gene_multimodal_tpu.utils.log import StageRecord
+
+        timer.records.append(StageRecord(
+            name="extract_features", seconds=time.perf_counter() - t0,
+            items=len(feats),
+        ))
     if write_artifacts:
         out_dir = Path(out_dir)
         out_dir.mkdir(parents=True, exist_ok=True)

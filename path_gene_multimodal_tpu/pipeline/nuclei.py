@@ -75,8 +75,47 @@ def select_tiles_for_hovernet(df: pd.DataFrame) -> pd.DataFrame:
     return sel.reset_index(drop=True)
 
 
+class _SegmentedModelMixin:
+    """Shared segment surface for the jitted nuclei bundles: ``_infer``
+    returns ``(*seg_inputs, tp_cls)`` and ``_postproc(*seg_inputs)``
+    returns ``(labels, per-batch overflow count)`` — the mixin owns the
+    device_put/dispatch plumbing and the CC slot-overflow accounting."""
+
+    def cc_overflow_tiles(self, reset: bool = False) -> int:
+        """Total tiles (across batches dispatched so far) whose component
+        count exceeded the Pallas CC slot budget — components beyond it
+        were silently dropped (no-silent-caps counter for stage reports)."""
+        total = int(sum(int(np.asarray(p).sum()) for p in self._overflow_parts))
+        if reset:
+            self._overflow_parts.clear()
+        return total
+
+    def segment_async(self, tiles_u8: np.ndarray):
+        """Dispatch without materializing: returns device arrays
+        (labels uint16 dense, types uint8). jax dispatch is async, so the
+        caller can overlap host work with this batch's device compute."""
+        if getattr(self, "_mesh", None) is not None:
+            from path_gene_multimodal_tpu.parallel.mesh import batch_sharding
+
+            tiles_dev = jax.device_put(
+                np.asarray(tiles_u8), batch_sharding(self._mesh, 4)
+            )
+        else:
+            tiles_dev = jnp.asarray(tiles_u8)
+        *seg, tp_cls = self._infer(self.params, tiles_dev)
+        lbl, n_over = self._postproc(*seg)
+        self._overflow_parts.append(n_over)  # tiny; materialized lazily
+        return lbl, tp_cls
+
+    def segment(self, tiles_u8: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(B, S, S, 3) uint8 → (instance maps (B, S, S) int32 dense labels,
+        type maps (B, S, S) int32)."""
+        lbl, tp_cls = self.segment_async(tiles_u8)
+        return np.asarray(lbl).astype(np.int32), np.asarray(tp_cls).astype(np.int32)
+
+
 @dataclass
-class NucleiModel:
+class NucleiModel(_SegmentedModelMixin):
     """Jitted HoverNeXt bundle built once per process."""
 
     cfg: HoverNeXtConfig
@@ -195,41 +234,9 @@ class NucleiModel:
         self._overflow_parts: list = []
         return self
 
-    def cc_overflow_tiles(self, reset: bool = False) -> int:
-        """Total tiles (across batches dispatched so far) whose component
-        count exceeded the Pallas CC slot budget — components beyond it
-        were silently dropped (no-silent-caps counter for stage reports)."""
-        total = int(sum(int(np.asarray(p).sum()) for p in self._overflow_parts))
-        if reset:
-            self._overflow_parts.clear()
-        return total
-
-    def segment_async(self, tiles_u8: np.ndarray):
-        """Dispatch without materializing: returns device arrays
-        (labels uint16 dense, types uint8). jax dispatch is async, so the
-        caller can overlap host work with this batch's device compute."""
-        if getattr(self, "_mesh", None) is not None:
-            from path_gene_multimodal_tpu.parallel.mesh import batch_sharding
-
-            tiles_dev = jax.device_put(
-                np.asarray(tiles_u8), batch_sharding(self._mesh, 4)
-            )
-        else:
-            tiles_dev = jnp.asarray(tiles_u8)
-        np_prob, hv, tp_cls = self._infer(self.params, tiles_dev)
-        lbl, n_over = self._postproc(np_prob, hv)
-        self._overflow_parts.append(n_over)  # tiny; materialized lazily
-        return lbl, tp_cls
-
-    def segment(self, tiles_u8: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        """(B, S, S, 3) uint8 → (instance maps (B, S, S) int32 dense labels,
-        type maps (B, S, S) int32)."""
-        lbl, tp_cls = self.segment_async(tiles_u8)
-        return np.asarray(lbl).astype(np.int32), np.asarray(tp_cls).astype(np.int32)
-
 
 @dataclass
-class RealNucleiModel:
+class RealNucleiModel(_SegmentedModelMixin):
     """Jitted bundle around the REAL hover_next layout
     (``models.hovernext_real.RealHoverNeXt`` — loaded from a published
     ``pannuke_convnextv2_tiny_3`` checkpoint via
@@ -332,30 +339,6 @@ class RealNucleiModel:
             ))
         self._overflow_parts: list = []
         return self
-
-    def cc_overflow_tiles(self, reset: bool = False) -> int:
-        total = int(sum(int(np.asarray(p).sum()) for p in self._overflow_parts))
-        if reset:
-            self._overflow_parts.clear()
-        return total
-
-    def segment_async(self, tiles_u8: np.ndarray):
-        if getattr(self, "_mesh", None) is not None:
-            from path_gene_multimodal_tpu.parallel.mesh import batch_sharding
-
-            tiles_dev = jax.device_put(
-                np.asarray(tiles_u8), batch_sharding(self._mesh, 4)
-            )
-        else:
-            tiles_dev = jnp.asarray(tiles_u8)
-        inst_logits, tp_cls = self._infer(self.params, tiles_dev)
-        lbl, n_over = self._postproc(inst_logits)
-        self._overflow_parts.append(n_over)
-        return lbl, tp_cls
-
-    def segment(self, tiles_u8: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        lbl, tp_cls = self.segment_async(tiles_u8)
-        return np.asarray(lbl).astype(np.int32), np.asarray(tp_cls).astype(np.int32)
 
 
 def _pick_real_branches(cfg) -> tuple[str, str]:

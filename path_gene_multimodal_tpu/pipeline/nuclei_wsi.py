@@ -26,6 +26,7 @@ reference's 8-px overlap (stride 248) relies on steps 3-4.
 
 from __future__ import annotations
 
+import time
 from pathlib import Path
 from typing import Any
 
@@ -283,6 +284,15 @@ def run_hovernext_wsi(
 
     chunks = [windows[s : s + batch] for s in range(0, len(windows), batch)]
     pending = None
+    # own the stage record (records[-1] during the call would be whatever
+    # stage finished BEFORE this one — StageTimer appends on context exit)
+    rec = None
+    if timer is not None:
+        from path_gene_multimodal_tpu.utils.log import StageRecord
+
+        rec = StageRecord(name="hovernext_wsi_segment", seconds=0.0)
+        timer.records.append(rec)
+    t_seg0 = time.perf_counter()
     with ThreadPoolExecutor(max_workers=2) as pool:
         futures = [pool.submit(_decode_chunk, c) for c in chunks[:3]]
         next_submit = 3
@@ -296,8 +306,9 @@ def run_hovernext_wsi(
             if pending is not None:
                 _process(*pending)
             pending = (chunk, lbl_dev, tp_dev)
-            if timer is not None and timer.records:
-                timer.records[-1].items = i * batch + len(chunk)
+            if rec is not None:
+                rec.items = i * batch + len(chunk)
+                rec.seconds = time.perf_counter() - t_seg0
         if pending is not None:
             _process(*pending)
 
@@ -307,11 +318,9 @@ def run_hovernext_wsi(
             "%s: %d window(s) exceeded the CC slot budget — components "
             "beyond it were dropped (no-silent-caps counter)", stem, n_over,
         )
-    if timer is not None and timer.records:
-        timer.records[-1].extra = {
-            **(timer.records[-1].extra or {}),
-            "cc_slot_overflow_tiles": n_over,
-        }
+    if rec is not None:
+        rec.seconds = time.perf_counter() - t_seg0
+        rec.extra = {**(rec.extra or {}), "cc_slot_overflow_tiles": n_over}
 
     # residual seam duplicates (both views clipped, centroids in different
     # cells) — keep the larger fragment

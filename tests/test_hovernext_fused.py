@@ -150,6 +150,24 @@ def test_fused_upsample_final_matches_xla(rng):
     assert err < 2e-2, err
 
 
+def test_lowres_decoder_matches_hires(small_model, rng):
+    """The conv0∘upsample low-res parity fold (`lowres_decoder=True`,
+    opt-in) is exact vs the plain nearest-up + concat + conv decoder —
+    f32 rounding only, whole forward compared."""
+    model, params = small_model
+    x = jnp.asarray(rng.random((2, 64, 64, 3)).astype(np.float32))
+    ref = hovernext_forward(
+        params, x, SMALL, dtype=jnp.float32, lowres_decoder=False
+    )
+    got = hovernext_forward(
+        params, x, SMALL, dtype=jnp.float32, lowres_decoder=True
+    )
+    for k in ref:
+        np.testing.assert_allclose(
+            np.asarray(got[k]), np.asarray(ref[k]), atol=1e-4, rtol=1e-4
+        )
+
+
 def test_fused_final_heads_matches_xla(rng):
     """In-VMEM 2× bilinear + conv + GELU + folded heads == the plain
     resize → conv → gelu → head-matmul chain (bf16-level, NCHW output)."""

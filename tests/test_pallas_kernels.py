@@ -294,14 +294,15 @@ def test_cc_sizes_adaptive_overflow_counter():
     mask = np.zeros((2, 16, 16), bool)
     mask[0, ::2, ::2] = True
     mask[1, 2:6, 2:6] = True
-    _, _, _, n_over = pallas_cc_sizes_adaptive(
+    _, _, _, over = pallas_cc_sizes_adaptive(
         jnp.asarray(mask), 1, min_size=1, small=16, big=32, interpret=True,
         count_overflow=True,
     )
-    assert int(n_over) == 1
+    # per-tile mask (so multi-pass callers can OR before counting)
+    np.testing.assert_array_equal(np.asarray(over), [True, False])
 
-    _, _, _, n_over2 = pallas_cc_sizes_adaptive(
+    _, _, _, over2 = pallas_cc_sizes_adaptive(
         jnp.asarray(mask), 1, min_size=1, small=16, big=128, interpret=True,
         count_overflow=True,
     )
-    assert int(n_over2) == 0
+    assert not np.asarray(over2).any()
