@@ -341,6 +341,37 @@ def test_real_nuclei_model_runs(tmp_path):
     assert (tmp_path / "out" / "s_hovernet_nuclei_wsi.csv").exists()
 
 
+def test_real_nuclei_model_sharded_matches_single(tmp_path):
+    """RealNucleiModel under the 8-device mesh (shard_map per-shard
+    execution) segments identically to the unsharded model."""
+    from path_gene_multimodal_tpu.models.weights_hovernext_real import (
+        convert_real_hovernext,
+    )
+    from path_gene_multimodal_tpu.parallel.mesh import make_mesh
+    from path_gene_multimodal_tpu.pipeline.nuclei import RealNucleiModel
+
+    torch.manual_seed(9)
+    tmodel = _real_hovernext_torch(
+        torch, (1, 1, 1, 1), (8, 16, 32, 64), (16, 8, 8, 8),
+        {"inst": 3, "ct": 6},
+    )
+    with torch.no_grad():
+        _randomize_bn_stats(torch, tmodel, seed=9)
+    cfg, variables, leftover = convert_real_hovernext(tmodel.state_dict())
+    assert leftover == {}
+    tiles = (np.random.default_rng(1).random((8, 256, 256, 3)) * 255).astype(
+        np.uint8
+    )
+    single = RealNucleiModel.build(cfg, params=variables, tta=2)
+    sharded = RealNucleiModel.build(
+        cfg, params=variables, tta=2, mesh=make_mesh(8)
+    )
+    lbl1, tp1 = single.segment(tiles)
+    lbl2, tp2 = sharded.segment(tiles)
+    np.testing.assert_array_equal(tp1, tp2)
+    np.testing.assert_array_equal(lbl1 > 0, lbl2 > 0)
+
+
 def test_real_5ch_inst_branch(tmp_path):
     """5-channel instance branch (3-class + HV) builds and segments."""
     from path_gene_multimodal_tpu.models.weights_hovernext_real import (
