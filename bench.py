@@ -223,7 +223,14 @@ def main() -> None:
             lbl.astype(jnp.int32), tp, max_instances=seg.max_instances,
             use_pallas=_pallas_ok(),
         )
-        return feats["area"], feats["centroid_x"], feats["centroid_y"]
+        # pack instance stats to ONE uint16 tensor on device (areas < 2¹⁶;
+        # centroids ×128 → 1/128-px quantization) — the production
+        # compact-D2H convention; 6× fewer bytes than three f32 arrays
+        return jnp.stack(
+            [jnp.clip(feats["area"], 0, 65535),
+             feats["centroid_x"] * 128.0,
+             feats["centroid_y"] * 128.0], axis=-1,
+        ).astype(jnp.uint16)
 
     def run_streamed(time_it: bool) -> tuple[float, int]:
         reader = TiffTileSlide(svs_path, cache_tiles=512)
@@ -237,20 +244,17 @@ def main() -> None:
             tiles_dev = jnp.asarray(tiles)  # ONE async upload per batch
             emb = encoder(tiles_dev)
             np_real, hv_real, _tp = seg._infer(seg.params, _pad224_to_256(tiles_dev))
-            feats.append(_pp_mixed(np_real, hv_real, np_prob_d, hv_d, tp_d))
+            f = _pp_mixed(np_real, hv_real, np_prob_d, hv_d, tp_d)
+            # start the host copies NOW: they complete behind later
+            # batches' compute, so the end-of-run drain only waits for the
+            # final batch (jax enqueues the copy after the producing op)
+            emb.copy_to_host_async()
+            f.copy_to_host_async()
+            feats.append(f)
             embs.append(emb)
-        # materialize with TWO D2H transfers total (device-side concat):
-        # per-array fetches pay the tunnel dispatch RTT 4× per batch.
-        # Instance stats travel as uint16 (areas < 2¹⁶; centroids ×128 →
-        # 1/128-px quantization) — the production compact-transfer
-        # convention; the tunnel moves ~25 MB/s so f32 here is 2× wall.
-        _ = np.asarray(jnp.concatenate(embs))
-        acc = np.asarray(jnp.stack(
-            [jnp.stack(
-                [jnp.clip(f[0], 0, 65535),
-                 f[1] * 128.0, f[2] * 128.0], axis=-1).astype(jnp.uint16)
-             for f in feats]
-        ))
+        # copies already in flight — np.asarray just collects them
+        _ = [np.asarray(e) for e in embs]
+        acc = np.stack([np.asarray(f) for f in feats])
         a = acc[..., 0]
         cx = acc[..., 1].astype(np.float32) / 128.0
         cy = acc[..., 2].astype(np.float32) / 128.0

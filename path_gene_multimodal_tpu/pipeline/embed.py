@@ -58,7 +58,12 @@ def run_extract_features(
     outs: list[jax.Array] = []
     valids: list[np.ndarray] = []
     for tiles_u8, valid in iter_tile_batches(slide, coords, tile, batch):
-        outs.append(encoder(jnp.asarray(tiles_u8)))  # async dispatch
+        emb = encoder(jnp.asarray(tiles_u8))  # async dispatch
+        if hasattr(emb, "copy_to_host_async"):
+            # enqueue the D2H copy behind this batch's compute: the final
+            # np.concatenate then collects already-landed host buffers
+            emb.copy_to_host_async()
+        outs.append(emb)
         valids.append(valid)
     if not outs:
         feats = np.zeros((0, 512), np.float32)

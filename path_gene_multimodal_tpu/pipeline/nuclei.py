@@ -492,6 +492,11 @@ def run_hovernet_pipeline_on_wsi_tiles(
             # synchronous segment()
             dispatch = getattr(model, "segment_async", model.segment)
             lbl_dev, tp_dev = dispatch(batch_u8)
+            # enqueue D2H behind this batch's compute — _process for batch
+            # k then never waits on the transfer while batch k+1 computes
+            for t in (lbl_dev, tp_dev):
+                if hasattr(t, "copy_to_host_async"):
+                    t.copy_to_host_async()
             if pending is not None:
                 _process(*pending)
             pending = (chunk, offsets, lbl_dev, tp_dev)

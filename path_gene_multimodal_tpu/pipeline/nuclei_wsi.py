@@ -303,6 +303,12 @@ def run_hovernext_wsi(
                 next_submit += 1
             dispatch = getattr(model, "segment_async", model.segment)
             lbl_dev, tp_dev = dispatch(tiles)
+            # enqueue the D2H copies behind this batch's compute so the
+            # host-side _process never waits on the transfer (on the dev
+            # tunnel the copy otherwise serializes at ~25 MB/s)
+            for t in (lbl_dev, tp_dev):
+                if hasattr(t, "copy_to_host_async"):
+                    t.copy_to_host_async()
             if pending is not None:
                 _process(*pending)
             pending = (chunk, lbl_dev, tp_dev)
