@@ -203,19 +203,10 @@ def _final_conv_lowres(p_final, x, dtype):
     cout = w.shape[-1]
     b, h, wd, cin = x.shape
 
-    # per-axis composition tables: row q of M_a maps conv tap dy=q-1 to
-    # low-res taps di∈{-1,0,1} through u[2i+a+dy]'s interpolation weights
-    m0 = jnp.asarray([[0.75, 0.25, 0.0], [0.25, 0.75, 0.0], [0.0, 0.75, 0.25]])
-    m1 = jnp.asarray([[0.25, 0.75, 0.0], [0.0, 0.75, 0.25], [0.0, 0.25, 0.75]])
-    mats = (m0, m1)
-    wc = jnp.concatenate(
-        [
-            jnp.einsum("yxio,yY,xX->YXio", w, mats[a], mats[bb])
-            for a in (0, 1)
-            for bb in (0, 1)
-        ],
-        axis=-1,
-    )  # (3, 3, cin, 4·cout), parity order (a, b) = 00, 01, 10, 11
+    # composite weights via the per-axis composition tables (row q of M_a
+    # maps conv tap dy=q-1 to low-res taps through u[2i+a+dy]'s
+    # interpolation weights) — see _composite_final_weights
+    wc = _composite_final_weights(w)
     bias4 = jnp.tile(bias, 4)
 
     y = _conv({"kernel": wc, "bias": bias4}, x, stride=1, pad=1, dtype=dtype)
@@ -246,27 +237,13 @@ def _final_conv_lowres(p_final, x, dtype):
     return out
 
 
-def _final_heads_lowres(p, x, dtype):
-    """_final_conv_lowres ∘ fused-head-matmul with the head applied in the
-    LOW-RES parity domain: the (2H, 2W, cout) activation never
-    materializes — only the (2H, 2W, heads) logits do (cout→10 for
-    HoverNeXt: 6.4× less full-res HBM traffic)."""
-    p_final = p["final_conv"]
-    w = p_final["kernel"].astype(jnp.float32)
-    bias = p_final["bias"]
-    cout = w.shape[-1]
-    b, h, wd, cin = x.shape
-    heads = ["head_np", "head_hv", "head_tp"]
-    wcat = jnp.concatenate(
-        [p[n]["kernel"].reshape(cout, -1).astype(dtype) for n in heads], axis=-1
-    )
-    bcat = jnp.concatenate([p[n]["bias"].astype(dtype) for n in heads])
-    n_out = wcat.shape[-1]
-
+def _composite_final_weights(w):
+    """Parity-fold resize(2×, bilinear)∘conv3×3 into low-res composite
+    weights (3, 3, cin, 4·cout), parity order (a, b) = 00, 01, 10, 11."""
     m0 = jnp.asarray([[0.75, 0.25, 0.0], [0.25, 0.75, 0.0], [0.0, 0.75, 0.25]])
     m1 = jnp.asarray([[0.25, 0.75, 0.0], [0.0, 0.75, 0.25], [0.0, 0.25, 0.75]])
     mats = (m0, m1)
-    wc = jnp.concatenate(
+    return jnp.concatenate(
         [
             jnp.einsum("yxio,yY,xX->YXio", w, mats[a], mats[bb])
             for a in (0, 1)
@@ -274,17 +251,12 @@ def _final_heads_lowres(p, x, dtype):
         ],
         axis=-1,
     )
-    bias4 = jnp.tile(bias, 4)
-    y = _conv({"kernel": wc, "bias": bias4}, x, stride=1, pad=1, dtype=dtype)
-    y = jax.nn.gelu(y, approximate=False)
-    # heads per parity block, still at low res
-    y = y.reshape(b, h, wd, 4, cout)
-    z = jnp.einsum("bhwpc,cn->bhwpn", y.astype(dtype), wcat) + bcat
-    out = (
-        z.reshape(b, h, wd, 2, 2, n_out)
-        .transpose(0, 1, 3, 2, 4, 5)
-        .reshape(b, 2 * h, 2 * wd, n_out)
-    )
+
+
+def _exact_border_heads(out, p_final, x, wcat, bcat, dtype):
+    """Overwrite ``out``'s outer 2-px ring with the exact resize-clamp
+    computation (the composite weights assume interior interpolation)."""
+    cin = x.shape[-1]
 
     def exact(xs):
         bb_, hh, ww, _ = xs.shape
@@ -297,7 +269,36 @@ def _final_heads_lowres(p, x, dtype):
     out = out.at[:, -2:].set(exact(x[:, -4:])[:, -2:])
     out = out.at[:, :, :2].set(exact(x[:, :, :4])[:, :, :2])
     out = out.at[:, :, -2:].set(exact(x[:, :, -4:])[:, :, -2:])
-    return out.astype(jnp.float32)
+    return out
+
+
+def _final_heads_lowres(p, x, dtype):
+    """_final_conv_lowres ∘ fused-head-matmul with the head applied in the
+    LOW-RES parity domain: the (2H, 2W, cout) activation never
+    materializes — only the (2H, 2W, heads) logits do (cout→10 for
+    HoverNeXt: 6.4× less full-res HBM traffic)."""
+    p_final = p["final_conv"]
+    w = p_final["kernel"].astype(jnp.float32)
+    cout = w.shape[-1]
+    b, h, wd, cin = x.shape
+    wcat, bcat = _head_cat(p, cout, dtype)
+    n_out = wcat.shape[-1]
+
+    wc = _composite_final_weights(w)
+    bias4 = jnp.tile(p_final["bias"], 4)
+    y = _conv({"kernel": wc, "bias": bias4}, x, stride=1, pad=1, dtype=dtype)
+    y = jax.nn.gelu(y, approximate=False)
+    # heads per parity block, still at low res
+    y = y.reshape(b, h, wd, 4, cout)
+    z = jnp.einsum("bhwpc,cn->bhwpn", y.astype(dtype), wcat) + bcat
+    out = (
+        z.reshape(b, h, wd, 2, 2, n_out)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(b, 2 * h, 2 * wd, n_out)
+    )
+    return _exact_border_heads(out, p_final, x, wcat, bcat, dtype).astype(
+        jnp.float32
+    )
 
 
 def hovernext_forward(
