@@ -220,21 +220,7 @@ def _final_conv_lowres(p_final, x, dtype):
 
     # exact border ring: clamp/zero-pad interactions differ from the
     # composite's SAME-pad — recompute out's outer 2 px from thin strips
-    def exact(xs):
-        bb_, hh, ww, _ = xs.shape
-        us = jax.image.resize(xs, (bb_, hh * 2, ww * 2, cin), method="bilinear")
-        ys = _conv(p_final, us, stride=1, pad=1, dtype=dtype)
-        return jax.nn.gelu(ys, approximate=False)
-
-    top = exact(x[:, :4])[:, :2]
-    bot = exact(x[:, -4:])[:, -2:]
-    left = exact(x[:, :, :4])[:, :, :2]
-    right = exact(x[:, :, -4:])[:, :, -2:]
-    out = out.at[:, :2].set(top)
-    out = out.at[:, -2:].set(bot)
-    out = out.at[:, :, :2].set(left)
-    out = out.at[:, :, -2:].set(right)
-    return out
+    return _exact_border_heads(out, p_final, x, None, None, dtype)
 
 
 def _composite_final_weights(w):
@@ -255,7 +241,9 @@ def _composite_final_weights(w):
 
 def _exact_border_heads(out, p_final, x, wcat, bcat, dtype):
     """Overwrite ``out``'s outer 2-px ring with the exact resize-clamp
-    computation (the composite weights assume interior interpolation)."""
+    computation (the composite weights assume interior interpolation).
+    ``wcat``/``bcat`` apply the folded head matmul after the GELU; pass
+    None for the head-less (activation) variant."""
     cin = x.shape[-1]
 
     def exact(xs):
@@ -263,6 +251,8 @@ def _exact_border_heads(out, p_final, x, wcat, bcat, dtype):
         us = jax.image.resize(xs, (bb_, hh * 2, ww * 2, cin), method="bilinear")
         ys = _conv(p_final, us, stride=1, pad=1, dtype=dtype)
         ys = jax.nn.gelu(ys, approximate=False)
+        if wcat is None:
+            return ys
         return jnp.dot(ys.astype(dtype), wcat) + bcat
 
     out = out.at[:, :2].set(exact(x[:, :4])[:, :2])
@@ -325,11 +315,12 @@ def hovernext_forward(
     fusion headroom."""
     if fused_decoder is None:
         fused_decoder = False
-    if fused_decoder and fused_final in ("heads", "lowres"):
+    if fused_decoder and (fused_final is not None or lowres_decoder):
         raise ValueError(
-            "fused_decoder=True uses its own final-stage kernel; "
-            f"fused_final={fused_final!r} would be silently ignored — pass "
-            "fused_final=None/True/False with fused_decoder"
+            "fused_decoder=True runs the whole decoder + final stage as "
+            "its own Pallas kernels; fused_final="
+            f"{fused_final!r} / lowres_decoder={lowres_decoder} would be "
+            "silently ignored — leave both at their defaults"
         )
     if fused_final is None:
         # "lowres" default: the composite-weight XLA reformulation

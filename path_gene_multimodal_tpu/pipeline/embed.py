@@ -19,7 +19,6 @@ TPU-native rebuild of the reference's Mussel wrappers:
 
 from __future__ import annotations
 
-import time
 from pathlib import Path
 
 import jax
@@ -32,7 +31,6 @@ from path_gene_multimodal_tpu.core.artifacts import write_features_h5
 from path_gene_multimodal_tpu.io.slide import SlideReader
 from path_gene_multimodal_tpu.models.clip import ImageEncoder, TextEncoder
 from path_gene_multimodal_tpu.pipeline.tessellate import iter_tile_batches
-from path_gene_multimodal_tpu.utils.log import StageTimer
 
 
 def run_extract_features(
@@ -42,13 +40,12 @@ def run_extract_features(
     out_dir: str | Path,
     stem: str,
     cfg: PipelineConfig,
-    timer: StageTimer | None = None,
     write_artifacts: bool = True,
 ) -> np.ndarray:
     """Embed every tile; returns (N, D) float32. Host decode overlaps device
     compute: jax dispatch is async, so the Python loop decodes batch k+1
-    while the TPU runs batch k."""
-    t0 = time.perf_counter()
+    while the TPU runs batch k. (Stage timing/items are the caller's
+    concern — runner.py wraps this in ``timer.stage(...)``.)"""
     batch = cfg.embedding.batch_size
     if cfg.model_type.lower().startswith("virchow"):
         # the ViT-H Virchow2 tower has its own measured knee (see
@@ -71,15 +68,6 @@ def run_extract_features(
         feats = np.concatenate(
             [np.asarray(o)[v] for o, v in zip(outs, valids)], axis=0
         ).astype(np.float32)
-    if timer is not None:
-        # own the record: records[-1] during an open stage context is the
-        # PREVIOUS stage (StageTimer appends on context exit)
-        from path_gene_multimodal_tpu.utils.log import StageRecord
-
-        timer.records.append(StageRecord(
-            name="extract_features", seconds=time.perf_counter() - t0,
-            items=len(feats),
-        ))
     if write_artifacts:
         out_dir = Path(out_dir)
         out_dir.mkdir(parents=True, exist_ok=True)

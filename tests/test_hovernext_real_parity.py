@@ -369,7 +369,9 @@ def test_real_nuclei_model_sharded_matches_single(tmp_path):
     lbl1, tp1 = single.segment(tiles)
     lbl2, tp2 = sharded.segment(tiles)
     np.testing.assert_array_equal(tp1, tp2)
-    np.testing.assert_array_equal(lbl1 > 0, lbl2 > 0)
+    # exact label equality: per-tile dense labeling is deterministic on
+    # the CPU backend, so any shard-map merge/split/renumber bug shows
+    np.testing.assert_array_equal(lbl1, lbl2)
 
 
 def test_real_5ch_inst_branch(tmp_path):
