@@ -166,7 +166,7 @@ def test_features_pt_sidecar(tmp_path):
     enc = ImageEncoder(vcfg, dtype=jnp.float32, seed=0)
     coords = np.array([[0, 0], [224, 0], [0, 224]], np.int64)
     feats = run_extract_features(
-        slide, coords, enc, tmp_path, "pt", default_config(), None, True
+        slide, coords, enc, tmp_path, "pt", default_config(), write_artifacts=True
     )
     pt = tmp_path / "pt_features.pt"
     assert pt.exists()
