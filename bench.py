@@ -106,6 +106,24 @@ def main() -> None:
     decode_rate = _median_rate(run_decode, len(grid))
     native_on = TiffTileSlide(svs_path)._native is not None
 
+    # planar host decode (no chroma upsample / color conversion on host —
+    # the device finishes those): the host-side cost of the planar feed
+    def run_decode_planar():
+        reader = TiffTileSlide(svs_path, cache_tiles=512)
+        n = 0
+        for (_y, _c), valid in iter_tile_batches(
+            reader, grid, 224, 128, pad_to_batch=False, prefetch=2,
+            planar=True,
+        ):
+            n += int(valid.sum())
+        assert n == len(grid)
+
+    decode_planar_rate = (
+        _median_rate(run_decode_planar, len(grid))
+        if TiffTileSlide(svs_path).supports_planar(0)
+        else 0.0
+    )
+
     # stage batch sizes = the pipeline defaults (config.py), which sit at
     # the measured v5e throughput knees
     embed_batch = 512
@@ -204,6 +222,18 @@ def main() -> None:
     # workload stays realistic.
     stream_batch = nuclei_batch  # the nuclei knee (config) ties the chain
 
+    # planar 4:2:0 device feed: raw Y+CbCr planes over the link (HALF the
+    # bytes of RGB), chroma upsample + color conversion on device — the
+    # H2D link (PCIe in production; ~25-70 MB/s on the dev tunnel) is the
+    # streamed chain's narrowest resource
+    from path_gene_multimodal_tpu.ops.jpegcolor import ycbcr420_to_rgb
+
+    planar_feed = TiffTileSlide(svs_path).supports_planar(0)
+
+    @jax.jit
+    def _planes_to_rgb(yb, cbcr):
+        return ycbcr420_to_rgb(yb, cbcr)
+
     @jax.jit
     def _pad224_to_256(tiles_u8):
         # derive the seg window from the SAME uploaded batch on device —
@@ -238,10 +268,16 @@ def main() -> None:
         embs, feats = [], []
         n_tiles = 0
         for tiles, valid in iter_tile_batches(
-            reader, grid, 224, stream_batch, pad_to_batch=True, prefetch=2
+            reader, grid, 224, stream_batch, pad_to_batch=True, prefetch=2,
+            planar=planar_feed,
         ):
             n_tiles += int(valid.sum())
-            tiles_dev = jnp.asarray(tiles)  # ONE async upload per batch
+            if planar_feed:  # half-bandwidth upload, finish decode on device
+                tiles_dev = _planes_to_rgb(
+                    jnp.asarray(tiles[0]), jnp.asarray(tiles[1])
+                )
+            else:
+                tiles_dev = jnp.asarray(tiles)  # ONE async upload per batch
             emb = encoder(tiles_dev)
             np_real, hv_real, _tp = seg._infer(seg.params, _pad224_to_256(tiles_dev))
             f = _pp_mixed(np_real, hv_real, np_prob_d, hv_d, tp_d)
@@ -268,7 +304,9 @@ def main() -> None:
         return time.perf_counter() - t0, n_tiles
 
     run_streamed(False)  # warmup: compile every per-batch program
-    runs = [run_streamed(True) for _ in range(2)]
+    # best-of-3: the dev tunnel's H2D/D2H bandwidth swings minute-to-minute
+    # (measured 7-67 MB/s); min is the least weather-contaminated sample
+    runs = [run_streamed(True) for _ in range(3)]
     wsi_sec = min(sec for sec, _ in runs)
     wsi_tiles = runs[0][1]
     wsi_rate = wsi_tiles / wsi_sec
@@ -282,6 +320,7 @@ def main() -> None:
                 "vs_baseline": round(combined / TARGET_TILES_PER_SEC_PER_CHIP, 3),
                 "detail": {
                     "decode_tiles_per_sec": round(decode_rate, 2),
+                    "decode_planar_tiles_per_sec": round(decode_planar_rate, 2),
                     "native_decoder": native_on,
                     "embed_tiles_per_sec": round(embed_rate, 2),
                     "nuclei_tiles_per_sec": round(nuclei_rate, 2),
@@ -291,6 +330,7 @@ def main() -> None:
                     "wsi_e2e_sec": round(wsi_sec, 3),
                     "wsi_tiles": int(wsi_tiles),
                     "wsi_tiles_per_sec": round(wsi_rate, 2),
+                    "planar_feed": bool(planar_feed),
                     # north star (BASELINE.md): 100k-tile WSI < 300 s on
                     # v5e-8 — extrapolated from the MEASURED streamed rate
                     # (tile-axis DP scales linearly: zero collectives in

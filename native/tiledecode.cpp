@@ -11,6 +11,15 @@
 //   int decode_jpeg_batch(const char** blobs, const size_t* sizes, int n,
 //                         const char* tables, size_t tables_len,
 //                         int tile_h, int tile_w, void* out, int threads);
+//   int decode_jpeg_batch_opts(...same..., int fancy);   // fancy=0: nearest
+//                         // chroma upsample (libjpeg merged path) — the
+//                         // host-side oracle for the planar device feed
+//   int decode_jpeg_batch_planar(const char** blobs, const size_t* sizes,
+//                         int n, const char* tables, size_t tables_len,
+//                         int tile_h, int tile_w, void* out_y, void* out_cbcr,
+//                         int threads);  // raw 4:2:0 planes, no upsample —
+//                         // HALF the bytes of RGB; chroma upsample + color
+//                         // conversion happen on-device (ops/jpegcolor.py)
 //   int decode_deflate_batch(const char** blobs, const size_t* sizes, int n,
 //                            int tile_h, int tile_w, void* out, int threads);
 // Return 0 on success, nonzero if any tile failed.
@@ -38,10 +47,41 @@ void jpeg_error_exit(j_common_ptr cinfo) {
   longjmp(err->setjmp_buffer, 1);
 }
 
+// Create a decompressor, feed optional abbreviated tables + the tile blob,
+// and read the header. Returns false on any libjpeg error (caller must have
+// installed the setjmp handler on jerr BEFORE calling).
+bool open_jpeg(jpeg_decompress_struct* cinfo, JpegErrorMgr* jerr,
+               const uint8_t* data, size_t len, const uint8_t* tables,
+               size_t tables_len) {
+  jpeg_create_decompress(cinfo);
+  // Abbreviated streams (TIFF JPEGTables, tag 347): feed the tables first;
+  // libjpeg keeps them for the subsequent scan-only stream.
+  if (tables != nullptr && tables_len > 4) {
+    jpeg_mem_src(cinfo, const_cast<uint8_t*>(tables),
+                 static_cast<unsigned long>(tables_len));
+    if (jpeg_read_header(cinfo, FALSE) != JPEG_HEADER_TABLES_ONLY) {
+      // tables blob unexpectedly contained an image header; reset and
+      // fall through to decoding the tile alone.
+      jpeg_destroy_decompress(cinfo);
+      jpeg_create_decompress(cinfo);
+      cinfo->err = jpeg_std_error(&jerr->pub);
+      jerr->pub.error_exit = jpeg_error_exit;
+    }
+  }
+  jpeg_mem_src(cinfo, const_cast<uint8_t*>(data),
+               static_cast<unsigned long>(len));
+  if (jpeg_read_header(cinfo, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(cinfo);
+    return false;
+  }
+  return true;
+}
+
 // Decode one JPEG blob (optionally prefixed by shared abbreviated tables)
 // into dst (tile_h * tile_w * 3, RGB). Returns true on success.
 bool decode_one_jpeg(const uint8_t* data, size_t len, const uint8_t* tables,
-                     size_t tables_len, int tile_h, int tile_w, uint8_t* dst) {
+                     size_t tables_len, int tile_h, int tile_w, uint8_t* dst,
+                     int fancy = 1) {
   jpeg_decompress_struct cinfo;
   JpegErrorMgr jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
@@ -50,28 +90,9 @@ bool decode_one_jpeg(const uint8_t* data, size_t len, const uint8_t* tables,
     jpeg_destroy_decompress(&cinfo);
     return false;
   }
-  jpeg_create_decompress(&cinfo);
-  // Abbreviated streams (TIFF JPEGTables, tag 347): feed the tables first;
-  // libjpeg keeps them for the subsequent scan-only stream.
-  if (tables != nullptr && tables_len > 4) {
-    jpeg_mem_src(&cinfo, const_cast<uint8_t*>(tables),
-                 static_cast<unsigned long>(tables_len));
-    if (jpeg_read_header(&cinfo, FALSE) != JPEG_HEADER_TABLES_ONLY) {
-      // tables blob unexpectedly contained an image header; reset and
-      // fall through to decoding the tile alone.
-      jpeg_destroy_decompress(&cinfo);
-      jpeg_create_decompress(&cinfo);
-      cinfo.err = jpeg_std_error(&jerr.pub);
-      jerr.pub.error_exit = jpeg_error_exit;
-    }
-  }
-  jpeg_mem_src(&cinfo, const_cast<uint8_t*>(data),
-               static_cast<unsigned long>(len));
-  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
-    jpeg_destroy_decompress(&cinfo);
-    return false;
-  }
+  if (!open_jpeg(&cinfo, &jerr, data, len, tables, tables_len)) return false;
   cinfo.out_color_space = JCS_RGB;
+  cinfo.do_fancy_upsampling = fancy ? TRUE : FALSE;
   jpeg_start_decompress(&cinfo);
   const int w = static_cast<int>(cinfo.output_width);
   const int h = static_cast<int>(cinfo.output_height);
@@ -98,6 +119,105 @@ bool decode_one_jpeg(const uint8_t* data, size_t len, const uint8_t* tables,
   if (h < tile_h) {
     std::memset(dst + static_cast<size_t>(h) * tile_w * 3, 255,
                 static_cast<size_t>(tile_h - h) * tile_w * 3);
+  }
+  return true;
+}
+
+// Decode one 4:2:0 YCbCr JPEG into raw planes WITHOUT chroma upsampling or
+// color conversion: dst_y is (tile_h, tile_w) luma, dst_cbcr is
+// (ceil(tile_h/2), ceil(tile_w/2), 2) interleaved Cb,Cr. Exactly half the
+// bytes of the RGB output — the host→device transfer format of the planar
+// tile feed. Fails (→ caller falls back to RGB) for any sampling layout
+// other than plain 4:2:0 YCbCr.
+bool decode_one_jpeg_planar(const uint8_t* data, size_t len,
+                            const uint8_t* tables, size_t tables_len,
+                            int tile_h, int tile_w, uint8_t* dst_y,
+                            uint8_t* dst_cbcr) {
+  jpeg_decompress_struct cinfo;
+  JpegErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = jpeg_error_exit;
+  if (setjmp(jerr.setjmp_buffer)) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+  if (!open_jpeg(&cinfo, &jerr, data, len, tables, tables_len)) return false;
+  if (cinfo.num_components != 3 || cinfo.jpeg_color_space != JCS_YCbCr ||
+      cinfo.comp_info[0].h_samp_factor != 2 ||
+      cinfo.comp_info[0].v_samp_factor != 2 ||
+      cinfo.comp_info[1].h_samp_factor != 1 ||
+      cinfo.comp_info[1].v_samp_factor != 1 ||
+      cinfo.comp_info[2].h_samp_factor != 1 ||
+      cinfo.comp_info[2].v_samp_factor != 1) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+  cinfo.raw_data_out = TRUE;
+  jpeg_start_decompress(&cinfo);
+  const int w = static_cast<int>(cinfo.output_width);
+  const int h = static_cast<int>(cinfo.output_height);
+  // libjpeg writes whole iMCU rows (16 luma / 8 chroma lines) with rows
+  // padded to full DCT blocks — decode into padded scratch, then crop.
+  const int n_mcu_rows = static_cast<int>(cinfo.total_iMCU_rows);
+  const int y_stride =
+      static_cast<int>(cinfo.comp_info[0].width_in_blocks) * DCTSIZE;
+  const int c_stride =
+      static_cast<int>(cinfo.comp_info[1].width_in_blocks) * DCTSIZE;
+  std::vector<uint8_t> ybuf(static_cast<size_t>(n_mcu_rows) * 16 * y_stride);
+  std::vector<uint8_t> cbbuf(static_cast<size_t>(n_mcu_rows) * 8 * c_stride);
+  std::vector<uint8_t> crbuf(static_cast<size_t>(n_mcu_rows) * 8 * c_stride);
+  std::vector<JSAMPROW> yrows(static_cast<size_t>(n_mcu_rows) * 16);
+  std::vector<JSAMPROW> cbrows(static_cast<size_t>(n_mcu_rows) * 8);
+  std::vector<JSAMPROW> crrows(static_cast<size_t>(n_mcu_rows) * 8);
+  for (size_t r = 0; r < yrows.size(); ++r) yrows[r] = &ybuf[r * y_stride];
+  for (size_t r = 0; r < cbrows.size(); ++r) {
+    cbrows[r] = &cbbuf[r * c_stride];
+    crrows[r] = &crbuf[r * c_stride];
+  }
+  size_t read_y = 0, read_c = 0;
+  while (cinfo.output_scanline < cinfo.output_height) {
+    JSAMPARRAY planes[3] = {yrows.data() + read_y, cbrows.data() + read_c,
+                            crrows.data() + read_c};
+    const JDIMENSION got = jpeg_read_raw_data(&cinfo, planes, 16);
+    if (got == 0) break;
+    read_y += got;
+    read_c += got / 2;
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  // crop/copy into the output planes; pad with WHITE (Y=255, Cb=Cr=128) to
+  // match the RGB path's white padding for undersized edge tiles
+  const int copy_w = w < tile_w ? w : tile_w;
+  const int copy_h = h < tile_h ? h : tile_h;
+  for (int y = 0; y < tile_h; ++y) {
+    uint8_t* row = dst_y + static_cast<size_t>(y) * tile_w;
+    if (y < copy_h) {
+      std::memcpy(row, &ybuf[static_cast<size_t>(y) * y_stride], copy_w);
+      if (copy_w < tile_w) std::memset(row + copy_w, 255, tile_w - copy_w);
+    } else {
+      std::memset(row, 255, tile_w);
+    }
+  }
+  const int cw_out = (tile_w + 1) / 2, ch_out = (tile_h + 1) / 2;
+  const int cw_in = (w + 1) / 2, ch_in = (h + 1) / 2;
+  const int ccopy_w = cw_in < cw_out ? cw_in : cw_out;
+  const int ccopy_h = ch_in < ch_out ? ch_in : ch_out;
+  for (int y = 0; y < ch_out; ++y) {
+    uint8_t* row = dst_cbcr + static_cast<size_t>(y) * cw_out * 2;
+    if (y < ccopy_h) {
+      const uint8_t* cb = &cbbuf[static_cast<size_t>(y) * c_stride];
+      const uint8_t* cr = &crbuf[static_cast<size_t>(y) * c_stride];
+      for (int x = 0; x < ccopy_w; ++x) {
+        row[2 * x] = cb[x];
+        row[2 * x + 1] = cr[x];
+      }
+      for (int x = ccopy_w; x < cw_out; ++x) {
+        row[2 * x] = 128;
+        row[2 * x + 1] = 128;
+      }
+    } else {
+      std::memset(row, 128, static_cast<size_t>(cw_out) * 2);
+    }
   }
   return true;
 }
@@ -151,6 +271,36 @@ int decode_jpeg_batch(const char** blobs, const size_t* sizes, int n,
     return decode_one_jpeg(reinterpret_cast<const uint8_t*>(blobs[i]),
                            sizes[i], tbl, tables_len, tile_h, tile_w,
                            dst0 + tile_bytes * i);
+  });
+}
+
+int decode_jpeg_batch_opts(const char** blobs, const size_t* sizes, int n,
+                           const char* tables, size_t tables_len, int tile_h,
+                           int tile_w, void* out, int threads, int fancy) {
+  uint8_t* dst0 = static_cast<uint8_t*>(out);
+  const size_t tile_bytes = static_cast<size_t>(tile_h) * tile_w * 3;
+  const uint8_t* tbl = reinterpret_cast<const uint8_t*>(tables);
+  return run_pool(n, threads, [&](int i) {
+    return decode_one_jpeg(reinterpret_cast<const uint8_t*>(blobs[i]),
+                           sizes[i], tbl, tables_len, tile_h, tile_w,
+                           dst0 + tile_bytes * i, fancy);
+  });
+}
+
+int decode_jpeg_batch_planar(const char** blobs, const size_t* sizes, int n,
+                             const char* tables, size_t tables_len, int tile_h,
+                             int tile_w, void* out_y, void* out_cbcr,
+                             int threads) {
+  uint8_t* y0 = static_cast<uint8_t*>(out_y);
+  uint8_t* c0 = static_cast<uint8_t*>(out_cbcr);
+  const size_t y_bytes = static_cast<size_t>(tile_h) * tile_w;
+  const size_t c_bytes =
+      static_cast<size_t>((tile_h + 1) / 2) * ((tile_w + 1) / 2) * 2;
+  const uint8_t* tbl = reinterpret_cast<const uint8_t*>(tables);
+  return run_pool(n, threads, [&](int i) {
+    return decode_one_jpeg_planar(reinterpret_cast<const uint8_t*>(blobs[i]),
+                                  sizes[i], tbl, tables_len, tile_h, tile_w,
+                                  y0 + y_bytes * i, c0 + c_bytes * i);
   });
 }
 

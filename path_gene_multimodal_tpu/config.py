@@ -100,6 +100,10 @@ class EmbeddingConfig:
     # pipeline/embed.py when model_type startswith "virchow"
     virchow2_batch_size: int = 64
     dtype: str = "bfloat16"
+    # ship JPEG tiles to the device as raw 4:2:0 planes (half the
+    # host→device bytes; chroma upsample + color conversion finish on
+    # device — ops/jpegcolor.py) whenever the slide supports it
+    planar_feed: bool = True
 
 
 @dataclass(frozen=True)
@@ -129,6 +133,9 @@ class HoverNeXtConfig:
     pp_tiling: int = 8
     pp_overlap: int = 256
     max_instances_per_tile: int = 512
+    # ship JPEG tiles as raw 4:2:0 planes and finish decode on device
+    # (half the host→device bytes; see ops/jpegcolor.py)
+    planar_feed: bool = True
 
 
 @dataclass(frozen=True)

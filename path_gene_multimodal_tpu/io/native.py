@@ -63,6 +63,21 @@ class NativeTileDecoder:
             ctypes.c_void_p,
             ctypes.c_int,
         ]
+        self._lib.decode_jpeg_batch_opts.restype = ctypes.c_int
+        self._lib.decode_jpeg_batch_opts.argtypes = (
+            self._lib.decode_jpeg_batch.argtypes + [ctypes.c_int]
+        )
+        self._lib.decode_jpeg_batch_planar.restype = ctypes.c_int
+        self._lib.decode_jpeg_batch_planar.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.POINTER(ctypes.c_size_t),
+            ctypes.c_int,
+            ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p,                    # out Y  (n, h, w)
+            ctypes.c_void_p,                    # out CbCr (n, ⌈h/2⌉, ⌈w/2⌉, 2)
+            ctypes.c_int,
+        ]
         self._threads = num_threads
 
     def decode_jpeg_batch(
@@ -87,6 +102,56 @@ class NativeTileDecoder:
         if rc != 0:
             return None
         return out
+
+    def decode_jpeg_batch_nearest(
+        self,
+        blobs: list[bytes],
+        tile_h: int,
+        tile_w: int,
+        jpeg_tables: bytes | None = None,
+    ) -> np.ndarray | None:
+        """RGB decode with nearest (non-fancy) chroma upsampling — libjpeg's
+        merged-upsample path, the host oracle for the planar device feed."""
+        n = len(blobs)
+        out = np.empty((n, tile_h, tile_w, 3), dtype=np.uint8)
+        arr = (ctypes.c_char_p * n)(*blobs)
+        sizes = (ctypes.c_size_t * n)(*[len(b) for b in blobs])
+        rc = self._lib.decode_jpeg_batch_opts(
+            arr, sizes, n,
+            jpeg_tables if jpeg_tables else None,
+            len(jpeg_tables) if jpeg_tables else 0,
+            tile_h, tile_w,
+            out.ctypes.data_as(ctypes.c_void_p),
+            self._threads, 0,
+        )
+        return None if rc != 0 else out
+
+    def decode_jpeg_batch_planar(
+        self,
+        blobs: list[bytes],
+        tile_h: int,
+        tile_w: int,
+        jpeg_tables: bytes | None = None,
+    ) -> tuple[np.ndarray, np.ndarray] | None:
+        """Decode 4:2:0 JPEG tiles to raw planes: (Y (n,h,w), CbCr
+        (n,⌈h/2⌉,⌈w/2⌉,2)) uint8 — half the bytes of RGB. Returns None if any
+        tile is not plain 4:2:0 YCbCr (caller falls back to the RGB path)."""
+        n = len(blobs)
+        ch, cw = (tile_h + 1) // 2, (tile_w + 1) // 2
+        out_y = np.empty((n, tile_h, tile_w), dtype=np.uint8)
+        out_cbcr = np.empty((n, ch, cw, 2), dtype=np.uint8)
+        arr = (ctypes.c_char_p * n)(*blobs)
+        sizes = (ctypes.c_size_t * n)(*[len(b) for b in blobs])
+        rc = self._lib.decode_jpeg_batch_planar(
+            arr, sizes, n,
+            jpeg_tables if jpeg_tables else None,
+            len(jpeg_tables) if jpeg_tables else 0,
+            tile_h, tile_w,
+            out_y.ctypes.data_as(ctypes.c_void_p),
+            out_cbcr.ctypes.data_as(ctypes.c_void_p),
+            self._threads,
+        )
+        return None if rc != 0 else (out_y, out_cbcr)
 
     def decode_deflate_batch(
         self, blobs: list[bytes], tile_h: int, tile_w: int

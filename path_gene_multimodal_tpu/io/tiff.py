@@ -259,6 +259,11 @@ class TiffTileSlide:
         from threading import Lock
 
         self._cache: OrderedDict[tuple[int, int], np.ndarray] = OrderedDict()
+        # planar (Y, CbCr) tile cache for the half-bandwidth device feed;
+        # same capacity accounting (planar tiles are half the bytes of RGB)
+        self._cache_p: OrderedDict[
+            tuple[int, int], tuple[np.ndarray, np.ndarray]
+        ] = OrderedDict()
         self._cache_cap = cache_tiles
         self._cache_lock = Lock()
         ifds, self._endian = _read_ifds(self._f)
@@ -381,6 +386,150 @@ class TiffTileSlide:
             or not page.is_tiled
         ):
             return 0
+        ids = self._region_tile_ids(page, level, locations, size)
+        with self._cache_lock:
+            missing = [
+                i for i in ids
+                if (level, i) not in self._cache
+                and page.byte_counts[i] > 0 and page.offsets[i] > 0
+            ]
+        if not missing:
+            return 0
+        blobs = [self._tile_bytes(page, i) for i in missing]
+        arr = self._native.decode_jpeg_batch(
+            blobs, page.tile_height, page.tile_width, page.jpeg_tables
+        )
+        if arr is None:
+            return 0
+        with self._cache_lock:
+            for j, i in enumerate(missing):
+                self._cache[(level, i)] = arr[j]
+            while len(self._cache) > self._cache_cap:
+                self._cache.popitem(last=False)
+        return len(missing)
+
+    # -- planar (4:2:0) fast path --------------------------------------------
+    # Ships JPEG tiles to the device as raw Y + CbCr planes (half the bytes
+    # of RGB); chroma upsample + color conversion finish on device
+    # (ops/jpegcolor.ycbcr420_to_rgb). See native/tiledecode.cpp.
+
+    def supports_planar(self, level: int = 0) -> bool:
+        """True if this level can serve raw 4:2:0 planes: native decoder
+        present, JPEG compression, even tile geometry, and the first
+        non-empty tile actually decodes as plain 4:2:0 YCbCr."""
+        page = self._pages[level]
+        if (
+            self._native is None
+            or page.compression != 7
+            or not page.is_tiled
+            or page.tile_width % 2
+            or page.tile_height % 2
+        ):
+            return False
+        for idx in range(len(page.offsets)):
+            if page.byte_counts[idx] > 0 and page.offsets[idx] > 0:
+                return (
+                    self._decode_tile_planar_cached(level, page, idx)
+                    is not None
+                )
+        return False
+
+    def prefetch_regions_planar(
+        self, locations: "np.ndarray", level: int, size: tuple[int, int]
+    ) -> int:
+        """Planar analog of :meth:`prefetch_regions` — batch-decodes the
+        covered TIFF tiles into the planar LRU cache."""
+        page = self._pages[level]
+        if (
+            self._native is None
+            or self._cache_cap <= 0
+            or page.compression != 7
+            or not page.is_tiled
+        ):
+            return 0
+        ids = self._region_tile_ids(page, level, locations, size)
+        with self._cache_lock:
+            missing = [
+                i for i in ids
+                if (level, i) not in self._cache_p
+                and page.byte_counts[i] > 0 and page.offsets[i] > 0
+            ]
+        if not missing:
+            return 0
+        blobs = [self._tile_bytes(page, i) for i in missing]
+        out = self._native.decode_jpeg_batch_planar(
+            blobs, page.tile_height, page.tile_width, page.jpeg_tables
+        )
+        if out is None:
+            return 0
+        ys, cbcrs = out
+        with self._cache_lock:
+            for j, i in enumerate(missing):
+                self._cache_p[(level, i)] = (ys[j], cbcrs[j])
+            while len(self._cache_p) > self._cache_cap:
+                self._cache_p.popitem(last=False)
+        return len(missing)
+
+    def read_region_planar(
+        self, location: tuple[int, int], level: int, size: tuple[int, int]
+    ) -> tuple[np.ndarray, np.ndarray] | None:
+        """Assemble a region as raw planes: (Y (h,w), CbCr (h/2,w/2,2))
+        uint8. Returns None when the planar path cannot serve it (odd
+        geometry, non-JPEG page, non-4:2:0 tile) — caller falls back to
+        :meth:`read_region`. Requires even location/size so the plane crops
+        commute with the 2×2 chroma layout (nearest upsample is local)."""
+        x0_l0, y0_l0 = location
+        w, h = size
+        ds = self.level_downsamples[level]
+        x0, y0 = int(round(x0_l0 / ds)), int(round(y0_l0 / ds))
+        page = self._pages[level]
+        if (
+            self._native is None
+            or page.compression != 7
+            or not page.is_tiled
+            or (x0 % 2) or (y0 % 2) or (w % 2) or (h % 2)
+            or page.tile_width % 2
+            or page.tile_height % 2
+        ):
+            return None
+        out_y = np.full((h, w), 255, dtype=np.uint8)
+        out_c = np.full((h // 2, w // 2, 2), 128, dtype=np.uint8)
+        tw, th = page.tile_width, page.tile_height
+        tx0, tx1 = max(x0 // tw, 0), min((x0 + w - 1) // tw, page.tiles_across - 1)
+        ty0, ty1 = max(y0 // th, 0), min((y0 + h - 1) // th, page.tiles_down - 1)
+        for ty in range(ty0, ty1 + 1):
+            for tx in range(tx0, tx1 + 1):
+                idx = ty * page.tiles_across + tx
+                if page.byte_counts[idx] == 0 or page.offsets[idx] == 0:
+                    continue  # sparse tile: stays white
+                planes = self._decode_tile_planar_cached(level, page, idx)
+                if planes is None:
+                    return None  # not 4:2:0 — whole region falls back
+                ptile_y, ptile_c = planes
+                gx, gy = tx * tw, ty * th
+                sy0, sy1 = max(y0 - gy, 0), min(y0 + h - gy, th)
+                sx0, sx1 = max(x0 - gx, 0), min(x0 + w - gx, tw)
+                if sy1 <= sy0 or sx1 <= sx0:
+                    continue
+                oy, ox = gy + sy0 - y0, gx + sx0 - x0
+                out_y[oy : oy + (sy1 - sy0), ox : ox + (sx1 - sx0)] = ptile_y[
+                    sy0:sy1, sx0:sx1
+                ]
+                # tile origins are multiples of the (even) tile size and the
+                # region origin is even, so every crop offset here is even
+                out_c[
+                    oy // 2 : (oy + sy1 - sy0) // 2,
+                    ox // 2 : (ox + sx1 - sx0) // 2,
+                ] = ptile_c[sy0 // 2 : sy1 // 2, sx0 // 2 : sx1 // 2]
+        return out_y, out_c
+
+    def _region_tile_ids(
+        self, page: TiffPage, level: int, locations: "np.ndarray",
+        size: tuple[int, int],
+    ) -> list[int]:
+        """Sorted unique TIFF tile ids covered by the given level-0 regions
+        (exact per-region coverage — see prefetch_regions), capped at the
+        cache capacity."""
         ds = self.level_downsamples[level]
         w, h = size
         tw, th = page.tile_width, page.tile_height
@@ -395,25 +544,29 @@ class TiffTileSlide:
             for ty in range(ty0, ty1 + 1):
                 for tx in range(tx0, tx1 + 1):
                     id_set.add(ty * page.tiles_across + tx)
-        ids = sorted(id_set)[: self._cache_cap]  # never exceed the cache
+        return sorted(id_set)[: self._cache_cap]
+
+    def _decode_tile_planar_cached(
+        self, level: int, page: TiffPage, idx: int
+    ) -> tuple[np.ndarray, np.ndarray] | None:
+        key = (level, idx)
         with self._cache_lock:
-            missing = [
-                i for i in ids
-                if (level, i) not in self._cache
-                and page.byte_counts[i] > 0 and page.offsets[i] > 0
-            ]
-        if not missing:
-            return 0
-        blobs = [self._tile_bytes(page, i) for i in missing]
-        arr = self._native.decode_jpeg_batch(blobs, th, tw, page.jpeg_tables)
-        if arr is None:
-            return 0
-        with self._cache_lock:
-            for j, i in enumerate(missing):
-                self._cache[(level, i)] = arr[j]
-            while len(self._cache) > self._cache_cap:
-                self._cache.popitem(last=False)
-        return len(missing)
+            if key in self._cache_p:
+                self._cache_p.move_to_end(key)
+                return self._cache_p[key]
+        out = self._native.decode_jpeg_batch_planar(
+            [self._tile_bytes(page, idx)],
+            page.tile_height, page.tile_width, page.jpeg_tables,
+        )
+        if out is None:
+            return None
+        planes = (out[0][0], out[1][0])
+        if self._cache_cap > 0:
+            with self._cache_lock:
+                self._cache_p[key] = planes
+                while len(self._cache_p) > self._cache_cap:
+                    self._cache_p.popitem(last=False)
+        return planes
 
     def _decode_tile_cached(
         self, level: int, page: TiffPage, idx: int

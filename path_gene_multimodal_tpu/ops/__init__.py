@@ -21,4 +21,7 @@ on the host lives here as a JAX op with static shapes, so it fuses under
                      post-processing)
 - ``neighbors``    — kNN / radius graph over nuclei centroids (ref: libpysal
                      KNN + cKDTree in hovernet_tile_inference.ipynb)
+- ``jpegcolor``    — 4:2:0 chroma upsample + libjpeg fixed-point YCbCr→RGB:
+                     finishes the planar half-bandwidth tile feed on device
+                     (ref: the libjpeg decode inside tiffslide, SURVEY §1 L0)
 """

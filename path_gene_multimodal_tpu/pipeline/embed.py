@@ -30,6 +30,9 @@ from path_gene_multimodal_tpu.config import PipelineConfig
 from path_gene_multimodal_tpu.core.artifacts import write_features_h5
 from path_gene_multimodal_tpu.io.slide import SlideReader
 from path_gene_multimodal_tpu.models.clip import ImageEncoder, TextEncoder
+from path_gene_multimodal_tpu.ops.jpegcolor import (
+    ycbcr420_to_rgb_jit as _planar_to_rgb,
+)
 from path_gene_multimodal_tpu.pipeline.tessellate import iter_tile_batches
 
 
@@ -52,10 +55,24 @@ def run_extract_features(
         # EmbeddingConfig.virchow2_batch_size) — clamp to it
         batch = min(batch, cfg.embedding.virchow2_batch_size)
     tile = cfg.patch_size
+    # half-bandwidth planar feed: raw 4:2:0 planes over the link, chroma
+    # upsample + color conversion on device (ops/jpegcolor.py)
+    planar = (
+        cfg.embedding.planar_feed
+        and tile % 2 == 0
+        and getattr(slide, "supports_planar", lambda level=0: False)()
+        and not np.any(np.asarray(coords) % 2)
+    )
     outs: list[jax.Array] = []
     valids: list[np.ndarray] = []
-    for tiles_u8, valid in iter_tile_batches(slide, coords, tile, batch):
-        emb = encoder(jnp.asarray(tiles_u8))  # async dispatch
+    for tiles_u8, valid in iter_tile_batches(
+        slide, coords, tile, batch, planar=planar
+    ):
+        if planar:
+            yb, cbcr = tiles_u8
+            emb = encoder(_planar_to_rgb(jnp.asarray(yb), jnp.asarray(cbcr)))
+        else:
+            emb = encoder(jnp.asarray(tiles_u8))  # async dispatch
         if hasattr(emb, "copy_to_host_async"):
             # enqueue the D2H copy behind this batch's compute: the final
             # np.concatenate then collects already-landed host buffers

@@ -29,6 +29,7 @@ from __future__ import annotations
 import json
 import uuid
 from dataclasses import dataclass
+from functools import partial
 from pathlib import Path
 from typing import Any
 
@@ -47,6 +48,7 @@ from path_gene_multimodal_tpu.models.hovernext import (
     tta_forward,
 )
 from path_gene_multimodal_tpu.ops import watershed as ws
+from path_gene_multimodal_tpu.ops.jpegcolor import ycbcr420_to_rgb
 from path_gene_multimodal_tpu.ops.instances import (
     instance_contours,
     instance_features,
@@ -75,6 +77,17 @@ def select_tiles_for_hovernet(df: pd.DataFrame) -> pd.DataFrame:
     return sel.reset_index(drop=True)
 
 
+@partial(jax.jit, static_argnums=(2, 3))
+def _planar_seg_prep(yb, cbcr, pad_lo: int, pad_hi: int):
+    """Finish a planar 4:2:0 decode and reflect-pad to the segmentation
+    input size, entirely on device (mirrors the host `_pad_tile_to_input`)."""
+    rgb = ycbcr420_to_rgb(yb, cbcr)
+    return jnp.pad(
+        rgb, ((0, 0), (pad_lo, pad_hi), (pad_lo, pad_hi), (0, 0)),
+        mode="reflect",
+    )
+
+
 class _SegmentedModelMixin:
     """Shared segment surface for the jitted nuclei bundles: ``_infer``
     returns ``(*seg_inputs, tp_cls)`` and ``_postproc(*seg_inputs)``
@@ -97,9 +110,9 @@ class _SegmentedModelMixin:
         if getattr(self, "_mesh", None) is not None:
             from path_gene_multimodal_tpu.parallel.mesh import batch_sharding
 
-            tiles_dev = jax.device_put(
-                np.asarray(tiles_u8), batch_sharding(self._mesh, 4)
-            )
+            if not isinstance(tiles_u8, jax.Array):
+                tiles_u8 = np.asarray(tiles_u8)
+            tiles_dev = jax.device_put(tiles_u8, batch_sharding(self._mesh, 4))
         else:
             tiles_dev = jnp.asarray(tiles_u8)
         *seg, tp_cls = self._infer(self.params, tiles_dev)
@@ -433,7 +446,47 @@ def run_hovernet_pipeline_on_wsi_tiles(
 
     coords = sel[["x", "y"]].to_numpy(np.int64)
 
+    # half-bandwidth planar feed: ship raw 4:2:0 planes, finish decode +
+    # reflect-pad to the model input size on device (ops/jpegcolor.py)
+    planar = (
+        cfg.hovernext.planar_feed
+        and tile_size % 2 == 0
+        and tile_size <= input_size
+        and getattr(model, "_mesh", None) is None
+        and getattr(slide, "supports_planar", lambda level=0: False)()
+        and not np.any(coords % 2)
+    )
+    pad_lo = (input_size - tile_size) // 2
+    pad_hi = input_size - tile_size - pad_lo
+
     def _decode_chunk(chunk: np.ndarray):
+        if planar:
+            pre = getattr(slide, "prefetch_regions_planar", None)
+            if pre is not None:
+                pre(chunk, 0, (tile_size, tile_size))
+            ys, cs = [], []
+            for x, y in chunk:
+                planes = slide.read_region_planar(
+                    (int(x), int(y)), 0, (tile_size, tile_size)
+                )
+                if planes is None:  # non-4:2:0 region: whole chunk falls back
+                    ys = None
+                    break
+                ys_, cs_ = planes
+                ys.append(ys_)
+                cs.append(cs_)
+            if ys is not None:
+                yb, cb = np.stack(ys), np.stack(cs)
+                if len(chunk) < batch:
+                    pad_n = batch - len(chunk)
+                    yb = np.concatenate(
+                        [yb, np.zeros((pad_n, tile_size, tile_size), np.uint8)]
+                    )
+                    cb = np.concatenate(
+                        [cb, np.full((pad_n, tile_size // 2, tile_size // 2, 2),
+                                     128, np.uint8)]
+                    )
+                return chunk, [pad_lo] * len(chunk), ("planar", yb, cb)
         tiles, offsets = [], []
         for x, y in chunk:
             tile = slide.read_region((int(x), int(y)), 0, (tile_size, tile_size))
@@ -445,7 +498,7 @@ def run_hovernet_pipeline_on_wsi_tiles(
             batch_u8 = np.concatenate(
                 [batch_u8, np.zeros((batch - len(chunk), input_size, input_size, 3), np.uint8)]
             )
-        return chunk, offsets, batch_u8
+        return chunk, offsets, ("rgb", batch_u8)
 
     def _process(chunk, offsets, lbl_dev, tp_dev) -> None:
         # materialize (overlaps with the NEXT batch's device compute) and
@@ -484,10 +537,17 @@ def run_hovernet_pipeline_on_wsi_tiles(
         futures = [pool.submit(_decode_chunk, c) for c in chunks[:3]]
         next_submit = 3
         for i in range(len(chunks)):
-            chunk, offsets, batch_u8 = futures[i].result()
+            chunk, offsets, payload = futures[i].result()
             if next_submit < len(chunks):
                 futures.append(pool.submit(_decode_chunk, chunks[next_submit]))
                 next_submit += 1
+            if payload[0] == "planar":
+                batch_u8 = _planar_seg_prep(
+                    jnp.asarray(payload[1]), jnp.asarray(payload[2]),
+                    pad_lo, pad_hi,
+                )
+            else:
+                batch_u8 = payload[1]
             # duck-typed models (tests, remote backends) may only offer the
             # synchronous segment()
             dispatch = getattr(model, "segment_async", model.segment)

@@ -178,7 +178,42 @@ def run_hovernext_wsi(
                     return (wx, wy)
         return None
 
+    # half-bandwidth planar feed (ops/jpegcolor.py): per-chunk, because the
+    # slide-edge windows appended by iter_windows can sit at odd coords —
+    # those chunks fall back to RGB while the stride-248 interior streams
+    # planar
+    planar = (
+        hx.planar_feed
+        and window % 2 == 0
+        and getattr(model, "_mesh", None) is None
+        and getattr(slide, "supports_planar", lambda level=0: False)()
+    )
+
     def _decode_chunk(chunk):
+        if planar and not any((x % 2) or (y % 2) for x, y in chunk):
+            pre = getattr(slide, "prefetch_regions_planar", None)
+            if pre is not None:
+                pre(np.asarray(chunk), 0, (window, window))
+            ys_p, cs_p = [], []
+            for x, y in chunk:
+                planes = slide.read_region_planar((x, y), 0, (window, window))
+                if planes is None:
+                    ys_p = None
+                    break
+                ys_p.append(planes[0])
+                cs_p.append(planes[1])
+            if ys_p is not None:
+                yb, cb = np.stack(ys_p), np.stack(cs_p)
+                if len(chunk) < batch:
+                    pad_n = batch - len(chunk)
+                    yb = np.concatenate(
+                        [yb, np.zeros((pad_n, window, window), np.uint8)]
+                    )
+                    cb = np.concatenate(
+                        [cb, np.full((pad_n, window // 2, window // 2, 2),
+                                     128, np.uint8)]
+                    )
+                return chunk, ("planar", yb, cb)
         tiles = np.stack(
             [slide.read_region((x, y), 0, (window, window)) for x, y in chunk]
         )
@@ -186,7 +221,7 @@ def run_hovernext_wsi(
             tiles = np.concatenate(
                 [tiles, np.zeros((batch - len(chunk), window, window, 3), np.uint8)]
             )
-        return chunk, tiles
+        return chunk, ("rgb", tiles)
 
     def _group_instance_pixels(inst: np.ndarray) -> dict[int, tuple[np.ndarray, np.ndarray]]:
         """One pass over the window: {id: (ys, xs)} — replaces the per-kept-
@@ -297,10 +332,20 @@ def run_hovernext_wsi(
         futures = [pool.submit(_decode_chunk, c) for c in chunks[:3]]
         next_submit = 3
         for i in range(len(chunks)):
-            chunk, tiles = futures[i].result()
+            chunk, payload = futures[i].result()
             if next_submit < len(chunks):
                 futures.append(pool.submit(_decode_chunk, chunks[next_submit]))
                 next_submit += 1
+            if payload[0] == "planar":
+                from path_gene_multimodal_tpu.ops.jpegcolor import (
+                    ycbcr420_to_rgb_jit,
+                )
+
+                tiles = ycbcr420_to_rgb_jit(
+                    jnp.asarray(payload[1]), jnp.asarray(payload[2])
+                )
+            else:
+                tiles = payload[1]
             dispatch = getattr(model, "segment_async", model.segment)
             lbl_dev, tp_dev = dispatch(tiles)
             # enqueue the D2H copies behind this batch's compute so the

@@ -158,6 +158,46 @@ def _decode_batch(
     return tiles, valid
 
 
+def _decode_batch_planar(
+    slide: SlideReader,
+    chunk: np.ndarray,
+    tile_size: int,
+    batch_size: int,
+    pad_to_batch: bool,
+) -> tuple[tuple[np.ndarray, np.ndarray], np.ndarray]:
+    """Half-bandwidth planar decode: returns ((Y (B,T,T), CbCr
+    (B,T/2,T/2,2)), valid). Requires a slide whose ``supports_planar()`` is
+    True (probe before streaming); raises otherwise."""
+    pre = getattr(slide, "prefetch_regions_planar", None)
+    if pre is not None and len(chunk):
+        pre(chunk, 0, (tile_size, tile_size))
+    ys, cs = [], []
+    for x, y in chunk:
+        planes = slide.read_region_planar(
+            (int(x), int(y)), 0, (tile_size, tile_size)
+        )
+        if planes is None:
+            raise ValueError(
+                "planar tile feed unavailable for this slide/region; gate "
+                "with slide.supports_planar() and use planar=False"
+            )
+        ys.append(planes[0])
+        cs.append(planes[1])
+    yb, cb = np.stack(ys), np.stack(cs)
+    valid = np.ones(len(chunk), dtype=bool)
+    if pad_to_batch and len(chunk) < batch_size:
+        pad = batch_size - len(chunk)
+        yb = np.concatenate(
+            [yb, np.zeros((pad, tile_size, tile_size), np.uint8)]
+        )
+        cb = np.concatenate(
+            [cb, np.full((pad, tile_size // 2, tile_size // 2, 2), 128,
+                         np.uint8)]
+        )
+        valid = np.concatenate([valid, np.zeros(pad, dtype=bool)])
+    return (yb, cb), valid
+
+
 def iter_tile_batches(
     slide: SlideReader,
     coords: np.ndarray,
@@ -165,8 +205,12 @@ def iter_tile_batches(
     batch_size: int,
     pad_to_batch: bool = True,
     prefetch: int = 2,
+    planar: bool = False,
 ):
-    """Yield (batch_rgb_u8 (B, T, T, 3), valid_mask (B,)).
+    """Yield (batch_rgb_u8 (B, T, T, 3), valid_mask (B,)) — or, with
+    ``planar=True``, ((Y (B,T,T), CbCr (B,T/2,T/2,2)), valid_mask): raw
+    4:2:0 planes at HALF the host→device bytes, finished on device by
+    ``ops.jpegcolor.ycbcr420_to_rgb``.
 
     Host decode runs in a background thread pool ``prefetch`` batches ahead
     of the consumer, so JPEG decode overlaps device compute (the reference
@@ -174,17 +218,18 @@ def iter_tile_batches(
     extract_embedding_from_tiles.py:16). Set ``prefetch=0`` for synchronous
     decoding.
     """
+    decode = _decode_batch_planar if planar else _decode_batch
     n = len(coords)
     chunks = [coords[s : s + batch_size] for s in range(0, n, batch_size)]
     if prefetch <= 0 or len(chunks) <= 1:
         for chunk in chunks:
-            yield _decode_batch(slide, chunk, tile_size, batch_size, pad_to_batch)
+            yield decode(slide, chunk, tile_size, batch_size, pad_to_batch)
         return
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=prefetch) as pool:
         futures = [
-            pool.submit(_decode_batch, slide, c, tile_size, batch_size, pad_to_batch)
+            pool.submit(decode, slide, c, tile_size, batch_size, pad_to_batch)
             for c in chunks[: prefetch + 1]
         ]
         next_submit = prefetch + 1
@@ -193,7 +238,7 @@ def iter_tile_batches(
             if next_submit < len(chunks):
                 futures.append(
                     pool.submit(
-                        _decode_batch, slide, chunks[next_submit], tile_size,
+                        decode, slide, chunks[next_submit], tile_size,
                         batch_size, pad_to_batch,
                     )
                 )

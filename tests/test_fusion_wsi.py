@@ -110,6 +110,7 @@ class StripeFakeModel:
         self.max_instances = 16
 
     def segment(self, tiles_u8):
+        tiles_u8 = np.asarray(tiles_u8)  # device arrays under the planar feed
         b, s, _, _ = tiles_u8.shape
         inst = np.zeros((b, s, s), np.int32)
         types = np.zeros((b, s, s), np.int32)
@@ -321,3 +322,39 @@ def test_wsi_adjacent_distinct_nuclei_not_merged(tmp_path):
         tmp_path, "adj", TwoBlobModel(), cfg, batch_size=4,
     )
     assert len(nuclei) == 2, nuclei[["wsi_centroid_x", "wsi_centroid_y"]]
+
+
+def test_run_hovernext_wsi_planar_feed(tmp_path):
+    """The WSI sliding-window stitcher over a real JPEG slide with the
+    planar (4:2:0 device-feed) path: same nuclei as the RGB feed. JPEG is
+    lossy, so assertions use the known marker geometry with 2 px slack."""
+    from dataclasses import replace
+
+    from path_gene_multimodal_tpu.io.tiff import TiffTileSlide
+    from path_gene_multimodal_tpu.io.tiff_write import write_tiled_tiff
+
+    cfg = default_config()
+    img = np.full((600, 1000, 3), 30, np.uint8)
+    img[100:110, 120:130] = [255, 0, 0]
+    img[400:410, 700:710] = [255, 0, 0]
+    p = write_tiled_tiff(tmp_path / "w.svs", [img], tile_size=256,
+                         compression=7, jpeg_quality=95)
+    slide = TiffTileSlide(p, use_native=True)
+    if slide._native is None or not slide.supports_planar(0):
+        pytest.skip("native planar decoder unavailable")
+    for sub, planar in [("a", True), ("b", False)]:
+        c = replace(cfg, hovernext=replace(cfg.hovernext, planar_feed=planar))
+        out = tmp_path / sub
+        out.mkdir()
+        _, nuclei = run_hovernext_wsi(
+            slide, out, "w", StripeFakeModel(), c, batch_size=4
+        )
+        assert len(nuclei) == 2, (planar, nuclei)
+        cents = sorted(
+            (r["wsi_centroid_x"], r["wsi_centroid_y"])
+            for _, r in nuclei.iterrows()
+        )
+        for got, want in zip(cents, [(124, 104), (704, 404)]):
+            assert abs(got[0] - want[0]) < 2 and abs(got[1] - want[1]) < 2, (
+                planar, cents,
+            )

@@ -132,3 +132,73 @@ def test_real_model_smoke(ann_csv, tmp_path):
     # random weights: any count (incl. 0) is fine — schema must hold
     for col in ["nuc_id", "inst_id", "type", "wsi_centroid_x", "wsi_polygon"]:
         assert col in nuclei.columns
+
+
+def test_pipeline_planar_feed_matches_rgb(tmp_path):
+    """The planar (4:2:0 device-feed) path drives the same pipeline
+    mechanics — offsets, batch padding, coordinate shifts — as the RGB
+    path; with a pixel-independent fake model the tables are identical."""
+    from dataclasses import replace
+
+    from path_gene_multimodal_tpu.io.tiff import TiffTileSlide
+    from path_gene_multimodal_tpu.io.tiff_write import write_tiled_tiff
+
+    cfg = default_config()
+    rng = np.random.default_rng(3)
+    base = np.kron(
+        rng.integers(40, 220, size=(14, 14, 3), dtype=np.uint8),
+        np.ones((64, 64, 1), np.uint8),
+    )
+    p = write_tiled_tiff(tmp_path / "pl.svs", [base], tile_size=256,
+                         compression=7)
+    slide = TiffTileSlide(p, use_native=True)
+    if slide._native is None or not slide.supports_planar(0):
+        pytest.skip("native planar decoder unavailable")
+    classes = list(cfg.classes)
+    rows = [
+        {"tile_index": i, "x": x, "y": y, "predicted_class": classes[0],
+         "in_tme_roi": True, **{c: 0.1 for c in classes}}
+        for i, (x, y) in enumerate([(0, 0), (224, 0), (448, 224)])
+    ]
+    ann = tmp_path / "pl_annotations_with_coords.csv"
+    pd.DataFrame(rows).to_csv(ann, index=False)
+
+    out_a, out_b = tmp_path / "a", tmp_path / "b"
+    out_a.mkdir()
+    out_b.mkdir()
+    nuc_planar = run_hovernet_pipeline_on_wsi_tiles(
+        slide, ann, out_a, "pl", FakeNucleiModel(), cfg, batch_size=2,
+    )
+    cfg_rgb = replace(cfg, hovernext=replace(cfg.hovernext, planar_feed=False))
+    nuc_rgb = run_hovernet_pipeline_on_wsi_tiles(
+        slide, ann, out_b, "pl", FakeNucleiModel(), cfg_rgb, batch_size=2,
+    )
+    drop = ["nuc_id", "tile_path"]  # uuids / out-dir paths differ per run
+    pd.testing.assert_frame_equal(
+        nuc_planar.drop(columns=drop), nuc_rgb.drop(columns=drop)
+    )
+
+
+def test_planar_seg_prep_matches_host_pad(tmp_path):
+    """Device-side decode+reflect-pad == host nearest-RGB decode + np.pad."""
+    from path_gene_multimodal_tpu.io.tiff import TiffTileSlide
+    from path_gene_multimodal_tpu.io.tiff_write import write_tiled_tiff
+    from path_gene_multimodal_tpu.ops.jpegcolor import ycbcr420_to_rgb
+    from path_gene_multimodal_tpu.pipeline.nuclei import _planar_seg_prep
+
+    rng = np.random.default_rng(4)
+    base = np.kron(
+        rng.integers(40, 220, size=(8, 8, 3), dtype=np.uint8),
+        np.ones((64, 64, 1), np.uint8),
+    )
+    p = write_tiled_tiff(tmp_path / "pp.svs", [base], tile_size=256,
+                         compression=7)
+    slide = TiffTileSlide(p, use_native=True)
+    if slide._native is None or not slide.supports_planar(0):
+        pytest.skip("native planar decoder unavailable")
+    y, cbcr = slide.read_region_planar((224, 0), 0, (224, 224))
+    dev = np.asarray(_planar_seg_prep(jnp.asarray(y[None]),
+                                      jnp.asarray(cbcr[None]), 16, 16))[0]
+    host_rgb = np.asarray(ycbcr420_to_rgb(y, cbcr))
+    host = np.pad(host_rgb, ((16, 16), (16, 16), (0, 0)), mode="reflect")
+    np.testing.assert_array_equal(dev, host)

@@ -227,3 +227,133 @@ def test_predictor2_horizontal_differencing():
     # predictor=1 leaves bytes untouched
     out1 = _raw_to_rgb(img.tobytes(), 32, 48, 3, predictor=1)
     np.testing.assert_array_equal(out1, img)
+
+
+# -- planar (4:2:0) device-feed path -----------------------------------------
+
+
+def _smooth_jpeg_slide(tmp_path, name="planar.svs", gh=8, gw=8, seed=11):
+    rng = np.random.default_rng(seed)
+    base = np.kron(
+        rng.integers(40, 220, size=(gh, gw, 3), dtype=np.uint8),
+        np.ones((64, 64, 1), np.uint8),
+    )
+    p = write_tiled_tiff(tmp_path / name, [base], tile_size=256, compression=7)
+    return base, p
+
+
+def _nearest_tile_canvas(slide):
+    """Golden: assemble the whole level-0 plane from per-TIFF-tile
+    nearest-upsample RGB decodes (libjpeg merged path — the exact semantics
+    the planar device feed must reproduce bit-for-bit)."""
+    page = slide._pages[0]
+    blobs = [slide._tile_bytes(page, i) for i in range(len(page.offsets))]
+    rgb = slide._native.decode_jpeg_batch_nearest(
+        blobs, page.tile_height, page.tile_width, page.jpeg_tables
+    )
+    assert rgb is not None
+    th, tw = page.tile_height, page.tile_width
+    canvas = np.full((page.tiles_down * th, page.tiles_across * tw, 3), 255, np.uint8)
+    for i in range(len(blobs)):
+        ty, tx = divmod(i, page.tiles_across)
+        canvas[ty * th : (ty + 1) * th, tx * tw : (tx + 1) * tw] = rgb[i]
+    return canvas
+
+
+def test_planar_region_bitexact_vs_nearest(tmp_path):
+    from path_gene_multimodal_tpu.ops.jpegcolor import ycbcr420_to_rgb
+
+    _, p = _smooth_jpeg_slide(tmp_path)
+    slide = TiffTileSlide(p, use_native=True)
+    if slide._native is None:
+        pytest.skip("native decoder unavailable")
+    assert slide.supports_planar(0)
+    golden = _nearest_tile_canvas(slide)
+    # tile-aligned and unaligned (but even) cross-tile regions
+    for (x0, y0), (w, h) in [((0, 0), (512, 512)), ((100, 100), (300, 200)),
+                             ((224, 256), (224, 224))]:
+        planes = slide.read_region_planar((x0, y0), 0, (w, h))
+        assert planes is not None
+        y, cbcr = planes
+        assert y.shape == (h, w) and cbcr.shape == (h // 2, w // 2, 2)
+        rgb = np.asarray(ycbcr420_to_rgb(y, cbcr))
+        np.testing.assert_array_equal(rgb, golden[y0 : y0 + h, x0 : x0 + w])
+
+
+def test_planar_close_to_default_decode(tmp_path):
+    """Nearest vs fancy chroma upsampling differ only in chroma
+    interpolation — on smooth content (chroma gradients of ~1 level per
+    sample) the RGB delta stays within the DCT-rounding band the other
+    decoder parity tests allow. (Hard chroma edges can differ by more —
+    that's inherent to the upsampler choice and documented in
+    ops/jpegcolor.py.)"""
+    from path_gene_multimodal_tpu.ops.jpegcolor import ycbcr420_to_rgb
+
+    yy, xx = np.mgrid[0:512, 0:512].astype(np.float64)
+    base = np.stack(
+        [100 + 50 * np.sin(yy / 90), 120 + 40 * np.cos(xx / 110),
+         90 + 30 * np.sin((xx + yy) / 150)], axis=-1
+    ).astype(np.uint8)
+    p = write_tiled_tiff(tmp_path / "grad.svs", [base], tile_size=256,
+                         compression=7)
+    slide = TiffTileSlide(p, use_native=True)
+    if slide._native is None:
+        pytest.skip("native decoder unavailable")
+    default = slide.read_region((128, 64), 0, (320, 256))
+    y, cbcr = slide.read_region_planar((128, 64), 0, (320, 256))
+    rgb = np.asarray(ycbcr420_to_rgb(y, cbcr))
+    assert np.abs(rgb.astype(int) - default.astype(int)).max() <= 16
+
+
+def test_planar_fallback_cases(tmp_path):
+    _, p = _smooth_jpeg_slide(tmp_path, seed=13)
+    slide = TiffTileSlide(p, use_native=True)
+    if slide._native is None:
+        pytest.skip("native decoder unavailable")
+    # odd geometry → None (chroma crops would not commute)
+    assert slide.read_region_planar((101, 100), 0, (224, 224)) is None
+    assert slide.read_region_planar((100, 100), 0, (225, 224)) is None
+    # non-JPEG page → unsupported
+    img = np.full((300, 300, 3), 90, np.uint8)
+    pz = write_tiled_tiff(tmp_path / "z.tif", [img], tile_size=256, compression=8)
+    sz = TiffTileSlide(pz, use_native=True)
+    assert not sz.supports_planar(0)
+    assert sz.read_region_planar((0, 0), 0, (256, 256)) is None
+
+
+def test_iter_tile_batches_planar(tmp_path):
+    from path_gene_multimodal_tpu.ops.jpegcolor import ycbcr420_to_rgb
+    from path_gene_multimodal_tpu.pipeline.tessellate import iter_tile_batches
+
+    _, p = _smooth_jpeg_slide(tmp_path, seed=14)
+    slide = TiffTileSlide(p, use_native=True)
+    if slide._native is None:
+        pytest.skip("native decoder unavailable")
+    golden = _nearest_tile_canvas(slide)
+    side = np.arange(0, 512 - 224, 224)
+    coords = np.stack(np.meshgrid(side, side), -1).reshape(-1, 2).astype(np.int64)
+    batches = list(
+        iter_tile_batches(slide, coords, 224, 3, pad_to_batch=True, planar=True)
+    )
+    flat_rgb, flat_valid = [], []
+    for (yb, cb), valid in batches:
+        assert yb.shape[1:] == (224, 224) and cb.shape[1:] == (112, 112, 2)
+        flat_rgb.append(np.asarray(ycbcr420_to_rgb(yb, cb)))
+        flat_valid.append(valid)
+    flat_rgb = np.concatenate(flat_rgb)
+    flat_valid = np.concatenate(flat_valid)
+    assert flat_valid.sum() == len(coords)
+    for i, (x, y) in enumerate(coords):
+        np.testing.assert_array_equal(
+            flat_rgb[i], golden[y : y + 224, x : x + 224]
+        )
+
+
+def test_planar_prefetch_fills_cache(tmp_path):
+    _, p = _smooth_jpeg_slide(tmp_path, seed=15)
+    slide = TiffTileSlide(p, use_native=True)
+    if slide._native is None:
+        pytest.skip("native decoder unavailable")
+    n = slide.prefetch_regions_planar(np.array([[100, 100]]), 0, (300, 300))
+    assert n >= 4
+    assert slide.prefetch_regions_planar(np.array([[100, 100]]), 0, (300, 300)) == 0

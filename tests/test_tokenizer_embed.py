@@ -198,3 +198,43 @@ def test_batch_invariance(pipeline_run):
     out = np.asarray(enc(batch))
     for i in range(1, 4):
         np.testing.assert_allclose(out[0], out[i], atol=1e-5)
+
+
+def test_extract_features_planar_feed(tmp_path):
+    """Planar (half-bandwidth 4:2:0) feed vs RGB feed over a real JPEG
+    slide: embeddings agree to the chroma-upsampler tolerance (nearest vs
+    fancy differ by ≤1 chroma level on device inputs — ops/jpegcolor.py)."""
+    from dataclasses import replace
+
+    import numpy as np
+
+    from path_gene_multimodal_tpu.config import default_config
+    from path_gene_multimodal_tpu.io.tiff import TiffTileSlide
+    from path_gene_multimodal_tpu.io.tiff_write import write_tiled_tiff
+
+    rng = np.random.default_rng(9)
+    base = np.kron(
+        rng.integers(40, 220, size=(10, 10, 3), dtype=np.uint8),
+        np.ones((64, 64, 1), np.uint8),
+    )
+    p = write_tiled_tiff(tmp_path / "pf.svs", [base], tile_size=256,
+                         compression=7)
+    slide = TiffTileSlide(p, use_native=True)
+    if slide._native is None or not slide.supports_planar(0):
+        pytest.skip("native planar decoder unavailable")
+    cfg = default_config()
+    side = np.arange(0, 640 - 224, 224)
+    coords = np.stack(np.meshgrid(side, side), -1).reshape(-1, 2).astype(np.int64)
+    enc = ImageEncoder(SMALL_V, dtype=jnp.float32, seed=0)
+    f_planar = run_extract_features(
+        slide, coords, enc, tmp_path, "pf", cfg, write_artifacts=False
+    )
+    cfg_rgb = replace(cfg, embedding=replace(cfg.embedding, planar_feed=False))
+    f_rgb = run_extract_features(
+        slide, coords, enc, tmp_path, "pf", cfg_rgb, write_artifacts=False
+    )
+    assert f_planar.shape == f_rgb.shape
+    cos = np.sum(f_planar * f_rgb, axis=1) / (
+        np.linalg.norm(f_planar, axis=1) * np.linalg.norm(f_rgb, axis=1)
+    )
+    assert cos.min() > 0.999
