@@ -357,3 +357,49 @@ def test_planar_prefetch_fills_cache(tmp_path):
     n = slide.prefetch_regions_planar(np.array([[100, 100]]), 0, (300, 300))
     assert n >= 4
     assert slide.prefetch_regions_planar(np.array([[100, 100]]), 0, (300, 300)) == 0
+
+
+def test_planar_decoder_undersized_edge_tile():
+    """Real SVS edge tiles are often encoded smaller than the tile grid —
+    the planar decoder must white-pad (Y=255, Cb=Cr=128) exactly like the
+    RGB path pads (255,255,255)."""
+    import cv2
+
+    from path_gene_multimodal_tpu.io.native import NativeTileDecoder
+    from path_gene_multimodal_tpu.ops.jpegcolor import ycbcr420_to_rgb
+
+    rng = np.random.default_rng(21)
+    img = np.kron(
+        rng.integers(40, 220, size=(5, 4, 3), dtype=np.uint8),
+        np.ones((40, 50, 1), np.uint8),
+    )  # 200 x 200 encoded into a 256-px tile slot
+    ok, enc = cv2.imencode(".jpg", img[:, :, ::-1], [cv2.IMWRITE_JPEG_QUALITY, 90])
+    assert ok
+    dec = NativeTileDecoder()
+    out = dec.decode_jpeg_batch_planar([enc.tobytes()], 256, 256)
+    assert out is not None
+    y, cbcr = out
+    rgb = np.asarray(ycbcr420_to_rgb(y[0], cbcr[0]))
+    near = dec.decode_jpeg_batch_nearest([enc.tobytes()], 256, 256)[0]
+    np.testing.assert_array_equal(rgb, near)
+    np.testing.assert_array_equal(rgb[200:], 255)  # white pad below
+    np.testing.assert_array_equal(rgb[:, 200:], 255)  # white pad right
+
+
+def test_planar_decoder_rejects_non_420():
+    """4:4:4-sampled JPEG → planar decode fails (caller falls back to RGB)."""
+    import cv2
+
+    from path_gene_multimodal_tpu.io.native import NativeTileDecoder
+
+    img = np.full((256, 256, 3), 120, np.uint8)
+    ok, enc = cv2.imencode(
+        ".jpg", img,
+        [cv2.IMWRITE_JPEG_QUALITY, 90,
+         cv2.IMWRITE_JPEG_SAMPLING_FACTOR, cv2.IMWRITE_JPEG_SAMPLING_FACTOR_444],
+    )
+    assert ok
+    dec = NativeTileDecoder()
+    assert dec.decode_jpeg_batch_planar([enc.tobytes()], 256, 256) is None
+    # and the plain RGB path still decodes it
+    assert dec.decode_jpeg_batch([enc.tobytes()], 256, 256) is not None
