@@ -111,10 +111,11 @@ def main() -> None:
     def run_decode_planar():
         reader = TiffTileSlide(svs_path, cache_tiles=512)
         n = 0
-        for (_y, _c), valid in iter_tile_batches(
+        for payload, valid in iter_tile_batches(
             reader, grid, 224, 128, pad_to_batch=False, prefetch=2,
             planar=True,
         ):
+            assert isinstance(payload, tuple)  # grid is even → all planar
             n += int(valid.sum())
         assert n == len(grid)
 
@@ -272,8 +273,8 @@ def main() -> None:
             planar=planar_feed,
         ):
             n_tiles += int(valid.sum())
-            if planar_feed:  # half-bandwidth upload, finish decode on device
-                tiles_dev = _planes_to_rgb(
+            if isinstance(tiles, tuple):  # planar: half-bandwidth upload,
+                tiles_dev = _planes_to_rgb(  # finish decode on device
                     jnp.asarray(tiles[0]), jnp.asarray(tiles[1])
                 )
             else:

@@ -84,6 +84,9 @@ bool decode_one_jpeg(const uint8_t* data, size_t len, const uint8_t* tables,
                      int fancy = 1) {
   jpeg_decompress_struct cinfo;
   JpegErrorMgr jerr;
+  // declared BEFORE setjmp so its destructor still runs when error_exit
+  // longjmps back here (objects constructed after setjmp would leak)
+  std::vector<uint8_t> row;
   cinfo.err = jpeg_std_error(&jerr.pub);
   jerr.pub.error_exit = jpeg_error_exit;
   if (setjmp(jerr.setjmp_buffer)) {
@@ -97,7 +100,7 @@ bool decode_one_jpeg(const uint8_t* data, size_t len, const uint8_t* tables,
   const int w = static_cast<int>(cinfo.output_width);
   const int h = static_cast<int>(cinfo.output_height);
   const int copy_w = w < tile_w ? w : tile_w;
-  std::vector<uint8_t> row(static_cast<size_t>(w) * cinfo.output_components);
+  row.resize(static_cast<size_t>(w) * cinfo.output_components);
   uint8_t* rowp = row.data();
   while (cinfo.output_scanline < cinfo.output_height) {
     const int y = static_cast<int>(cinfo.output_scanline);
@@ -135,6 +138,11 @@ bool decode_one_jpeg_planar(const uint8_t* data, size_t len,
                             uint8_t* dst_cbcr) {
   jpeg_decompress_struct cinfo;
   JpegErrorMgr jerr;
+  // declared BEFORE setjmp so their destructors still run when error_exit
+  // longjmps back (vectors constructed after setjmp would leak ~1.5x the
+  // tile bytes per failed/corrupt blob)
+  std::vector<uint8_t> ybuf, cbbuf, crbuf;
+  std::vector<JSAMPROW> yrows, cbrows, crrows;
   cinfo.err = jpeg_std_error(&jerr.pub);
   jerr.pub.error_exit = jpeg_error_exit;
   if (setjmp(jerr.setjmp_buffer)) {
@@ -148,7 +156,12 @@ bool decode_one_jpeg_planar(const uint8_t* data, size_t len,
       cinfo.comp_info[1].h_samp_factor != 1 ||
       cinfo.comp_info[1].v_samp_factor != 1 ||
       cinfo.comp_info[2].h_samp_factor != 1 ||
-      cinfo.comp_info[2].v_samp_factor != 1) {
+      cinfo.comp_info[2].v_samp_factor != 1 ||
+      // odd encoded dims: the chroma sample straddling the content/pad
+      // boundary is real, so the first pad column/row would reconstruct
+      // tinted instead of white and break bit-parity with the RGB path —
+      // such (rare, undersized-edge) tiles fall back to RGB decode
+      (cinfo.image_width % 2) != 0 || (cinfo.image_height % 2) != 0) {
     jpeg_destroy_decompress(&cinfo);
     return false;
   }
@@ -163,12 +176,12 @@ bool decode_one_jpeg_planar(const uint8_t* data, size_t len,
       static_cast<int>(cinfo.comp_info[0].width_in_blocks) * DCTSIZE;
   const int c_stride =
       static_cast<int>(cinfo.comp_info[1].width_in_blocks) * DCTSIZE;
-  std::vector<uint8_t> ybuf(static_cast<size_t>(n_mcu_rows) * 16 * y_stride);
-  std::vector<uint8_t> cbbuf(static_cast<size_t>(n_mcu_rows) * 8 * c_stride);
-  std::vector<uint8_t> crbuf(static_cast<size_t>(n_mcu_rows) * 8 * c_stride);
-  std::vector<JSAMPROW> yrows(static_cast<size_t>(n_mcu_rows) * 16);
-  std::vector<JSAMPROW> cbrows(static_cast<size_t>(n_mcu_rows) * 8);
-  std::vector<JSAMPROW> crrows(static_cast<size_t>(n_mcu_rows) * 8);
+  ybuf.resize(static_cast<size_t>(n_mcu_rows) * 16 * y_stride);
+  cbbuf.resize(static_cast<size_t>(n_mcu_rows) * 8 * c_stride);
+  crbuf.resize(static_cast<size_t>(n_mcu_rows) * 8 * c_stride);
+  yrows.resize(static_cast<size_t>(n_mcu_rows) * 16);
+  cbrows.resize(static_cast<size_t>(n_mcu_rows) * 8);
+  crrows.resize(static_cast<size_t>(n_mcu_rows) * 8);
   for (size_t r = 0; r < yrows.size(); ++r) yrows[r] = &ybuf[r * y_stride];
   for (size_t r = 0; r < cbrows.size(); ++r) {
     cbrows[r] = &cbbuf[r * c_stride];
@@ -261,19 +274,6 @@ int run_pool(int n, int threads, const std::function<bool(int)>& work) {
 
 extern "C" {
 
-int decode_jpeg_batch(const char** blobs, const size_t* sizes, int n,
-                      const char* tables, size_t tables_len, int tile_h,
-                      int tile_w, void* out, int threads) {
-  uint8_t* dst0 = static_cast<uint8_t*>(out);
-  const size_t tile_bytes = static_cast<size_t>(tile_h) * tile_w * 3;
-  const uint8_t* tbl = reinterpret_cast<const uint8_t*>(tables);
-  return run_pool(n, threads, [&](int i) {
-    return decode_one_jpeg(reinterpret_cast<const uint8_t*>(blobs[i]),
-                           sizes[i], tbl, tables_len, tile_h, tile_w,
-                           dst0 + tile_bytes * i);
-  });
-}
-
 int decode_jpeg_batch_opts(const char** blobs, const size_t* sizes, int n,
                            const char* tables, size_t tables_len, int tile_h,
                            int tile_w, void* out, int threads, int fancy) {
@@ -285,6 +285,13 @@ int decode_jpeg_batch_opts(const char** blobs, const size_t* sizes, int n,
                            sizes[i], tbl, tables_len, tile_h, tile_w,
                            dst0 + tile_bytes * i, fancy);
   });
+}
+
+int decode_jpeg_batch(const char** blobs, const size_t* sizes, int n,
+                      const char* tables, size_t tables_len, int tile_h,
+                      int tile_w, void* out, int threads) {
+  return decode_jpeg_batch_opts(blobs, sizes, n, tables, tables_len, tile_h,
+                                tile_w, out, threads, /*fancy=*/1);
 }
 
 int decode_jpeg_batch_planar(const char** blobs, const size_t* sizes, int n,

@@ -22,7 +22,7 @@ import struct
 import zlib
 from dataclasses import dataclass
 from pathlib import Path
-from typing import BinaryIO
+from typing import Any, BinaryIO
 
 import numpy as np
 
@@ -258,12 +258,12 @@ class TiffTileSlide:
         from collections import OrderedDict
         from threading import Lock
 
-        self._cache: OrderedDict[tuple[int, int], np.ndarray] = OrderedDict()
-        # planar (Y, CbCr) tile cache for the half-bandwidth device feed;
-        # same capacity accounting (planar tiles are half the bytes of RGB)
-        self._cache_p: OrderedDict[
-            tuple[int, int], tuple[np.ndarray, np.ndarray]
-        ] = OrderedDict()
+        # one LRU for both entry kinds — ("rgb", level, idx) → HxWx3 array,
+        # ("p", level, idx) → (Y, CbCr) planes for the half-bandwidth device
+        # feed — sharing a single entry budget so mixed RGB/planar use stays
+        # under the same ~cap×tile_bytes memory ceiling (planar entries are
+        # half the bytes of RGB ones)
+        self._cache: OrderedDict[tuple[str, int, int], Any] = OrderedDict()
         self._cache_cap = cache_tiles
         self._cache_lock = Lock()
         ifds, self._endian = _read_ifds(self._f)
@@ -390,7 +390,7 @@ class TiffTileSlide:
         with self._cache_lock:
             missing = [
                 i for i in ids
-                if (level, i) not in self._cache
+                if ("rgb", level, i) not in self._cache
                 and page.byte_counts[i] > 0 and page.offsets[i] > 0
             ]
         if not missing:
@@ -403,7 +403,7 @@ class TiffTileSlide:
             return 0
         with self._cache_lock:
             for j, i in enumerate(missing):
-                self._cache[(level, i)] = arr[j]
+                self._cache[("rgb", level, i)] = arr[j]
             while len(self._cache) > self._cache_cap:
                 self._cache.popitem(last=False)
         return len(missing)
@@ -451,7 +451,7 @@ class TiffTileSlide:
         with self._cache_lock:
             missing = [
                 i for i in ids
-                if (level, i) not in self._cache_p
+                if ("p", level, i) not in self._cache
                 and page.byte_counts[i] > 0 and page.offsets[i] > 0
             ]
         if not missing:
@@ -465,9 +465,9 @@ class TiffTileSlide:
         ys, cbcrs = out
         with self._cache_lock:
             for j, i in enumerate(missing):
-                self._cache_p[(level, i)] = (ys[j], cbcrs[j])
-            while len(self._cache_p) > self._cache_cap:
-                self._cache_p.popitem(last=False)
+                self._cache[("p", level, i)] = (ys[j], cbcrs[j])
+            while len(self._cache) > self._cache_cap:
+                self._cache.popitem(last=False)
         return len(missing)
 
     def read_region_planar(
@@ -549,11 +549,11 @@ class TiffTileSlide:
     def _decode_tile_planar_cached(
         self, level: int, page: TiffPage, idx: int
     ) -> tuple[np.ndarray, np.ndarray] | None:
-        key = (level, idx)
+        key = ("p", level, idx)
         with self._cache_lock:
-            if key in self._cache_p:
-                self._cache_p.move_to_end(key)
-                return self._cache_p[key]
+            if key in self._cache:
+                self._cache.move_to_end(key)
+                return self._cache[key]
         out = self._native.decode_jpeg_batch_planar(
             [self._tile_bytes(page, idx)],
             page.tile_height, page.tile_width, page.jpeg_tables,
@@ -563,15 +563,15 @@ class TiffTileSlide:
         planes = (out[0][0], out[1][0])
         if self._cache_cap > 0:
             with self._cache_lock:
-                self._cache_p[key] = planes
-                while len(self._cache_p) > self._cache_cap:
-                    self._cache_p.popitem(last=False)
+                self._cache[key] = planes
+                while len(self._cache) > self._cache_cap:
+                    self._cache.popitem(last=False)
         return planes
 
     def _decode_tile_cached(
         self, level: int, page: TiffPage, idx: int
     ) -> np.ndarray | None:
-        key = (level, idx)
+        key = ("rgb", level, idx)
         with self._cache_lock:
             if key in self._cache:
                 self._cache.move_to_end(key)

@@ -61,17 +61,18 @@ def run_extract_features(
         cfg.embedding.planar_feed
         and tile % 2 == 0
         and getattr(slide, "supports_planar", lambda level=0: False)()
-        and not np.any(np.asarray(coords) % 2)
+        # odd-coord / non-4:2:0 chunks degrade to RGB payloads per chunk
+        # inside iter_tile_batches (discriminated below by isinstance)
     )
     outs: list[jax.Array] = []
     valids: list[np.ndarray] = []
     for tiles_u8, valid in iter_tile_batches(
         slide, coords, tile, batch, planar=planar
     ):
-        if planar:
+        if planar and isinstance(tiles_u8, tuple):
             yb, cbcr = tiles_u8
             emb = encoder(_planar_to_rgb(jnp.asarray(yb), jnp.asarray(cbcr)))
-        else:
+        else:  # RGB payload (planar off, or a chunk that fell back)
             emb = encoder(jnp.asarray(tiles_u8))  # async dispatch
         if hasattr(emb, "copy_to_host_async"):
             # enqueue the D2H copy behind this batch's compute: the final

@@ -55,6 +55,7 @@ from path_gene_multimodal_tpu.ops.instances import (
     instance_features_batch,
 )
 from path_gene_multimodal_tpu.ops.pallas.flood import pallas_supported as _pallas_ok
+from path_gene_multimodal_tpu.pipeline.tessellate import decode_chunk_planar
 from path_gene_multimodal_tpu.utils.log import get_logger
 
 # single source of truth for the frozen annotations-CSV contract
@@ -454,39 +455,18 @@ def run_hovernet_pipeline_on_wsi_tiles(
         and tile_size <= input_size
         and getattr(model, "_mesh", None) is None
         and getattr(slide, "supports_planar", lambda level=0: False)()
-        and not np.any(coords % 2)
+        # odd-coord chunks fall back to RGB inside decode_chunk_planar, so
+        # a few odd tiles no longer disqualify the whole slide
     )
     pad_lo = (input_size - tile_size) // 2
     pad_hi = input_size - tile_size - pad_lo
 
     def _decode_chunk(chunk: np.ndarray):
         if planar:
-            pre = getattr(slide, "prefetch_regions_planar", None)
-            if pre is not None:
-                pre(chunk, 0, (tile_size, tile_size))
-            ys, cs = [], []
-            for x, y in chunk:
-                planes = slide.read_region_planar(
-                    (int(x), int(y)), 0, (tile_size, tile_size)
-                )
-                if planes is None:  # non-4:2:0 region: whole chunk falls back
-                    ys = None
-                    break
-                ys_, cs_ = planes
-                ys.append(ys_)
-                cs.append(cs_)
-            if ys is not None:
-                yb, cb = np.stack(ys), np.stack(cs)
-                if len(chunk) < batch:
-                    pad_n = batch - len(chunk)
-                    yb = np.concatenate(
-                        [yb, np.zeros((pad_n, tile_size, tile_size), np.uint8)]
-                    )
-                    cb = np.concatenate(
-                        [cb, np.full((pad_n, tile_size // 2, tile_size // 2, 2),
-                                     128, np.uint8)]
-                    )
-                return chunk, [pad_lo] * len(chunk), ("planar", yb, cb)
+            planes = decode_chunk_planar(slide, chunk, tile_size, batch)
+            if planes is not None:
+                return chunk, [pad_lo] * len(chunk), ("planar", *planes)
+            # non-4:2:0 / odd region: whole chunk falls back to RGB
         tiles, offsets = [], []
         for x, y in chunk:
             tile = slide.read_region((int(x), int(y)), 0, (tile_size, tile_size))

@@ -37,6 +37,7 @@ from path_gene_multimodal_tpu.config import PipelineConfig
 from path_gene_multimodal_tpu.core.artifacts import write_nuclei_table
 from path_gene_multimodal_tpu.io.slide import SlideReader
 from path_gene_multimodal_tpu.pipeline.nuclei import NucleiModel, _tile_rows, _write_empty
+from path_gene_multimodal_tpu.pipeline.tessellate import decode_chunk_planar
 from path_gene_multimodal_tpu.utils.log import StageTimer, get_logger
 
 #: above this many level-0 pixels the instance map is written sparse
@@ -190,30 +191,12 @@ def run_hovernext_wsi(
     )
 
     def _decode_chunk(chunk):
-        if planar and not any((x % 2) or (y % 2) for x, y in chunk):
-            pre = getattr(slide, "prefetch_regions_planar", None)
-            if pre is not None:
-                pre(np.asarray(chunk), 0, (window, window))
-            ys_p, cs_p = [], []
-            for x, y in chunk:
-                planes = slide.read_region_planar((x, y), 0, (window, window))
-                if planes is None:
-                    ys_p = None
-                    break
-                ys_p.append(planes[0])
-                cs_p.append(planes[1])
-            if ys_p is not None:
-                yb, cb = np.stack(ys_p), np.stack(cs_p)
-                if len(chunk) < batch:
-                    pad_n = batch - len(chunk)
-                    yb = np.concatenate(
-                        [yb, np.zeros((pad_n, window, window), np.uint8)]
-                    )
-                    cb = np.concatenate(
-                        [cb, np.full((pad_n, window // 2, window // 2, 2),
-                                     128, np.uint8)]
-                    )
-                return chunk, ("planar", yb, cb)
+        if planar:
+            # odd-coord chunks (slide-edge windows) fall back to RGB inside
+            # the helper; the stride-248 interior streams planar
+            planes = decode_chunk_planar(slide, chunk, window, batch)
+            if planes is not None:
+                return chunk, ("planar", *planes)
         tiles = np.stack(
             [slide.read_region((x, y), 0, (window, window)) for x, y in chunk]
         )

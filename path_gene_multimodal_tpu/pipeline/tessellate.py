@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from pathlib import Path
+from typing import Any
 
 import jax.numpy as jnp
 import numpy as np
@@ -158,34 +159,40 @@ def _decode_batch(
     return tiles, valid
 
 
-def _decode_batch_planar(
+def decode_chunk_planar(
     slide: SlideReader,
     chunk: np.ndarray,
     tile_size: int,
-    batch_size: int,
-    pad_to_batch: bool,
-) -> tuple[tuple[np.ndarray, np.ndarray], np.ndarray]:
-    """Half-bandwidth planar decode: returns ((Y (B,T,T), CbCr
-    (B,T/2,T/2,2)), valid). Requires a slide whose ``supports_planar()`` is
-    True (probe before streaming); raises otherwise."""
+    batch_size: int | None = None,
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """Shared planar 4:2:0 chunk decode behind the embed / nuclei /
+    nuclei_wsi half-bandwidth feeds. Returns (Y (B,T,T), CbCr
+    (B,T/2,T/2,2)) uint8, batch-padded with black (Y=0, Cb=Cr=128 — the
+    planar analog of the RGB path's zero pad) up to ``batch_size``; or
+    ``None`` when any region in the chunk cannot be served planar (odd
+    coords/geometry, non-4:2:0 tile, reader without planar support) — the
+    caller then falls back to the RGB path for this chunk."""
+    chunk = np.asarray(chunk).reshape(-1, 2)
+    rrp = getattr(slide, "read_region_planar", None)
+    if (
+        rrp is None
+        or len(chunk) == 0
+        or tile_size % 2
+        or bool(np.any(chunk % 2))
+    ):
+        return None
     pre = getattr(slide, "prefetch_regions_planar", None)
-    if pre is not None and len(chunk):
+    if pre is not None:
         pre(chunk, 0, (tile_size, tile_size))
     ys, cs = [], []
     for x, y in chunk:
-        planes = slide.read_region_planar(
-            (int(x), int(y)), 0, (tile_size, tile_size)
-        )
+        planes = rrp((int(x), int(y)), 0, (tile_size, tile_size))
         if planes is None:
-            raise ValueError(
-                "planar tile feed unavailable for this slide/region; gate "
-                "with slide.supports_planar() and use planar=False"
-            )
+            return None
         ys.append(planes[0])
         cs.append(planes[1])
     yb, cb = np.stack(ys), np.stack(cs)
-    valid = np.ones(len(chunk), dtype=bool)
-    if pad_to_batch and len(chunk) < batch_size:
+    if batch_size is not None and len(chunk) < batch_size:
         pad = batch_size - len(chunk)
         yb = np.concatenate(
             [yb, np.zeros((pad, tile_size, tile_size), np.uint8)]
@@ -194,8 +201,32 @@ def _decode_batch_planar(
             [cb, np.full((pad, tile_size // 2, tile_size // 2, 2), 128,
                          np.uint8)]
         )
-        valid = np.concatenate([valid, np.zeros(pad, dtype=bool)])
-    return (yb, cb), valid
+    return yb, cb
+
+
+def _decode_batch_planar(
+    slide: SlideReader,
+    chunk: np.ndarray,
+    tile_size: int,
+    batch_size: int,
+    pad_to_batch: bool,
+) -> tuple[Any, np.ndarray]:
+    """Half-bandwidth planar decode: returns ((Y (B,T,T), CbCr
+    (B,T/2,T/2,2)), valid). A chunk the planar path cannot serve (e.g. a
+    non-4:2:0 tile later in a slide whose first tile probed fine) falls
+    back to the RGB decode — consumers discriminate payloads by type
+    (tuple of planes vs a single RGB ndarray)."""
+    planes = decode_chunk_planar(
+        slide, chunk, tile_size, batch_size if pad_to_batch else None
+    )
+    if planes is None:
+        return _decode_batch(slide, chunk, tile_size, batch_size, pad_to_batch)
+    valid = np.ones(len(chunk), dtype=bool)
+    if pad_to_batch and len(chunk) < batch_size:
+        valid = np.concatenate(
+            [valid, np.zeros(batch_size - len(chunk), dtype=bool)]
+        )
+    return planes, valid
 
 
 def iter_tile_batches(
@@ -210,7 +241,9 @@ def iter_tile_batches(
     """Yield (batch_rgb_u8 (B, T, T, 3), valid_mask (B,)) — or, with
     ``planar=True``, ((Y (B,T,T), CbCr (B,T/2,T/2,2)), valid_mask): raw
     4:2:0 planes at HALF the host→device bytes, finished on device by
-    ``ops.jpegcolor.ycbcr420_to_rgb``.
+    ``ops.jpegcolor.ycbcr420_to_rgb``. Chunks the planar path cannot serve
+    (odd coords, a non-4:2:0 tile mid-slide) degrade to the RGB ndarray
+    payload — planar consumers must check ``isinstance(payload, tuple)``.
 
     Host decode runs in a background thread pool ``prefetch`` batches ahead
     of the consumer, so JPEG decode overlaps device compute (the reference

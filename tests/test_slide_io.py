@@ -403,3 +403,65 @@ def test_planar_decoder_rejects_non_420():
     assert dec.decode_jpeg_batch_planar([enc.tobytes()], 256, 256) is None
     # and the plain RGB path still decodes it
     assert dec.decode_jpeg_batch([enc.tobytes()], 256, 256) is not None
+
+
+def test_planar_decoder_rejects_odd_dims():
+    """Odd encoded width/height → planar decode fails (→ RGB fallback): the
+    chroma sample straddling the content/pad boundary is real, so the first
+    pad column would reconstruct tinted instead of white and break parity
+    with the RGB path's exact (255,255,255) pad."""
+    import cv2
+
+    from path_gene_multimodal_tpu.io.native import NativeTileDecoder
+
+    rng = np.random.default_rng(31)
+    img = np.kron(
+        rng.integers(40, 220, size=(4, 3, 3), dtype=np.uint8),
+        np.ones((50, 67, 1), np.uint8),
+    )  # 200 x 201 — odd width — encoded into a 256-px slot
+    ok, enc = cv2.imencode(".jpg", img[:, :, ::-1], [cv2.IMWRITE_JPEG_QUALITY, 90])
+    assert ok
+    dec = NativeTileDecoder()
+    assert dec.decode_jpeg_batch_planar([enc.tobytes()], 256, 256) is None
+    # the RGB path still serves the tile, with exact white padding
+    rgb = dec.decode_jpeg_batch([enc.tobytes()], 256, 256)
+    assert rgb is not None
+    np.testing.assert_array_equal(rgb[0][:, 201:], 255)
+
+
+def test_iter_tile_batches_planar_odd_chunk_falls_back(tmp_path):
+    """A chunk the planar path cannot serve (odd coords here) degrades to
+    the RGB ndarray payload instead of raising — consumers discriminate by
+    isinstance(payload, tuple)."""
+    from path_gene_multimodal_tpu.pipeline.tessellate import iter_tile_batches
+
+    _, p = _smooth_jpeg_slide(tmp_path, seed=16)
+    slide = TiffTileSlide(p, use_native=True)
+    if slide._native is None:
+        pytest.skip("native decoder unavailable")
+    assert slide.supports_planar(0)
+    coords = np.array([[0, 0], [224, 0], [101, 100]], np.int64)  # last is odd
+    payloads = list(
+        iter_tile_batches(slide, coords, 224, 2, pad_to_batch=True, planar=True)
+    )
+    assert len(payloads) == 2
+    first, second = payloads[0][0], payloads[1][0]
+    assert isinstance(first, tuple)  # even chunk streams planar
+    assert isinstance(second, np.ndarray) and second.shape == (2, 224, 224, 3)
+    np.testing.assert_array_equal(
+        second[0], slide.read_region((101, 100), 0, (224, 224))
+    )
+
+
+def test_tile_cache_shared_budget(tmp_path):
+    """RGB and planar cache entries share ONE LRU budget (the memory
+    ceiling stays ~cap x tile bytes even when both feeds run on a slide)."""
+    _, p = _smooth_jpeg_slide(tmp_path, seed=17)
+    slide = TiffTileSlide(p, use_native=True, cache_tiles=6)
+    if slide._native is None:
+        pytest.skip("native decoder unavailable")
+    slide.prefetch_regions(np.array([[0, 0]]), 0, (512, 512))        # 4 RGB tiles
+    slide.prefetch_regions_planar(np.array([[0, 0]]), 0, (512, 512))  # +4 planar
+    assert len(slide._cache) <= 6  # shared budget evicted the overflow
+    kinds = {k[0] for k in slide._cache}
+    assert kinds == {"rgb", "p"}
