@@ -17,6 +17,7 @@
 //   int decode_jpeg_batch_planar(const char** blobs, const size_t* sizes,
 //                         int n, const char* tables, size_t tables_len,
 //                         int tile_h, int tile_w, void* out_y, void* out_cbcr,
+//                         unsigned char* ok /*nullable per-tile flags*/,
 //                         int threads);  // raw 4:2:0 planes, no upsample —
 //                         // HALF the bytes of RGB; chroma upsample + color
 //                         // conversion happen on-device (ops/jpegcolor.py)
@@ -294,10 +295,13 @@ int decode_jpeg_batch(const char** blobs, const size_t* sizes, int n,
                                 tile_w, out, threads, /*fancy=*/1);
 }
 
+// `ok` (optional, may be NULL): per-tile success flags, so a batch with ONE
+// non-4:2:0/odd tile still hands the caller every successfully decoded
+// plane pair instead of discarding the whole batch.
 int decode_jpeg_batch_planar(const char** blobs, const size_t* sizes, int n,
                              const char* tables, size_t tables_len, int tile_h,
                              int tile_w, void* out_y, void* out_cbcr,
-                             int threads) {
+                             unsigned char* ok, int threads) {
   uint8_t* y0 = static_cast<uint8_t*>(out_y);
   uint8_t* c0 = static_cast<uint8_t*>(out_cbcr);
   const size_t y_bytes = static_cast<size_t>(tile_h) * tile_w;
@@ -305,9 +309,11 @@ int decode_jpeg_batch_planar(const char** blobs, const size_t* sizes, int n,
       static_cast<size_t>((tile_h + 1) / 2) * ((tile_w + 1) / 2) * 2;
   const uint8_t* tbl = reinterpret_cast<const uint8_t*>(tables);
   return run_pool(n, threads, [&](int i) {
-    return decode_one_jpeg_planar(reinterpret_cast<const uint8_t*>(blobs[i]),
-                                  sizes[i], tbl, tables_len, tile_h, tile_w,
-                                  y0 + y_bytes * i, c0 + c_bytes * i);
+    const bool good = decode_one_jpeg_planar(
+        reinterpret_cast<const uint8_t*>(blobs[i]), sizes[i], tbl, tables_len,
+        tile_h, tile_w, y0 + y_bytes * i, c0 + c_bytes * i);
+    if (ok != nullptr) ok[i] = good ? 1 : 0;
+    return good;
   });
 }
 

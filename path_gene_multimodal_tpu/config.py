@@ -102,7 +102,13 @@ class EmbeddingConfig:
     dtype: str = "bfloat16"
     # ship JPEG tiles to the device as raw 4:2:0 planes (half the
     # host→device bytes; chroma upsample + color conversion finish on
-    # device — ops/jpegcolor.py) whenever the slide supports it
+    # device — ops/jpegcolor.py) whenever the slide supports it.
+    # Decode-level note: planar-served chunks reconstruct chroma with
+    # NEAREST (2×2) upsampling (bit-identical to libjpeg's merged path)
+    # while fallback chunks (odd coords, non-4:2:0 tiles) use libjpeg's
+    # default fancy upsampling — per-pixel deltas ≤16 at chroma edges,
+    # comparable to the reference's own PIL-vs-cv2 decode variation.
+    # Set False for a single-upsampler (fancy) run.
     planar_feed: bool = True
 
 
@@ -134,7 +140,8 @@ class HoverNeXtConfig:
     pp_overlap: int = 256
     max_instances_per_tile: int = 512
     # ship JPEG tiles as raw 4:2:0 planes and finish decode on device
-    # (half the host→device bytes; see ops/jpegcolor.py)
+    # (half the host→device bytes; see ops/jpegcolor.py). Same nearest-
+    # vs-fancy chroma note as EmbeddingConfig.planar_feed.
     planar_feed: bool = True
 
 

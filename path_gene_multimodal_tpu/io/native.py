@@ -41,8 +41,15 @@ class NativeTileDecoder:
     """Threaded batch JPEG/deflate decoder."""
 
     def __init__(self, num_threads: int = 0):
-        if not _LIB_PATH.exists():
+        # build_native mtime-checks the source, so a prebuilt .so that
+        # predates newer exported symbols is rebuilt here instead of
+        # binding AttributeError below (which would silently disable the
+        # whole native fast path via the callers' fallback)
+        try:
             build_native()
+        except Exception:
+            if not _LIB_PATH.exists():
+                raise
         self._lib = ctypes.CDLL(str(_LIB_PATH))
         self._lib.decode_jpeg_batch.restype = ctypes.c_int
         self._lib.decode_jpeg_batch.argtypes = [
@@ -76,6 +83,7 @@ class NativeTileDecoder:
             ctypes.c_int, ctypes.c_int,
             ctypes.c_void_p,                    # out Y  (n, h, w)
             ctypes.c_void_p,                    # out CbCr (n, ⌈h/2⌉, ⌈w/2⌉, 2)
+            ctypes.c_void_p,                    # per-tile ok flags (n,) u8
             ctypes.c_int,
         ]
         self._threads = num_threads
@@ -132,14 +140,19 @@ class NativeTileDecoder:
         tile_h: int,
         tile_w: int,
         jpeg_tables: bytes | None = None,
-    ) -> tuple[np.ndarray, np.ndarray] | None:
+        return_ok: bool = False,
+    ) -> tuple[np.ndarray, np.ndarray] | tuple[np.ndarray, np.ndarray, np.ndarray] | None:
         """Decode 4:2:0 JPEG tiles to raw planes: (Y (n,h,w), CbCr
-        (n,⌈h/2⌉,⌈w/2⌉,2)) uint8 — half the bytes of RGB. Returns None if any
-        tile is not plain 4:2:0 YCbCr (caller falls back to the RGB path)."""
+        (n,⌈h/2⌉,⌈w/2⌉,2)) uint8 — half the bytes of RGB. Default contract:
+        None if any tile is not plain 4:2:0 YCbCr (caller falls back to the
+        RGB path). With ``return_ok=True`` returns (Y, CbCr, ok (n,) bool)
+        instead, keeping the successfully decoded tiles of a mixed batch so
+        the caller can cache them and memoize the failures."""
         n = len(blobs)
         ch, cw = (tile_h + 1) // 2, (tile_w + 1) // 2
         out_y = np.empty((n, tile_h, tile_w), dtype=np.uint8)
         out_cbcr = np.empty((n, ch, cw, 2), dtype=np.uint8)
+        ok = np.zeros(n, dtype=np.uint8)
         arr = (ctypes.c_char_p * n)(*blobs)
         sizes = (ctypes.c_size_t * n)(*[len(b) for b in blobs])
         rc = self._lib.decode_jpeg_batch_planar(
@@ -149,8 +162,11 @@ class NativeTileDecoder:
             tile_h, tile_w,
             out_y.ctypes.data_as(ctypes.c_void_p),
             out_cbcr.ctypes.data_as(ctypes.c_void_p),
+            ok.ctypes.data_as(ctypes.c_void_p),
             self._threads,
         )
+        if return_ok:
+            return out_y, out_cbcr, ok.astype(bool)
         return None if rc != 0 else (out_y, out_cbcr)
 
     def decode_deflate_batch(

@@ -457,18 +457,21 @@ class TiffTileSlide:
         if not missing:
             return 0
         blobs = [self._tile_bytes(page, i) for i in missing]
-        out = self._native.decode_jpeg_batch_planar(
-            blobs, page.tile_height, page.tile_width, page.jpeg_tables
+        ys, cbcrs, ok = self._native.decode_jpeg_batch_planar(
+            blobs, page.tile_height, page.tile_width, page.jpeg_tables,
+            return_ok=True,
         )
-        if out is None:
-            return 0
-        ys, cbcrs = out
         with self._cache_lock:
             for j, i in enumerate(missing):
-                self._cache[("p", level, i)] = (ys[j], cbcrs[j])
+                # failures are memoized as a None sentinel so later
+                # read_region_planar calls short-circuit to the RGB
+                # fallback instead of re-decoding the bad tile every chunk
+                self._cache[("p", level, i)] = (
+                    (ys[j], cbcrs[j]) if ok[j] else None
+                )
             while len(self._cache) > self._cache_cap:
                 self._cache.popitem(last=False)
-        return len(missing)
+        return int(ok.sum())
 
     def read_region_planar(
         self, location: tuple[int, int], level: int, size: tuple[int, int]
@@ -553,16 +556,16 @@ class TiffTileSlide:
         with self._cache_lock:
             if key in self._cache:
                 self._cache.move_to_end(key)
-                return self._cache[key]
+                return self._cache[key]  # may be the None failure sentinel
         out = self._native.decode_jpeg_batch_planar(
             [self._tile_bytes(page, idx)],
             page.tile_height, page.tile_width, page.jpeg_tables,
         )
-        if out is None:
-            return None
-        planes = (out[0][0], out[1][0])
+        planes = None if out is None else (out[0][0], out[1][0])
         if self._cache_cap > 0:
             with self._cache_lock:
+                # cache failures too (None sentinel) — a non-4:2:0/odd tile
+                # would otherwise be re-decoded on every chunk touching it
                 self._cache[key] = planes
                 while len(self._cache) > self._cache_cap:
                     self._cache.popitem(last=False)

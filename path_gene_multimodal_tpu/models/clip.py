@@ -224,6 +224,19 @@ class ImageEncoder:
 
         self._fwd = _fwd
 
+    @property
+    def out_dim(self) -> int:
+        """Embedding width this encoder emits — 512/768 for projected CLIP,
+        width (or 2x width for cls+mean pooling, e.g. Virchow2's 2560) when
+        there is no projection. Empty-slide artifacts need it to write the
+        correct feature-matrix width."""
+        c = self.cfg
+        d = getattr(c, "out_dim", None)
+        if d is not None:
+            return int(d)
+        two = getattr(c, "pool", "cls") == "cls+mean"
+        return int(c.width) * (2 if two else 1)
+
     def __call__(self, tiles_u8) -> jnp.ndarray:
         if self._in_sharding is not None:
             tiles_u8 = jax.device_put(tiles_u8, self._in_sharding)

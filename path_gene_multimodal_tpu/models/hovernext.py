@@ -96,19 +96,28 @@ class HoverNeXt(nn.Module):
         return {"np": f32(out_np), "hv": f32(out_hv), "tp": f32(out_tp)}
 
 
+def hv_rot_invert(h: jnp.ndarray, v: jnp.ndarray, k: int):
+    """Swap/negate HV vector components back into the slide frame after the
+    spatial rot90-by-(-k) that undoes a rot90-by-k augmentation. The sign
+    table is hand-derived once here — every TTA path (canonical NucleiModel
+    and the real-checkpoint RealNucleiModel) must share it."""
+    k = k % 4
+    if k == 1:
+        return -v, h
+    if k == 2:
+        return -h, -v
+    if k == 3:
+        return v, -h
+    return h, v
+
+
 def _tta_invert(out: dict[str, jnp.ndarray], k: int) -> dict[str, jnp.ndarray]:
     """Undo a rot90-by-k augmentation on model outputs; HV channels are
     rotated AND swapped/negated to stay in the slide frame."""
     np_b = jnp.rot90(out["np"], k=-k, axes=(1, 2))
     tp_b = jnp.rot90(out["tp"], k=-k, axes=(1, 2))
     hv_b = jnp.rot90(out["hv"], k=-k, axes=(1, 2))
-    h, v = hv_b[..., 0], hv_b[..., 1]
-    if k % 4 == 1:
-        h, v = -v, h
-    elif k % 4 == 2:
-        h, v = -h, -v
-    elif k % 4 == 3:
-        h, v = v, -h
+    h, v = hv_rot_invert(hv_b[..., 0], hv_b[..., 1], k)
     return {"np": np_b, "hv": jnp.stack([h, v], axis=-1), "tp": tp_b}
 
 

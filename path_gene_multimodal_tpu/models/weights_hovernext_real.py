@@ -248,7 +248,6 @@ def convert_real_hovernext(
 
     decoders = _discover_decoders(sd)
     heads = _discover_heads(sd, decoders)
-    pairs = _pair_branches(decoders, heads)
     san2orig = {_sanitize(d): d for d in decoders} | {_sanitize(h): h for h in heads}
 
     for dec_san, head_san, _ in cfg.branches:

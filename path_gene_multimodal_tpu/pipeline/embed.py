@@ -81,7 +81,10 @@ def run_extract_features(
         outs.append(emb)
         valids.append(valid)
     if not outs:
-        feats = np.zeros((0, 512), np.float32)
+        # width must match what the encoder would have emitted (2560 for
+        # Virchow2, 768 for ViT-L/14 …) so empty-slide artifacts keep the
+        # same schema as populated ones
+        feats = np.zeros((0, getattr(encoder, "out_dim", 512)), np.float32)
     else:
         feats = np.concatenate(
             [np.asarray(o)[v] for o, v in zip(outs, valids)], axis=0

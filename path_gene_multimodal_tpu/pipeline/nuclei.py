@@ -45,6 +45,7 @@ from path_gene_multimodal_tpu.models.hovernext import (
     HOVERNEXT_TINY,
     HoverNeXt,
     HoverNeXtConfig,
+    hv_rot_invert,
     tta_forward,
 )
 from path_gene_multimodal_tpu.ops import watershed as ws
@@ -387,13 +388,9 @@ def _tta_forward_real(
         t = jnp.rot90(t, k=-k, axes=(1, 2))
         if name in hv_heads:
             lo, hi = hv_heads[name]
-            h, v = t[..., lo], t[..., lo + 1]
-            if k % 4 == 1:
-                h, v = -v, h
-            elif k % 4 == 2:
-                h, v = -h, -v
-            elif k % 4 == 3:
-                h, v = v, -h
+            # shared sign/swap table (models/hovernext.py hv_rot_invert) —
+            # keeps the real-checkpoint path in lockstep with the canonical
+            h, v = hv_rot_invert(t[..., lo], t[..., lo + 1], k)
             t = jnp.concatenate(
                 [t[..., :lo], jnp.stack([h, v], axis=-1), t[..., hi:]], axis=-1
             )

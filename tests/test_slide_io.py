@@ -465,3 +465,55 @@ def test_tile_cache_shared_budget(tmp_path):
     assert len(slide._cache) <= 6  # shared budget evicted the overflow
     kinds = {k[0] for k in slide._cache}
     assert kinds == {"rgb", "p"}
+
+
+def test_planar_batch_return_ok_mixed():
+    """return_ok=True keeps the good tiles of a mixed batch (one 4:2:0,
+    one 4:4:4) instead of discarding the whole batch."""
+    import cv2
+
+    from path_gene_multimodal_tpu.io.native import NativeTileDecoder
+
+    img = np.full((256, 256, 3), 120, np.uint8)
+    ok1, good = cv2.imencode(".jpg", img, [cv2.IMWRITE_JPEG_QUALITY, 90])
+    ok2, bad = cv2.imencode(
+        ".jpg", img,
+        [cv2.IMWRITE_JPEG_QUALITY, 90,
+         cv2.IMWRITE_JPEG_SAMPLING_FACTOR, cv2.IMWRITE_JPEG_SAMPLING_FACTOR_444],
+    )
+    assert ok1 and ok2
+    dec = NativeTileDecoder()
+    y, cbcr, ok = dec.decode_jpeg_batch_planar(
+        [good.tobytes(), bad.tobytes()], 256, 256, return_ok=True
+    )
+    assert ok.tolist() == [True, False]
+    y1, c1 = dec.decode_jpeg_batch_planar([good.tobytes()], 256, 256)
+    np.testing.assert_array_equal(y[0], y1[0])
+    np.testing.assert_array_equal(cbcr[0], c1[0])
+    # default contract unchanged: None when any tile fails
+    assert dec.decode_jpeg_batch_planar([good.tobytes(), bad.tobytes()], 256, 256) is None
+
+
+def test_planar_failure_memoized(tmp_path):
+    """A tile the planar decoder rejects is cached as a failure sentinel —
+    later regions touching it fall back to RGB WITHOUT re-decoding it."""
+    _, p = _smooth_jpeg_slide(tmp_path, seed=18)
+    slide = TiffTileSlide(p, use_native=True)
+    if slide._native is None:
+        pytest.skip("native decoder unavailable")
+    calls = []
+    orig = slide._native.decode_jpeg_batch_planar
+
+    def spy(*a, **k):
+        calls.append(1)
+        return None  # pretend every tile is non-4:2:0
+
+    slide._native.decode_jpeg_batch_planar = spy
+    try:
+        assert slide.read_region_planar((0, 0), 0, (224, 224)) is None
+        n1 = len(calls)
+        assert n1 >= 1
+        assert slide.read_region_planar((0, 0), 0, (224, 224)) is None
+        assert len(calls) == n1  # sentinel short-circuited the re-decode
+    finally:
+        slide._native.decode_jpeg_batch_planar = orig
