@@ -32,7 +32,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--mode", choices=["wsi", "tiles"], default="wsi")
     ap.add_argument("--annotations-csv", default=None,
                     help="required for --mode tiles")
-    ap.add_argument("--checkpoint", default=None, help="torch checkpoint to convert")
+    ap.add_argument(
+        "--checkpoint", default=None,
+        help="torch checkpoint to convert on the fly, or a torch-free .npz "
+             "artifact written by cli.convert_weights (kind=hovernext)",
+    )
     ap.add_argument(
         "--allow-pickle", action="store_true",
         help="permit full unpickling for trusted checkpoints that "
@@ -79,12 +83,22 @@ def main(argv: list[str] | None = None) -> int:
     if args.checkpoint:
         from dataclasses import replace as dc_replace
 
-        from path_gene_multimodal_tpu.core.checkpoints import load_hovernext_from_torch
+        from path_gene_multimodal_tpu.core.checkpoints import (
+            load_converted,
+            load_hovernext_from_torch,
+        )
         from path_gene_multimodal_tpu.models.hovernext_real import RealHoverNeXtConfig
 
-        loaded_cfg, params = load_hovernext_from_torch(
-            args.checkpoint, allow_pickle=args.allow_pickle
-        )
+        if args.checkpoint.endswith(".npz"):  # converted artifact: no torch
+            kind, loaded_cfg, params = load_converted(args.checkpoint)
+            if kind != "hovernext":
+                logger.error("%s is a %r artifact, expected kind=hovernext",
+                             args.checkpoint, kind)
+                return 2
+        else:
+            loaded_cfg, params = load_hovernext_from_torch(
+                args.checkpoint, allow_pickle=args.allow_pickle
+            )
         mcfg = dc_replace(loaded_cfg, input_size=cfg.hovernext.tile_size)
         real = isinstance(loaded_cfg, RealHoverNeXtConfig)
         if real:

