@@ -50,6 +50,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--outroot", default=None)
     ap.add_argument("--tasks", nargs="*", default=None,
                     help=f"subset of {list(DEFAULT_MOLECULAR_TASKS)}")
+    ap.add_argument(
+        "--weights-dir", default=None, metavar="DIR",
+        help="directory of converted resnet34 artifacts named <task>.npz "
+             "(cli.convert_weights kind=resnet34, one per resnet34-idars-* "
+             "checkpoint); tasks without a file run with RANDOM weights",
+    )
     args = ap.parse_args(argv)
 
     from path_gene_multimodal_tpu.utils.jaxsetup import setup_jax
@@ -65,7 +71,36 @@ def main(argv: list[str] | None = None) -> int:
     from path_gene_multimodal_tpu.models.resnet import IDaRSEnsemble
     from path_gene_multimodal_tpu.pipeline.molecular import extract_molecular_features
 
-    ensemble = IDaRSEnsemble(tasks)  # built ONCE for the loop
+    params_per_task = None
+    if args.weights_dir:
+        from path_gene_multimodal_tpu.core.checkpoints import load_converted
+        from path_gene_multimodal_tpu.models.resnet import RESNET34_IDARS, ResNet
+
+        wdir = Path(args.weights_dir)
+        template = ResNet(RESNET34_IDARS)
+        params_per_task = []
+        for t in tasks:
+            f = wdir / f"{t}.npz"
+            if f.exists():
+                kind, _, variables = load_converted(f)
+                if kind != "resnet34":
+                    logger.error("%s is a %r artifact, expected resnet34", f, kind)
+                    return 2
+                params_per_task.append(variables)
+                logger.info("loaded %s weights from %s", t, f)
+            else:
+                import jax as _jax
+                import jax.numpy as _jnp
+
+                logger.warning("%s: no %s — RANDOM weights for this task", t, f)
+                params_per_task.append(template.init(
+                    _jax.random.PRNGKey(hash(t) % 2**31),
+                    _jnp.zeros((1, 224, 224, 3), _jnp.float32),
+                ))
+    # built ONCE for the loop (positional only when weights were loaded, so
+    # duck-typed test ensembles keep their 1-arg constructor surface)
+    ensemble = (IDaRSEnsemble(tasks, params_per_task)
+                if params_per_task is not None else IDaRSEnsemble(tasks))
     wsis = slide_paths(data_path)
     if not wsis:
         logger.error("no WSIs under %s", data_path)

@@ -210,3 +210,51 @@ def test_molecular_loop_cli(molecular_setup, monkeypatch, tmp_path):
     # second run: skipped via done detection
     rc2 = ml.main(["--data-path", str(data), "--outroot", str(outroot), "--tasks", "msi"])
     assert rc2 == 0
+
+
+def test_molecular_loop_cli_weights_dir(molecular_setup, monkeypatch, tmp_path):
+    """--weights-dir: converted resnet34 artifacts (cli.convert_weights)
+    drive the ensemble; the loaded params reach the model unchanged."""
+    slide, csv, out_tmp, cfg = molecular_setup
+    import jax
+
+    from path_gene_multimodal_tpu.cli import molecular_loop as ml
+    from path_gene_multimodal_tpu.core.checkpoints import save_converted
+    import path_gene_multimodal_tpu.models.resnet as rn
+
+    data = tmp_path / "data"
+    data.mkdir()
+    slide.save(data / "caseB.npz")
+    monkeypatch.setattr(ml, "slide_paths", lambda p: [data / "caseB.npz"])
+    outroot = tmp_path / "out"
+    (outroot / "caseB").mkdir(parents=True)
+    import shutil
+
+    shutil.copy(csv, outroot / "caseB" / "caseB_annotations_with_coords.csv")
+
+    # converted artifact for the msi task (small config to keep it fast)
+    template = rn.ResNet(SMALL_RESNET)
+    params = template.init(jax.random.PRNGKey(9), jnp.zeros((1, 224, 224, 3), jnp.float32))
+    wdir = tmp_path / "weights"
+    save_converted("resnet34", None, params, wdir / "msi")
+
+    seen = {}
+    orig_init = rn.IDaRSEnsemble.__init__
+
+    def spy_init(self, tasks, params_per_task=None, **kw):
+        seen["params"] = params_per_task
+        orig_init(self, tasks, params_per_task, cfg=SMALL_RESNET, dtype=jnp.float32)
+
+    monkeypatch.setattr(rn.IDaRSEnsemble, "__init__", spy_init)
+    monkeypatch.setattr(rn, "RESNET34_IDARS", SMALL_RESNET)
+    rc = ml.main(["--data-path", str(data), "--outroot", str(outroot),
+                  "--tasks", "msi", "--weights-dir", str(wdir)])
+    assert rc == 0
+    assert (outroot / "caseB" / "caseB_molecular_features.csv").exists()
+    # the artifact's params were handed to the ensemble bit-exactly
+    assert seen["params"] is not None and len(seen["params"]) == 1
+    got = seen["params"][0]
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        got, jax.device_get(params),
+    )
