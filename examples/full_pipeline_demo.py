@@ -39,8 +39,16 @@ def main() -> int:
     from path_gene_multimodal_tpu.pipeline.runner import PipelineModels, run_one_wsi
 
     t0 = time.perf_counter()
-    print("[1] synthesizing a slide and writing a real tiled SVS ...")
-    synth = synthetic_wsi(4096, 3072, seed=42, n_blobs=5, nuclei_per_blob=150)
+    import jax
+
+    # the production batch sizes are tuned for the TPU MXU; on the CPU
+    # backend they turn a 2-minute demo into a half-hour compile-and-crawl,
+    # so scale the workload to the backend
+    on_cpu = jax.default_backend() == "cpu"
+    slide_wh = (2048, 1536) if on_cpu else (4096, 3072)
+
+    print(f"[1] synthesizing a slide and writing a real tiled SVS ({slide_wh[0]}x{slide_wh[1]}) ...")
+    synth = synthetic_wsi(*slide_wh, seed=42, n_blobs=5, nuclei_per_blob=150)
     svs_path = out_root / "demo_case.svs"
     write_tiled_tiff(
         svs_path, [synth._levels[0], synth._levels[1], synth._levels[2]],
@@ -52,6 +60,11 @@ def main() -> int:
         tme_classes=default_config().classes,  # random weights: any class seeds ROI
         polygon=default_config().polygon.__class__(min_polygon_area_px=0, area_min_tiles=0),
     )
+    if on_cpu:
+        cfg = cfg.replace(
+            embedding=cfg.embedding.__class__(batch_size=64),
+            hovernext=cfg.hovernext.__class__(batch_size=8),
+        )
     models = PipelineModels.build(cfg)
     # fresh demo each run: clear any previous done flag so the pipeline
     # actually executes
@@ -76,8 +89,20 @@ def main() -> int:
     )
 
     slide = open_slide(svs_path)
+    if on_cpu:
+        # random weights either way — a small config keeps the CPU compile
+        # in seconds; on TPU run the production ConvNeXtV2-tiny
+        from path_gene_multimodal_tpu.models.convnext import ConvNeXtConfig
+        from path_gene_multimodal_tpu.models.hovernext import HoverNeXtConfig
+
+        seg_cfg = HoverNeXtConfig(
+            encoder=ConvNeXtConfig(depths=(1, 1, 2, 1), dims=(24, 48, 96, 192)),
+            decoder_dims=(96, 48, 24, 16),
+        )
+    else:
+        seg_cfg = HOVERNEXT_TINY
     seg = NucleiModel.build(
-        HOVERNEXT_TINY, tta=cfg.hovernext.tta,
+        seg_cfg, tta=cfg.hovernext.tta,
         max_instances=cfg.hovernext.max_instances_per_tile,
     )
     nuclei = run_hovernet_pipeline_on_wsi_tiles(
@@ -90,7 +115,15 @@ def main() -> int:
     from path_gene_multimodal_tpu.models.resnet import IDaRSEnsemble
     from path_gene_multimodal_tpu.pipeline.molecular import extract_molecular_features
 
-    ensemble = IDaRSEnsemble(list(cfg.molecular.tasks))
+    if on_cpu:
+        from path_gene_multimodal_tpu.models.resnet import ResNetConfig
+
+        ensemble = IDaRSEnsemble(
+            list(cfg.molecular.tasks),
+            cfg=ResNetConfig(stage_sizes=(1, 1, 1, 1), width=16),
+        )
+    else:
+        ensemble = IDaRSEnsemble(list(cfg.molecular.tasks))
     mol = extract_molecular_features(
         slide, out_dir / f"{stem}_annotations_with_coords.csv",
         out_dir, stem, ensemble, cfg,
