@@ -56,10 +56,8 @@ def convert(kind: str, src: str | Path, out: str | Path,
         )
         written.append(ck.save_converted("clip", vcfg, vparams, out))
         if tparams is not None:
-            tout = Path(out).with_suffix("")
-            written.append(
-                ck.save_converted("clip_text", tcfg, tparams, f"{tout}_text.npz")
-            )
+            tout = ck.text_sidecar_path(out)
+            written.append(ck.save_converted("clip_text", tcfg, tparams, tout))
     elif kind == "virchow2":
         res = ck.load_virchow2_from_torch(src, strict=strict, allow_pickle=allow_pickle)
         cfg, variables = res[0], res[1]

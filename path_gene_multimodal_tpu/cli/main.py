@@ -69,16 +69,17 @@ def main(argv: list[str] | None = None) -> int:
 
     vision_cfg = vision_params = text_cfg = text_params = None
     if args.weights:
-        from pathlib import Path as _P
-
-        from path_gene_multimodal_tpu.core.checkpoints import load_converted
+        from path_gene_multimodal_tpu.core.checkpoints import (
+            load_converted,
+            text_sidecar_path,
+        )
 
         kind, vision_cfg, vision_params = load_converted(args.weights)
         if kind not in ("clip", "virchow2"):
             logger.error("%s is a %r artifact, expected kind clip|virchow2",
                          args.weights, kind)
             return 2
-        tfile = _P(f"{_P(args.weights).with_suffix('')}_text.npz")
+        tfile = text_sidecar_path(args.weights)
         if tfile.exists():
             _, text_cfg, text_params = load_converted(tfile)
             logger.info("loaded text tower from %s", tfile)

@@ -89,12 +89,16 @@ def main(argv: list[str] | None = None) -> int:
                 params_per_task.append(variables)
                 logger.info("loaded %s weights from %s", t, f)
             else:
+                import zlib
+
                 import jax as _jax
                 import jax.numpy as _jnp
 
                 logger.warning("%s: no %s — RANDOM weights for this task", t, f)
+                # crc32, not hash(): PYTHONHASHSEED randomizes str hashes per
+                # process, which would make the fallback non-reproducible
                 params_per_task.append(template.init(
-                    _jax.random.PRNGKey(hash(t) % 2**31),
+                    _jax.random.PRNGKey(zlib.crc32(t.encode()) % 2**31),
                     _jnp.zeros((1, 224, 224, 3), _jnp.float32),
                 ))
     # built ONCE for the loop (positional only when weights were loaded, so

@@ -97,6 +97,7 @@ def read_tessellation_h5(path: str | Path) -> dict[str, Any]:
                     x = np.asarray(f[xk][...]).reshape(-1)
                     y = np.asarray(f[yk][...]).reshape(-1)
                     coords = np.stack([x, y], axis=1)
+                    src_attrs.update(dict(f[xk].attrs))
                     break
         if coords is None:
             # wildcard fallback: first dataset whose name ends in "coords"
@@ -213,11 +214,17 @@ def export_geojson(
         ext = np.asarray(poly["exterior"], dtype=np.float64)
         if len(ext) < 3:
             continue
+        rings = [ext] + [np.asarray(h, dtype=np.float64) for h in poly.get("holes", [])]
         area = poly.get("area_px2")
         perim = poly.get("perimeter_px")
         if area is None or perim is None:
+            # shapely semantics (reference :298-299): Polygon.area subtracts
+            # holes; Polygon.length sums exterior + hole perimeters.
             area, perim = polygon_ring_area_perimeter(ext)
-        rings = [ext] + [np.asarray(h, dtype=np.float64) for h in poly.get("holes", [])]
+            for hole in rings[1:]:
+                h_area, h_perim = polygon_ring_area_perimeter(hole)
+                area -= h_area
+                perim += h_perim
         coords = []
         for ring in rings:
             ring_closed = ring
@@ -299,8 +306,10 @@ def write_nuclei_table(path_base: str | Path, df: pd.DataFrame) -> tuple[Path, P
     JSON-encoded in the CSV and kept as lists in parquet.
     """
     base = Path(path_base)
-    csv_path = base.with_suffix(".csv")
-    pq_path = base.with_suffix(".parquet")
+    # NOT with_suffix: real TCGA stems contain dots ("TCGA-...-DX1.d4ff32cd")
+    # and with_suffix would truncate at the first dot, mangling the filename.
+    csv_path = base.parent / (base.name + ".csv")
+    pq_path = base.parent / (base.name + ".parquet")
     csv_df = df.copy()
     for col in csv_df.columns:
         if csv_df[col].map(lambda v: isinstance(v, (list, tuple, np.ndarray))).any():

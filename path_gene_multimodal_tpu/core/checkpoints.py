@@ -21,6 +21,39 @@ import jax
 import numpy as np
 
 
+def _flat_key(kp) -> str:
+    """Keypath → 'a/b/0/c' flat key (one definition; save/load must agree).
+
+    Note: a param name containing '/' would corrupt the _unflatten
+    round-trip, so reject it loudly here rather than silently mis-nest.
+    """
+    parts = [str(getattr(k, "key", getattr(k, "idx", k))) for k in kp]
+    for p in parts:
+        if "/" in p:
+            raise ValueError(f"param tree key {p!r} contains '/'; cannot flatten")
+    return "/".join(parts)
+
+
+def _npz_path(path: Path) -> Path:
+    """Append '.npz' without Path.with_suffix, which would truncate dotted
+    stems (e.g. TCGA slide names containing '.')."""
+    if path.name.endswith(".npz"):
+        return path
+    return path.parent / (path.name + ".npz")
+
+
+def text_sidecar_path(artifact: str | Path) -> Path:
+    """``<artifact minus a literal .npz>_text.npz`` — where the CLIP text
+    tower rides along a converted vision artifact. One definition so the
+    convert-weights writer and every reader agree (and dotted stems like
+    ``clip.v2`` survive; Path.with_suffix would truncate them)."""
+    p = Path(artifact)
+    name = p.name
+    if name.endswith(".npz"):
+        name = name[: -len(".npz")]
+    return p.parent / f"{name}_text.npz"
+
+
 def save_params(params: Any, path: str | Path) -> Path:
     path = Path(path)
     try:
@@ -34,16 +67,17 @@ def save_params(params: Any, path: str | Path) -> Path:
         # flat-npz fallback
         flat = {}
         for kp, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
-            key = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in kp)
-            flat[key] = np.asarray(leaf)
-        np.savez_compressed(path.with_suffix(".npz"), **flat)
-        return path.with_suffix(".npz")
+            flat[_flat_key(kp)] = np.asarray(leaf)
+        out = _npz_path(path)
+        np.savez_compressed(out, **flat)
+        return out
 
 
 def load_params(path: str | Path, like: Any | None = None) -> Any:
     path = Path(path)
-    if path.suffix == ".npz" or (not path.exists() and path.with_suffix(".npz").exists()):
-        npz_path = path if path.suffix == ".npz" else path.with_suffix(".npz")
+    is_npz = path.name.endswith(".npz")
+    if is_npz or (not path.exists() and _npz_path(path).exists()):
+        npz_path = path if is_npz else _npz_path(path)
         with np.load(npz_path) as z:
             flat = {k: z[k] for k in z.files}
         if like is None:
@@ -52,8 +86,7 @@ def load_params(path: str | Path, like: Any | None = None) -> Any:
         treedef = jax.tree_util.tree_structure(like)
         leaves = []
         for kp, _ in leaves_with_paths:
-            key = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in kp)
-            leaves.append(flat[key])
+            leaves.append(flat[_flat_key(kp)])
         return jax.tree_util.tree_unflatten(treedef, leaves)
     import orbax.checkpoint as ocp
 
@@ -243,11 +276,10 @@ def save_converted(kind: str, cfg: Any, variables: Any, path: str | Path) -> Pat
 
     if kind not in _CONVERTED_KINDS:
         raise ValueError(f"unknown converted-checkpoint kind {kind!r}")
-    path = Path(path).with_suffix(".npz")
+    path = _npz_path(Path(path))
     flat: dict[str, np.ndarray] = {}
     for kp, leaf in jax.tree_util.tree_flatten_with_path(variables)[0]:
-        key = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in kp)
-        flat["p:" + key] = np.asarray(leaf)
+        flat["p:" + _flat_key(kp)] = np.asarray(leaf)
     meta = {
         "kind": kind,
         "config": dataclasses.asdict(cfg) if dataclasses.is_dataclass(cfg) else None,

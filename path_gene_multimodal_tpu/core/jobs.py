@@ -77,9 +77,17 @@ def try_acquire_lock(job: SlideJob) -> bool:
         except FileNotFoundError:
             age_h = 0.0
         if age_h > job.stale_hours:
+            # Reap atomically: rename the stale lock to a unique tombstone
+            # before unlinking. A bare unlink() races — worker B could unlink
+            # the fresh lock worker A just O_EXCL-created after reaping the
+            # same stale file, letting both acquire. rename() succeeds for
+            # exactly one reaper; losers see FileNotFoundError and fall
+            # through to the O_EXCL create, where at most one wins.
+            tomb = lock.parent / f"{lock.name}.reap.{os.getpid()}.{time.time_ns()}"
             try:
-                lock.unlink()
-            except FileNotFoundError:
+                os.rename(lock, tomb)
+                tomb.unlink()
+            except (FileNotFoundError, OSError):
                 pass
         else:
             return False

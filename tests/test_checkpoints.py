@@ -134,6 +134,39 @@ def test_save_load_converted_roundtrip(tmp_path, rng):
         _tree_equal(params, params2)
 
 
+def test_text_sidecar_path_dotted_stem():
+    from pathlib import Path
+
+    from path_gene_multimodal_tpu.core.checkpoints import text_sidecar_path
+
+    assert text_sidecar_path("d/clip_converted.npz") == Path("d/clip_converted_text.npz")
+    assert text_sidecar_path("d/clip.v2.npz") == Path("d/clip.v2_text.npz")
+    assert text_sidecar_path("d/clip.v2") == Path("d/clip.v2_text.npz")
+
+
+def test_save_converted_dotted_stem(tmp_path, rng):
+    """Dotted artifact stems (TCGA-style names) must keep the full stem —
+    '.npz' is appended, not substituted for everything past the first dot."""
+    from path_gene_multimodal_tpu.core.checkpoints import load_converted, save_converted
+
+    params = {"w": rng.normal(size=(2, 2)).astype(np.float32)}
+    p = save_converted("resnet34", None, params, tmp_path / "resnet34.task1.v2")
+    assert p.name == "resnet34.task1.v2.npz"
+    kind, cfg, restored = load_converted(p)
+    assert kind == "resnet34"
+    _tree_equal(params, restored)
+
+
+def test_flat_key_slash_rejected(tmp_path, rng):
+    """A param name containing '/' would corrupt the flat-npz round-trip;
+    it must be rejected loudly, not silently mis-nested on reload."""
+    from path_gene_multimodal_tpu.core.checkpoints import save_converted
+
+    params = {"a/b": rng.normal(size=(2,)).astype(np.float32)}
+    with pytest.raises(ValueError, match="contains '/'"):
+        save_converted("resnet34", None, params, tmp_path / "bad")
+
+
 def test_load_converted_rejects_plain_npz(tmp_path, rng):
     from path_gene_multimodal_tpu.core.checkpoints import load_converted
 

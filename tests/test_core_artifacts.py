@@ -94,6 +94,48 @@ def test_geojson_roundtrip(tmp_path):
     np.testing.assert_array_equal(ring[0], ring[-1])
 
 
+def test_geojson_hole_semantics(tmp_path):
+    """Computed area/perimeter follow shapely Polygon semantics (reference
+    create_and_overlay_polygon_from_prediction.py:298-299): area subtracts
+    holes, length sums exterior + hole perimeters."""
+    square = np.array([[0, 0], [100, 0], [100, 100], [0, 100]], float)
+    hole = np.array([[40, 40], [50, 40], [50, 50], [40, 50]], float)
+    p = export_geojson(
+        tmp_path / "h.geojson",
+        [{"class_name": "Tumor", "exterior": square, "holes": [hole]}],
+    )
+    polys = load_geojson(p)
+    assert len(polys) == 1
+    assert polys[0]["area_px2"] == pytest.approx(10000.0 - 100.0)
+    assert polys[0]["perimeter_px"] == pytest.approx(400.0 + 40.0)
+    assert len(polys[0]["holes"]) == 1
+    # hole ring round-trips closed
+    np.testing.assert_array_equal(polys[0]["holes"][0][0], polys[0]["holes"][0][-1])
+
+
+def test_nuclei_table_dotted_stem(tmp_path):
+    """Real TCGA stems contain dots; the writers must append extensions, not
+    replace everything past the first dot."""
+    df = pd.DataFrame({"nuc_id": ["a"], "inst_id": [1]})
+    base = tmp_path / "TCGA-A1-A0SB-01Z-00-DX1.d4ff32cd_nuclei"
+    csv_path, pq_path = write_nuclei_table(base, df)
+    assert csv_path.name == "TCGA-A1-A0SB-01Z-00-DX1.d4ff32cd_nuclei.csv"
+    assert pq_path.name == "TCGA-A1-A0SB-01Z-00-DX1.d4ff32cd_nuclei.parquet"
+    assert csv_path.exists() and pq_path.exists()
+
+
+def test_h5_xy_variant_dataset_attrs(tmp_path):
+    """Tile size stored as an attr on the x dataset (not the file) is still
+    discovered in the x/y-pair schema variant."""
+    p = tmp_path / "xyattrs.h5"
+    with h5py.File(p, "w") as f:
+        dx = f.create_dataset("x", data=COORDS[:, 0])
+        f.create_dataset("y", data=COORDS[:, 1])
+        dx.attrs["patch_size"] = 224
+    out = read_tessellation_h5(p)
+    assert infer_tile_size_from_attrs(out["attrs"]) == 224
+
+
 def test_ring_area_perimeter():
     tri = np.array([[0, 0], [4, 0], [0, 3]], float)
     area, perim = polygon_ring_area_perimeter(tri)

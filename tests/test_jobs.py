@@ -60,6 +60,19 @@ def test_concurrent_exclusive(tmp_path):
     assert sum(results) == 1  # exactly one winner
 
 
+def test_concurrent_stale_reap_exclusive(tmp_path):
+    """Several workers racing to reap the SAME stale lock: the rename-then-
+    unlink reap guarantees at most one acquires (a bare unlink could delete a
+    competitor's fresh lock, letting two workers in)."""
+    job = _job(tmp_path)
+    assert try_acquire_lock(job)
+    old = time.time() - 50 * 3600
+    os.utime(job.lock_path, (old, old))
+    with mp.Pool(4) as pool:
+        results = pool.map(_worker, [(str(tmp_path), i) for i in range(4)])
+    assert sum(results) == 1  # exactly one winner after the reap race
+
+
 def test_done_flag_and_fallback(tmp_path):
     job = _job(tmp_path)
     job.out_dir.mkdir(parents=True)
