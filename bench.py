@@ -227,13 +227,11 @@ def main() -> None:
     # bytes of RGB), chroma upsample + color conversion on device — the
     # H2D link (PCIe in production; ~25-70 MB/s on the dev tunnel) is the
     # streamed chain's narrowest resource
-    from path_gene_multimodal_tpu.ops.jpegcolor import ycbcr420_to_rgb
+    from path_gene_multimodal_tpu.ops.jpegcolor import (
+        ycbcr420_to_rgb_jit as _planes_to_rgb,  # shared program with the
+    )  # pipeline feeds — one compile per plane shape across all consumers
 
     planar_feed = TiffTileSlide(svs_path).supports_planar(0)
-
-    @jax.jit
-    def _planes_to_rgb(yb, cbcr):
-        return ycbcr420_to_rgb(yb, cbcr)
 
     @jax.jit
     def _pad224_to_256(tiles_u8):

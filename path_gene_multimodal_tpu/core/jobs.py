@@ -71,26 +71,45 @@ def try_acquire_lock(job: SlideJob) -> bool:
     acquisition (semantics of main.py:73-92)."""
     job.out_dir.mkdir(parents=True, exist_ok=True)
     lock = job.lock_path
-    if lock.exists():
-        try:
-            age_h = (time.time() - lock.stat().st_mtime) / 3600.0
-        except FileNotFoundError:
-            age_h = 0.0
-        if age_h > job.stale_hours:
-            # Reap atomically: rename the stale lock to a unique tombstone
-            # before unlinking. A bare unlink() races — worker B could unlink
-            # the fresh lock worker A just O_EXCL-created after reaping the
-            # same stale file, letting both acquire. rename() succeeds for
-            # exactly one reaper; losers see FileNotFoundError and fall
-            # through to the O_EXCL create, where at most one wins.
-            tomb = lock.parent / f"{lock.name}.reap.{os.getpid()}.{time.time_ns()}"
-            try:
-                os.rename(lock, tomb)
-                tomb.unlink()
-            except (FileNotFoundError, OSError):
-                pass
-        else:
+    try:
+        st = lock.stat()
+    except FileNotFoundError:
+        st = None
+    if st is not None:
+        age_h = (time.time() - st.st_mtime) / 3600.0
+        if age_h <= job.stale_hours:
             return False
+        # Reap via rename-to-tombstone + inode verification. A bare unlink()
+        # races: worker B could delete the FRESH lock worker A re-created
+        # after reaping the same stale file. rename() hands the path to
+        # exactly one reaper — but rename is by path, not inode, so the
+        # renamed file may already be someone's fresh lock; verify the
+        # tombstone is the SAME file we statted as stale before discarding
+        # it, and restore it (link() refuses to clobber) if it is not.
+        # (inode + mtime_ns: inodes are recycled immediately on some
+        # filesystems, but a re-created lock always carries a fresh mtime —
+        # that is the very field staleness is judged by)
+        tomb = lock.parent / f"{lock.name}.reap.{os.getpid()}.{time.time_ns()}"
+        try:
+            os.rename(lock, tomb)
+        except OSError:
+            pass  # another reaper won the rename (or it vanished)
+        else:
+            try:
+                t_st = os.stat(tomb)
+                if (t_st.st_ino, t_st.st_mtime_ns) != (st.st_ino, st.st_mtime_ns):
+                    # we captured a fresh lock created between our stat and
+                    # rename — put it back; if the path was re-created
+                    # meanwhile, leave that newer lock alone
+                    try:
+                        os.link(tomb, lock)
+                    except FileExistsError:
+                        pass
+                    os.unlink(tomb)
+                    return False
+                os.unlink(tomb)
+            except OSError:
+                pass
     try:
         fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
     except FileExistsError:
@@ -100,7 +119,16 @@ def try_acquire_lock(job: SlideJob) -> bool:
             {"pid": os.getpid(), "host": socket.gethostname(), "timestamp": time.time()},
             f,
         )
-    return True
+        f.flush()
+        my_st = os.fstat(f.fileno())
+    # a concurrent reaper in the residual stat→rename window could still have
+    # stolen the lock we just created; holding it is only real if the path
+    # still resolves to our file
+    try:
+        now = os.stat(lock)
+        return (now.st_ino, now.st_mtime_ns) == (my_st.st_ino, my_st.st_mtime_ns)
+    except FileNotFoundError:
+        return False
 
 
 def release_lock(job: SlideJob) -> None:

@@ -70,22 +70,30 @@ class NativeTileDecoder:
             ctypes.c_void_p,
             ctypes.c_int,
         ]
-        self._lib.decode_jpeg_batch_opts.restype = ctypes.c_int
-        self._lib.decode_jpeg_batch_opts.argtypes = (
-            self._lib.decode_jpeg_batch.argtypes + [ctypes.c_int]
-        )
-        self._lib.decode_jpeg_batch_planar.restype = ctypes.c_int
-        self._lib.decode_jpeg_batch_planar.argtypes = [
-            ctypes.POINTER(ctypes.c_char_p),
-            ctypes.POINTER(ctypes.c_size_t),
-            ctypes.c_int,
-            ctypes.c_char_p, ctypes.c_size_t,
-            ctypes.c_int, ctypes.c_int,
-            ctypes.c_void_p,                    # out Y  (n, h, w)
-            ctypes.c_void_p,                    # out CbCr (n, ⌈h/2⌉, ⌈w/2⌉, 2)
-            ctypes.c_void_p,                    # per-tile ok flags (n,) u8
-            ctypes.c_int,
-        ]
+        # the planar/nearest entry points are newer than the base decoder:
+        # when the rebuild above failed and we are running a stale prebuilt
+        # .so, bind them only if present so the OLD fast path keeps working
+        # (an AttributeError here would make callers disable native entirely)
+        self._has_opts = hasattr(self._lib, "decode_jpeg_batch_opts")
+        if self._has_opts:
+            self._lib.decode_jpeg_batch_opts.restype = ctypes.c_int
+            self._lib.decode_jpeg_batch_opts.argtypes = (
+                self._lib.decode_jpeg_batch.argtypes + [ctypes.c_int]
+            )
+        self._has_planar = hasattr(self._lib, "decode_jpeg_batch_planar")
+        if self._has_planar:
+            self._lib.decode_jpeg_batch_planar.restype = ctypes.c_int
+            self._lib.decode_jpeg_batch_planar.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p),
+                ctypes.POINTER(ctypes.c_size_t),
+                ctypes.c_int,
+                ctypes.c_char_p, ctypes.c_size_t,
+                ctypes.c_int, ctypes.c_int,
+                ctypes.c_void_p,                # out Y  (n, h, w)
+                ctypes.c_void_p,                # out CbCr (n, ⌈h/2⌉, ⌈w/2⌉, 2)
+                ctypes.c_void_p,                # per-tile ok flags (n,) u8
+                ctypes.c_int,
+            ]
         self._threads = num_threads
 
     def decode_jpeg_batch(
@@ -120,6 +128,8 @@ class NativeTileDecoder:
     ) -> np.ndarray | None:
         """RGB decode with nearest (non-fancy) chroma upsampling — libjpeg's
         merged-upsample path, the host oracle for the planar device feed."""
+        if not self._has_opts:  # stale .so without the newer symbol
+            return None
         n = len(blobs)
         out = np.empty((n, tile_h, tile_w, 3), dtype=np.uint8)
         arr = (ctypes.c_char_p * n)(*blobs)
@@ -150,6 +160,12 @@ class NativeTileDecoder:
         the caller can cache them and memoize the failures."""
         n = len(blobs)
         ch, cw = (tile_h + 1) // 2, (tile_w + 1) // 2
+        if not self._has_planar:  # stale .so: report every tile as failed
+            if return_ok:
+                return (np.zeros((n, tile_h, tile_w), np.uint8),
+                        np.zeros((n, ch, cw, 2), np.uint8),
+                        np.zeros(n, dtype=bool))
+            return None
         out_y = np.empty((n, tile_h, tile_w), dtype=np.uint8)
         out_cbcr = np.empty((n, ch, cw, 2), dtype=np.uint8)
         ok = np.zeros(n, dtype=np.uint8)

@@ -36,6 +36,26 @@ from path_gene_multimodal_tpu.ops.jpegcolor import (
 from path_gene_multimodal_tpu.pipeline.tessellate import iter_tile_batches
 
 
+def _is_virchow_tower(cfg: PipelineConfig, encoder) -> bool:
+    """True when the ACTUAL image tower is the ViT-H Virchow2 — judged by the
+    encoder's config, not only ``cfg.model_type``: a real Virchow2 artifact
+    loaded via ``--weights`` runs with whatever model_type the config left in
+    place, and it must still get the measured batch knee + correct artifact
+    metadata."""
+    if cfg.model_type.lower().startswith("virchow"):
+        return True
+    from path_gene_multimodal_tpu.models.vit_timm import TimmViTConfig
+
+    return isinstance(getattr(encoder, "cfg", None), TimmViTConfig)
+
+
+def _recorded_model_type(cfg: PipelineConfig, encoder) -> str:
+    """model_type written into the features artifact — the actual tower."""
+    if _is_virchow_tower(cfg, encoder) and not cfg.model_type.lower().startswith("virchow"):
+        return "Virchow2"
+    return cfg.model_type
+
+
 def run_extract_features(
     slide: SlideReader,
     coords: np.ndarray,
@@ -50,7 +70,7 @@ def run_extract_features(
     while the TPU runs batch k. (Stage timing/items are the caller's
     concern — runner.py wraps this in ``timer.stage(...)``.)"""
     batch = cfg.embedding.batch_size
-    if cfg.model_type.lower().startswith("virchow"):
+    if _is_virchow_tower(cfg, encoder):
         # the ViT-H Virchow2 tower has its own measured knee (see
         # EmbeddingConfig.virchow2_batch_size) — clamp to it
         batch = min(batch, cfg.embedding.virchow2_batch_size)
@@ -93,7 +113,7 @@ def run_extract_features(
         out_dir = Path(out_dir)
         out_dir.mkdir(parents=True, exist_ok=True)
         h5_path = out_dir / f"{stem}_features.h5"
-        write_features_h5(h5_path, feats, model_type=cfg.model_type)
+        write_features_h5(h5_path, feats, model_type=_recorded_model_type(cfg, encoder))
         np.save(out_dir / f"{stem}_features.npy", feats)
         # reference writes the features h5 AND a torch .pt sidecar
         # (extract_embedding_from_tiles.py:70) — keep that contract for

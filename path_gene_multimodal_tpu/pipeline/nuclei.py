@@ -105,6 +105,19 @@ class _SegmentedModelMixin:
             self._overflow_parts.clear()
         return total
 
+    def _note_overflow(self, n_over) -> None:
+        self._overflow_parts.append(n_over)
+        if len(self._overflow_parts) >= 128:
+            # fold to ONE device scalar with lazy adds (no host sync): a
+            # long-lived caller that drives segment() directly and never
+            # drains the counter must not accumulate live device buffers
+            # without bound
+            acc = None
+            for p in self._overflow_parts:
+                s = jnp.sum(jnp.asarray(p).astype(jnp.int32))
+                acc = s if acc is None else acc + s
+            self._overflow_parts[:] = [acc]
+
     def segment_async(self, tiles_u8: np.ndarray):
         """Dispatch without materializing: returns device arrays
         (labels uint16 dense, types uint8). jax dispatch is async, so the
@@ -119,7 +132,7 @@ class _SegmentedModelMixin:
             tiles_dev = jnp.asarray(tiles_u8)
         *seg, tp_cls = self._infer(self.params, tiles_dev)
         lbl, n_over = self._postproc(*seg)
-        self._overflow_parts.append(n_over)  # tiny; materialized lazily
+        self._note_overflow(n_over)  # tiny; materialized lazily
         return lbl, tp_cls
 
     def segment(self, tiles_u8: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -430,6 +443,9 @@ def run_hovernet_pipeline_on_wsi_tiles(
     """The reference's end-to-end nuclei stage (:342-407) — returns (and
     writes) the WSI-space nuclei table."""
     logger = get_logger()
+    # drop any counts a previous (possibly aborted) run left behind — this
+    # slide's overflow report must cover exactly this slide's batches
+    getattr(model, "cc_overflow_tiles", lambda **_: 0)(reset=True)
     df = load_tile_annotations(annotations_csv)
     sel = select_tiles_for_hovernet(df)
     if len(sel) == 0:

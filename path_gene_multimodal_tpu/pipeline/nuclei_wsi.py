@@ -132,6 +132,9 @@ def run_hovernext_wsi(
     timer: StageTimer | None = None,
 ) -> tuple[Path | None, pd.DataFrame]:
     logger = get_logger()
+    # drop any counts a previous (possibly aborted) run left behind — this
+    # slide's overflow report must cover exactly this slide's batches
+    getattr(model, "cc_overflow_tiles", lambda **_: 0)(reset=True)
     hx = cfg.hovernext
     window = model.cfg.input_size
     stride = int(round(window * hx.overlap))  # 256 * 0.96875 = 248

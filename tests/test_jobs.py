@@ -73,6 +73,34 @@ def test_concurrent_stale_reap_exclusive(tmp_path):
     assert sum(results) == 1  # exactly one winner after the reap race
 
 
+def test_reap_restores_stolen_fresh_lock(tmp_path, monkeypatch):
+    """Interleaving where a competitor reaps the stale lock and re-creates a
+    FRESH one between our stat and our rename: the rename captures the fresh
+    lock (rename is by path), the inode check must detect it, restore it, and
+    report the job as held."""
+    job = _job(tmp_path)
+    assert try_acquire_lock(job)
+    old = time.time() - 50 * 3600
+    os.utime(job.lock_path, (old, old))
+
+    real_rename = os.rename
+
+    def rename_after_competitor(src, dst):
+        # competitor A reaps the stale lock and acquires a fresh one just
+        # before our rename lands
+        os.unlink(job.lock_path)
+        job.lock_path.write_text('{"pid": 424242}')
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", rename_after_competitor)
+    job2 = _job(tmp_path)
+    assert not try_acquire_lock(job2)  # must NOT steal A's fresh lock
+    monkeypatch.undo()
+    assert job.lock_path.exists()
+    assert json.loads(job.lock_path.read_text())["pid"] == 424242  # A's lock intact
+    assert not list(tmp_path.glob("out/*.reap.*"))  # no tombstone litter
+
+
 def test_done_flag_and_fallback(tmp_path):
     job = _job(tmp_path)
     job.out_dir.mkdir(parents=True)

@@ -202,3 +202,21 @@ def test_planar_seg_prep_matches_host_pad(tmp_path):
     host_rgb = np.asarray(ycbcr420_to_rgb(y, cbcr))
     host = np.pad(host_rgb, ((16, 16), (16, 16), (0, 0)), mode="reflect")
     np.testing.assert_array_equal(dev, host)
+
+
+def test_overflow_accounting_bounded_and_resettable():
+    """The no-silent-caps CC overflow counter: parts fold to one device
+    scalar instead of growing unboundedly for callers that drive segment()
+    directly, counts survive the fold exactly, and reset drains them."""
+    from path_gene_multimodal_tpu.pipeline.nuclei import _SegmentedModelMixin
+
+    class M(_SegmentedModelMixin):
+        def __init__(self):
+            self._overflow_parts = []
+
+    m = M()
+    for _ in range(300):
+        m._note_overflow(jnp.asarray([1, 0], jnp.int32))  # 1 overflow tile/batch
+    assert len(m._overflow_parts) <= 128  # folded, not 300 live buffers
+    assert m.cc_overflow_tiles(reset=True) == 300  # exact across folds
+    assert m.cc_overflow_tiles() == 0  # drained

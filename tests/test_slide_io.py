@@ -157,6 +157,33 @@ def test_native_decoder_jpeg(tmp_path):
         assert np.abs(ours.astype(int) - ref.astype(int)).max() <= 2
 
 
+def test_native_decoder_stale_so_degrades_to_base_path():
+    """A prebuilt .so that predates the planar/nearest symbols must keep the
+    base JPEG fast path alive and fail ONLY the newer entry points (binding
+    them unguarded would AttributeError in __init__ and lose native
+    entirely)."""
+    import cv2
+
+    from path_gene_multimodal_tpu.io.native import NativeTileDecoder
+
+    try:
+        dec = NativeTileDecoder()
+    except Exception:
+        pytest.skip("native decoder unavailable")
+    dec._has_opts = False
+    dec._has_planar = False
+    tile = np.full((64, 64, 3), 200, np.uint8)
+    ok, enc = cv2.imencode(".jpg", tile[:, :, ::-1])
+    assert ok
+    blobs = [enc.tobytes()]
+    out = dec.decode_jpeg_batch(blobs, 64, 64)
+    assert out is not None and out.shape == (1, 64, 64, 3)  # base path alive
+    assert dec.decode_jpeg_batch_nearest(blobs, 64, 64) is None
+    assert dec.decode_jpeg_batch_planar(blobs, 64, 64) is None
+    y, c, okf = dec.decode_jpeg_batch_planar(blobs, 64, 64, return_ok=True)
+    assert not okf.any() and y.shape == (1, 64, 64) and c.shape == (1, 32, 32, 2)
+
+
 def test_native_decoder_deflate():
     import zlib
 

@@ -141,6 +141,39 @@ def pipeline_run(tmp_path_factory):
             "class_embs": class_embs, "ann": ann}
 
 
+def test_virchow_clamp_keys_on_encoder_not_model_type(tmp_path, monkeypatch):
+    """A real Virchow2 tower loaded via --weights with cfg.model_type left at
+    the default 'CLIP' must still get the measured ViT-H batch knee AND the
+    correct model_type in the features artifact (clamp keys on the encoder's
+    config, like runner.py's normalization choice)."""
+    import path_gene_multimodal_tpu.pipeline.embed as embed_mod
+    from path_gene_multimodal_tpu.io.slide import synthetic_wsi
+    from path_gene_multimodal_tpu.models.vit_timm import TimmViTConfig
+
+    tiny = TimmViTConfig(image_size=224, patch_size=32, width=32, layers=1,
+                         heads=2, num_registers=1, mlp_hidden=64)
+    enc = ImageEncoder(tiny, dtype=jnp.float32, seed=0)
+    cfg = default_config()  # model_type stays "CLIP"
+    assert not cfg.model_type.lower().startswith("virchow")
+    cfg = cfg.replace(embedding=cfg.embedding.__class__(
+        batch_size=512, virchow2_batch_size=4))
+
+    captured = {}
+    orig = embed_mod.iter_tile_batches
+
+    def spy(slide, coords, tile, batch, **kw):
+        captured["batch"] = batch
+        return orig(slide, coords, tile, batch, **kw)
+
+    monkeypatch.setattr(embed_mod, "iter_tile_batches", spy)
+    slide = synthetic_wsi(896, 672, seed=6, n_blobs=2, nuclei_per_blob=10)
+    coords = np.array([[0, 0], [224, 0], [0, 224]], np.int64)
+    run_extract_features(slide, coords, enc, tmp_path, "v", cfg)
+    assert captured["batch"] == 4  # clamped to the Virchow2 knee
+    h5 = read_features_h5(tmp_path / "v_features.h5")
+    assert h5["attrs"]["model_type"] == "Virchow2"  # actual tower recorded
+
+
 def test_features_artifact(pipeline_run):
     r = pipeline_run
     assert r["feats"].shape == (r["tess"].num_tiles, 32)
