@@ -56,6 +56,13 @@ def main(argv: list[str] | None = None) -> int:
              "(cli.convert_weights kind=resnet34, one per resnet34-idars-* "
              "checkpoint); tasks without a file run with RANDOM weights",
     )
+    ap.add_argument(
+        "--dp", action="store_true",
+        help="data-parallel over all local devices: replicate the ensemble "
+             "weights and shard each tile batch over a tile-axis mesh "
+             "(batch size must divide the device count; the pipeline pads "
+             "every batch to the full size)",
+    )
     args = ap.parse_args(argv)
 
     from path_gene_multimodal_tpu.utils.jaxsetup import setup_jax
@@ -101,10 +108,21 @@ def main(argv: list[str] | None = None) -> int:
                     _jax.random.PRNGKey(zlib.crc32(t.encode()) % 2**31),
                     _jnp.zeros((1, 224, 224, 3), _jnp.float32),
                 ))
+    mesh = None
+    if args.dp:
+        from path_gene_multimodal_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()  # all local devices, tile axis
+        if cfg.molecular.batch_size % mesh.devices.size:
+            logger.error("molecular batch %d does not divide the %d-device mesh",
+                         cfg.molecular.batch_size, mesh.devices.size)
+            return 2
+        logger.info("data-parallel over %d devices", mesh.devices.size)
     # built ONCE for the loop (positional only when weights were loaded, so
     # duck-typed test ensembles keep their 1-arg constructor surface)
-    ensemble = (IDaRSEnsemble(tasks, params_per_task)
-                if params_per_task is not None else IDaRSEnsemble(tasks))
+    ensemble = (IDaRSEnsemble(tasks, params_per_task, mesh=mesh)
+                if params_per_task is not None
+                else IDaRSEnsemble(tasks, mesh=mesh))
     wsis = slide_paths(data_path)
     if not wsis:
         logger.error("no WSIs under %s", data_path)

@@ -86,7 +86,13 @@ IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 
 class IDaRSEnsemble:
-    """Six (or N) stacked ResNet34s evaluated in one vmapped forward."""
+    """Six (or N) stacked ResNet34s evaluated in one vmapped forward.
+
+    Pass ``mesh`` (a 1-D tile-axis ``jax.sharding.Mesh``) to run
+    data-parallel: the stacked per-task weights replicate onto every device
+    and each tile batch shards over the mesh (the same DP pattern as
+    ``ImageEncoder``/``NucleiModel``; batches must divide the mesh size —
+    ``pipeline.molecular`` always pads to the full batch)."""
 
     def __init__(
         self,
@@ -95,9 +101,11 @@ class IDaRSEnsemble:
         cfg: ResNetConfig = RESNET34_IDARS,
         dtype=jnp.bfloat16,
         seed: int = 0,
+        mesh=None,
     ):
         self.tasks = list(tasks)
         self.cfg = cfg
+        self.mesh = mesh
         self.model = ResNet(cfg, dtype=dtype)
         if params_per_task is None:
             params_per_task = [
@@ -112,6 +120,16 @@ class IDaRSEnsemble:
         self.stacked = jax.tree.map(
             lambda *xs: jnp.stack(xs, axis=0), *params_per_task
         )
+        if mesh is not None:
+            from path_gene_multimodal_tpu.parallel.mesh import (
+                batch_sharding,
+                shard_params,
+            )
+
+            self.stacked = shard_params(self.stacked, mesh)
+            self._in_sharding = batch_sharding(mesh, 4)
+        else:
+            self._in_sharding = None
         apply_fn = self.model.apply
         mean = jnp.asarray(IMAGENET_MEAN)
         std = jnp.asarray(IMAGENET_STD)
@@ -127,4 +145,12 @@ class IDaRSEnsemble:
 
     def __call__(self, tiles_u8: jnp.ndarray) -> jnp.ndarray:
         """(B, 224, 224, 3) uint8 → (num_tasks, B) float32 probabilities."""
+        if self._in_sharding is not None:
+            import numpy as _np
+
+            if not isinstance(tiles_u8, jax.Array):
+                tiles_u8 = _np.asarray(tiles_u8)
+            tiles_u8 = jax.device_put(tiles_u8, self._in_sharding)
+        else:
+            tiles_u8 = jnp.asarray(tiles_u8)
         return self._fwd(self.stacked, tiles_u8)

@@ -78,6 +78,36 @@ def test_fusion_trainer_learns(rng):
     assert acc > 0.85
 
 
+def test_fusion_trainer_checkpoint_resume(rng, tmp_path):
+    """Training checkpoint/resume (A4 for the training story): persist the
+    full train state (params + optimizer moments + rng) mid-run, restore it,
+    and continue — the resumed run must match the uninterrupted one
+    bit-exactly (CPU backend = exact arithmetic)."""
+    from path_gene_multimodal_tpu.core.checkpoints import load_params, save_params
+
+    hist_dim, gene_dim, n = 16, 8, 32
+    hist = jnp.asarray(rng.normal(size=(n, hist_dim)).astype(np.float32))
+    genes = jnp.asarray(rng.normal(size=(n, gene_dim)).astype(np.float32))
+    labels = jnp.asarray((rng.normal(size=n) > 0).astype(np.int32))
+    model = FusionHead(num_outputs=2, proj_dim=8, hidden=8, dropout=0.1)
+
+    state, step, _ = make_fusion_trainer(model, hist_dim, gene_dim, 1e-2)
+    mid = None
+    for i in range(6):
+        if i == 3:
+            mid = save_params(state, tmp_path / "train_state")
+        state, loss = step(state, hist, genes, labels)
+    final_uninterrupted = state
+
+    restored = load_params(mid, like=make_fusion_trainer(model, hist_dim, gene_dim, 1e-2)[0])
+    for _ in range(3):  # steps 3-5 again, from the checkpoint
+        restored, loss = step(restored, hist, genes, labels)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        final_uninterrupted["params"], restored["params"],
+    )
+
+
 # --- WSI sliding-window nuclei --------------------------------------------
 
 

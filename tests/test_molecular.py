@@ -201,9 +201,13 @@ def test_molecular_loop_cli(molecular_setup, monkeypatch, tmp_path):
     orig_init = rn.IDaRSEnsemble.__init__
     monkeypatch.setattr(
         rn.IDaRSEnsemble, "__init__",
-        lambda self, tasks, **kw: orig_init(self, tasks, cfg=SMALL_RESNET, dtype=jnp.float32),
+        lambda self, tasks, **kw: orig_init(self, tasks, cfg=SMALL_RESNET,
+                                            dtype=jnp.float32, mesh=kw.get("mesh")),
     )
-    rc = ml.main(["--data-path", str(data), "--outroot", str(outroot), "--tasks", "msi"])
+    # --dp: the loop builds the all-device tile-axis mesh and the ensemble
+    # runs data-parallel over the 8 virtual devices (batch 64 divides 8)
+    rc = ml.main(["--data-path", str(data), "--outroot", str(outroot),
+                  "--tasks", "msi", "--dp"])
     assert rc == 0
     assert (outroot / "caseA" / "caseA_molecular_features.csv").exists()
     assert (outroot / "success_slides.txt").read_text().strip() == "caseA"

@@ -54,6 +54,24 @@ def test_sharded_matches_single_device(rng):
     assert len(sharded.sharding.device_set) == 8
 
 
+def test_molecular_ensemble_sharded_matches_single(rng):
+    """IDaRSEnsemble under the tile-axis mesh == unsharded (the molecular
+    stage's DP path, same pattern as ImageEncoder/NucleiModel)."""
+    from path_gene_multimodal_tpu.models.resnet import IDaRSEnsemble, ResNetConfig
+
+    cfg = ResNetConfig(stage_sizes=(1, 1, 1, 1), width=8)
+    tiles = rng.integers(0, 256, (16, 64, 64, 3), dtype=np.uint8)
+    single = IDaRSEnsemble(["msi", "hm"], cfg=cfg, dtype=jnp.float32, seed=3)
+    ref = np.asarray(single(tiles))
+
+    mesh = make_mesh(8)
+    sharded = IDaRSEnsemble(["msi", "hm"], cfg=cfg, dtype=jnp.float32, seed=3,
+                            mesh=mesh)
+    out = sharded(tiles)
+    assert len(out.sharding.device_set) == 8  # really ran over the mesh
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+
 def test_pad_to_multiple():
     arr = np.ones((13, 4))
     padded, n = pad_to_multiple(arr, 8)
