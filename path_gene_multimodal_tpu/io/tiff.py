@@ -104,7 +104,16 @@ def _read_ifds(f: BinaryIO) -> tuple[list[dict[int, object]], str]:
         raise ValueError(f"bad TIFF magic {magic}")
 
     ifds: list[dict[int, object]] = []
+    seen_offsets: set[int] = set()
     while offset:
+        # fail closed on corrupt files: a next-IFD pointer that revisits an
+        # offset is a cycle (would loop forever); >4096 IFDs is garbage
+        # (real SVS pyramids have ~4-10 pages)
+        if offset in seen_offsets:
+            raise ValueError(f"TIFF IFD chain cycles back to offset {offset}")
+        seen_offsets.add(offset)
+        if len(seen_offsets) > 4096:
+            raise ValueError("TIFF IFD chain exceeds 4096 pages; corrupt file")
         f.seek(offset)
         n = struct.unpack(endian + count_fmt, f.read(struct.calcsize(count_fmt)))[0]
         raw = f.read(n * entry_size)

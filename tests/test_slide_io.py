@@ -544,3 +544,35 @@ def test_planar_failure_memoized(tmp_path):
         assert len(calls) == n1  # sentinel short-circuited the re-decode
     finally:
         slide._native.decode_jpeg_batch_planar = orig
+
+
+@pytest.mark.parametrize("case", ["empty", "bad_magic", "truncated_header",
+                                  "huge_ifd_count", "ifd_loop"])
+def test_tiff_malformed_inputs_raise_cleanly(tmp_path, case):
+    """The from-scratch parser must fail CLOSED on malformed files — a clean
+    exception, never a hang, unbounded allocation, or interpreter crash
+    (batch loops catch per-slide errors and continue; ref main.py:118-125)."""
+    import struct
+
+    from path_gene_multimodal_tpu.io.tiff import TiffTileSlide
+
+    p = tmp_path / f"{case}.svs"
+    if case == "empty":
+        p.write_bytes(b"")
+    elif case == "bad_magic":
+        p.write_bytes(b"II\x99\x00" + b"\x00" * 64)
+    elif case == "truncated_header":
+        p.write_bytes(b"II*\x00\x08\x00\x00")  # 4-byte offset cut short
+    elif case == "huge_ifd_count":
+        # IFD claims 65535 entries but the file ends immediately after
+        p.write_bytes(b"II*\x00\x08\x00\x00\x00" + struct.pack("<H", 0xFFFF))
+    elif case == "ifd_loop":
+        # IFD with 0 entries whose next-IFD pointer points at itself
+        p.write_bytes(
+            b"II*\x00\x08\x00\x00\x00"
+            + struct.pack("<H", 0)
+            + struct.pack("<I", 8)
+        )
+    with pytest.raises(Exception) as ei:
+        TiffTileSlide(p)
+    assert not isinstance(ei.value, (MemoryError, RecursionError, SystemError))
