@@ -84,6 +84,9 @@ class TiffPage:
 
 
 def _read_ifds(f: BinaryIO) -> tuple[list[dict[int, object]], str]:
+    f.seek(0, 2)
+    fsize = f.tell()
+    f.seek(0)
     header = f.read(8)
     if header[:2] == b"II":
         endian = "<"
@@ -136,6 +139,13 @@ def _read_ifds(f: BinaryIO) -> tuple[list[dict[int, object]], str]:
         inline_size = 8 if bigtiff else 4
         for tag, (typ, cnt, val) in entries.items():
             size = _TYPE_SIZES.get(typ, 1) * cnt
+            if size > fsize:
+                # fail closed: a corrupt count would otherwise ask read()
+                # for gigabytes that cannot exist in this file
+                raise ValueError(
+                    f"TIFF tag {tag} claims {size} value bytes in a "
+                    f"{fsize}-byte file; corrupt"
+                )
             if size > inline_size:
                 ptr = struct.unpack(endian + ("Q" if bigtiff else "I"), val[: 8 if bigtiff else 4])[0]
                 f.seek(ptr)

@@ -576,3 +576,21 @@ def test_tiff_malformed_inputs_raise_cleanly(tmp_path, case):
     with pytest.raises(Exception) as ei:
         TiffTileSlide(p)
     assert not isinstance(ei.value, (MemoryError, RecursionError, SystemError))
+
+
+def test_tiff_oversize_tag_count_rejected(tmp_path):
+    """A tag whose claimed value size exceeds the file must raise, not
+    attempt a multi-gigabyte read."""
+    import struct
+
+    from path_gene_multimodal_tpu.io.tiff import TiffTileSlide
+
+    # one IFD, one LONG tag claiming 2^28 values (1 GiB of data)
+    entry = struct.pack("<HHI", 256, 4, 1 << 28) + struct.pack("<I", 64)
+    p = tmp_path / "oversize.svs"
+    p.write_bytes(
+        b"II*\x00\x08\x00\x00\x00" + struct.pack("<H", 1) + entry
+        + struct.pack("<I", 0)
+    )
+    with pytest.raises(ValueError, match="corrupt"):
+        TiffTileSlide(p)
