@@ -25,7 +25,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-INF = jnp.int32(2**30)
+# numpy scalar, NOT jnp: a module-level jnp scalar materializes a device
+# array at import time, initializing the JAX backend before callers can
+# switch platforms (CLAUDE.md environment gotchas)
+INF = np.int32(2**30)
 
 
 def _shift(x: jnp.ndarray, dy: int, dx: int, fill) -> jnp.ndarray:

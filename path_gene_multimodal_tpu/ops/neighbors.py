@@ -31,7 +31,9 @@ import numpy as np
 
 from path_gene_multimodal_tpu.utils.log import get_logger
 
-_BIG = jnp.float32(1e30)
+# numpy scalar, NOT jnp — a module-level jnp scalar would initialize the
+# JAX backend at import time (see ops/components.INF note)
+_BIG = np.float32(1e30)
 
 # static-shape degree cap on the device radius path (max_degree=None asks
 # for the reference's uncapped semantics; above HOST_TREE_MAX_N we must cap
@@ -97,7 +99,8 @@ def _knn_block(
 def _knn_filtered(
     queries: jnp.ndarray,
     db: jnp.ndarray,
-    gid_base: int,
+    n_true,
+    gid_base,
     r2: float,
     k: int,
     db_chunk: int,
@@ -110,10 +113,11 @@ def _knn_filtered(
     device→host boundary (as uint16 when ``compact``) — distances are
     recomputed host-side from the points, which cuts D2H bytes ~6× (the
     dev-environment tunnel moves ~25 MB/s, so transfer IS the graph-stage
-    cost)."""
-    n = db.shape[0]
+    cost). ``n_true`` (the unpadded point count) and ``gid_base`` are
+    traced scalars so every slide's nucleus count reuses ONE compiled
+    program per (q_chunk, db-bucket) shape."""
     d2, idx = _knn_block(queries, db, k, db_chunk)
-    invalid = (idx < 0) | (idx >= n) | (d2 >= _BIG)
+    invalid = (idx < 0) | (idx >= n_true) | (d2 >= _BIG)
     if drop_self:
         gids = gid_base + jnp.arange(queries.shape[0], dtype=jnp.int32)
         invalid = invalid | (idx == gids[:, None])
@@ -150,25 +154,45 @@ def _host_or_device_indices(
         order = np.argsort(d, axis=1, kind="stable")
         return np.take_along_axis(np.where(invalid, -1, i), order, axis=1)
     return _neighbor_indices(
-        jnp.asarray(pts_np), n, kk, radius, q_chunk, db_chunk,
-        drop_self=drop_self,
+        pts_np, n, kk, radius, q_chunk, db_chunk, drop_self=drop_self,
     )
 
 
 def _neighbor_indices(
-    pts: jnp.ndarray, n: int, kk: int, radius, q_chunk: int, db_chunk: int,
+    pts: np.ndarray, n: int, kk: int, radius, q_chunk: int, db_chunk: int,
     drop_self: bool,
 ) -> np.ndarray:
     """Host-side driver: chunked device query → int32 (N, kk) indices,
-    -1 invalid."""
+    -1 invalid.
+
+    Shapes are BUCKETED for compile-cache reuse across slides: the db is
+    padded host-side to a ``db_chunk`` multiple with +1e9 sentinel rows and
+    the final query chunk is padded to ``q_chunk``; the true count rides
+    along as a traced scalar. Without this, every slide's nucleus count is
+    a fresh program (minutes of compile over a tunnel)."""
     compact = n < 2**16 - 1
     r2 = None if radius is None else float(radius) ** 2
+    pts_np = np.asarray(pts, np.float32)
+    pad_db = (-n) % db_chunk
+    db_np = (
+        np.concatenate([pts_np, np.full((pad_db, 2), 1e9, np.float32)])
+        if pad_db else pts_np
+    )
+    db = jnp.asarray(db_np)
+    n_true = jnp.asarray(n, jnp.int32)
     out = []
     for start in range(0, n, q_chunk):
-        q = pts[start : start + q_chunk]
+        q_np = pts_np[start : start + q_chunk]
+        q_pad = q_chunk - len(q_np)
+        if q_pad:
+            q_np = np.concatenate([q_np, np.full((q_pad, 2), 1e9, np.float32)])
         raw = np.asarray(
-            _knn_filtered(q, pts, start, r2, kk, db_chunk, drop_self, compact)
+            _knn_filtered(jnp.asarray(q_np), db, n_true,
+                          jnp.asarray(start, jnp.int32), r2, kk, db_chunk,
+                          drop_self, compact)
         )
+        if q_pad:
+            raw = raw[:-q_pad]
         out.append(raw.astype(np.int32))
     idx = np.concatenate(out, axis=0)
     if compact:
@@ -220,8 +244,9 @@ def knn(
     """k nearest neighbors of every point among all points.
     Returns (dists (N, k) float32 Euclidean, indices (N, k) int32)."""
     pts_np = np.asarray(points, np.float32)
-    pts = jnp.asarray(pts_np)
     n = len(points)
+    if n == 0:  # same empty contract as combined_graphs/radius_graph
+        return np.zeros((0, k), np.float32), np.zeros((0, k), np.int32)
     # never ask for more neighbors than exist (sentinel rows would leak
     # out-of-range indices / ~1e9 distances into the results)
     k = max(min(k, n if include_self else n - 1), 1)
@@ -287,6 +312,10 @@ def combined_graphs(
     if max_degree is None and n <= HOST_TREE_MAX_N and (
         tree := _host_tree(pts_np)
     ) is not None:
+        # mirrors _host_or_device_indices' invalid-marking + stable-resort
+        # convention (kept inline because this path also needs the query's
+        # OWN distances); test_combined_graphs_matches_separate pins the two
+        # against each other, so drift fails loudly
         d_q, i_q = tree.query(pts_np, k=min(k + 1, n), workers=-1)
         d_q = np.asarray(d_q, np.float32).reshape(n, -1)
         i_q = np.asarray(i_q).reshape(n, -1).astype(np.int32)

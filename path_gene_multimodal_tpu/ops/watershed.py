@@ -38,7 +38,13 @@ from path_gene_multimodal_tpu.ops.components import (
     label_components,
 )
 
-_SOBEL_X = jnp.asarray([[-1.0, 0.0, 1.0], [-2.0, 0.0, 2.0], [-1.0, 0.0, 1.0]]) / 8.0
+# numpy on purpose: a module-level jnp.asarray would initialize the JAX
+# backend at IMPORT time, pinning the platform before callers can run the
+# documented post-import jax.config.update("jax_platforms", "cpu") switch
+# (CLAUDE.md environment gotchas). Constant-folded under jit either way.
+import numpy as _np
+
+_SOBEL_X = _np.asarray([[-1.0, 0.0, 1.0], [-2.0, 0.0, 2.0], [-1.0, 0.0, 1.0]]) / 8.0
 _SOBEL_Y = _SOBEL_X.T
 
 
@@ -263,9 +269,18 @@ def _label_markers_and_flood(
                 over_t = over_t | over2
             markers = jnp.where(marker_dense > 0, marker_dense, INF)
         else:
-            marker_lbl, marker_sizes, _ = pallas_cc_sizes(
-                marker_mask, 1, interpret=interpret
-            )
+            if interpret:
+                marker_lbl, marker_sizes, _ = pallas_cc_sizes(
+                    marker_mask, 1, interpret=True
+                )
+            else:
+                # adaptive slot budget + overflow counting, same as the
+                # dense branch — the fixed-slot call silently dropped
+                # markers past the budget without touching over_t
+                marker_lbl, marker_sizes, _, over2 = pallas_cc_sizes_adaptive(
+                    marker_mask, 1, count_overflow=True
+                )
+                over_t = over_t | over2
             markers = jnp.where(
                 marker_sizes >= min_marker_size, marker_lbl, INF
             )

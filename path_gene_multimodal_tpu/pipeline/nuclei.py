@@ -531,6 +531,8 @@ def run_hovernet_pipeline_on_wsi_tiles(
         next_submit = 3
         for i in range(len(chunks)):
             chunk, offsets, payload = futures[i].result()
+            futures[i] = None  # release the decoded stack (same retention
+            # hazard as nuclei_wsi: GBs held across a large slide otherwise)
             if next_submit < len(chunks):
                 futures.append(pool.submit(_decode_chunk, chunks[next_submit]))
                 next_submit += 1

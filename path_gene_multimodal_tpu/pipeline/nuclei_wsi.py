@@ -26,6 +26,7 @@ reference's 8-px overlap (stride 248) relies on steps 3-4.
 
 from __future__ import annotations
 
+import bisect
 import time
 from pathlib import Path
 from typing import Any
@@ -61,6 +62,30 @@ def iter_windows(
     if not ys:
         ys = [0]
     return [(x, y) for y in ys for x in xs]
+
+
+def contains_1d(lo: float, hi: float, w: int, grid: list[int], window: int) -> bool:
+    """1-D window-interior containment of [lo, hi] by the window starting at
+    ``w``: strict interior, except the slide-boundary windows may touch the
+    outer edge (an instance at the slide edge is not clipped there)."""
+    left_ok = lo > w or (w == grid[0] and lo >= w)
+    right_ok = hi < w + window or (w == grid[-1] and hi <= w + window)
+    return left_ok and right_ok
+
+
+def axis_candidates(lo: float, hi: float, grid: list[int], window: int) -> list[int]:
+    """Ascending window starts whose 1-D interior contains [lo, hi] — the
+    strict set is the open interval (hi - window, lo), found with bisect
+    instead of scanning the grid from the slide origin (the scan was
+    O(grid) per nucleus = 10⁸ Python-level ops on big slides); the two
+    boundary windows get their relaxed touch-allowed check."""
+    i0 = bisect.bisect_right(grid, hi - window)
+    i1 = bisect.bisect_left(grid, lo)
+    cand = grid[i0:i1]
+    for w in (grid[0], grid[-1]):
+        if w not in cand and contains_1d(lo, hi, w, grid, window):
+            cand = sorted(set(cand) | {w})
+    return cand
 
 
 def _dedup_seam_duplicates(
@@ -165,22 +190,18 @@ def run_hovernext_wsi(
         return bx0 > wx and by0 > wy and bx1 < wx + window and by1 < wy + window
 
     def _contains_1d(lo: float, hi: float, w: int, grid: list[int]) -> bool:
-        # strict interior, except the slide-boundary windows may touch the
-        # outer edge (an instance at the slide edge is not clipped there)
-        left_ok = lo > w or (w == grid[0] and lo >= w)
-        right_ok = hi < w + window or (w == grid[-1] and hi <= w + window)
-        return left_ok and right_ok
+        return contains_1d(lo, hi, w, grid, window)
 
     def first_containing_window(bx0, by0, bx1, by1) -> tuple[int, int] | None:
         """Lowest-index window whose interior contains the bbox (computable
         from the grids without running that window)."""
-        for wy in ys_grid:
-            if not _contains_1d(by0, by1, wy, ys_grid):
-                continue
-            for wx in xs_grid:
-                if _contains_1d(bx0, bx1, wx, xs_grid):
-                    return (wx, wy)
-        return None
+        ys_c = axis_candidates(by0, by1, ys_grid, window)
+        if not ys_c:
+            return None
+        xs_c = axis_candidates(bx0, bx1, xs_grid, window)
+        if not xs_c:
+            return None
+        return (xs_c[0], ys_c[0])
 
     # half-bandwidth planar feed (ops/jpegcolor.py): per-chunk, because the
     # slide-edge windows appended by iter_windows can sit at odd coords —
@@ -218,8 +239,8 @@ def run_hovernext_wsi(
         ids = inst[ys, xs]
         order = np.argsort(ids, kind="stable")
         ids, ys, xs = ids[order], ys[order], xs[order]
-        bounds = np.searchsorted(ids, np.unique(ids), side="left")
         uniq = np.unique(ids)
+        bounds = np.searchsorted(ids, uniq, side="left")
         out = {}
         for j, uid in enumerate(uniq):
             lo = bounds[j]
@@ -319,6 +340,9 @@ def run_hovernext_wsi(
         next_submit = 3
         for i in range(len(chunks)):
             chunk, payload = futures[i].result()
+            futures[i] = None  # release the Future's decoded tile stack —
+            # retaining every ~12 MB payload for the whole slide would grow
+            # host memory by GBs on large WSIs
             if next_submit < len(chunks):
                 futures.append(pool.submit(_decode_chunk, chunks[next_submit]))
                 next_submit += 1

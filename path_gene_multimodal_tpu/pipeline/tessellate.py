@@ -268,6 +268,8 @@ def iter_tile_batches(
         next_submit = prefetch + 1
         for i in range(len(chunks)):
             tiles, valid = futures[i].result()
+            futures[i] = None  # release the decoded stack — retaining every
+            # batch across a 100k-tile slide would hold GBs on the host
             if next_submit < len(chunks):
                 futures.append(
                     pool.submit(

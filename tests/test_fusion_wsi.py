@@ -111,7 +111,24 @@ def test_fusion_trainer_checkpoint_resume(rng, tmp_path):
 # --- WSI sliding-window nuclei --------------------------------------------
 
 
-def test_iter_windows_cover():
+def test_axis_candidates_matches_linear_scan(rng):
+    """The bisect-based containing-window search must agree with the
+    brute-force grid scan for every (bbox, grid) combination — including the
+    relaxed boundary-window semantics."""
+    from path_gene_multimodal_tpu.pipeline.nuclei_wsi import (
+        axis_candidates,
+        contains_1d,
+        iter_windows,
+    )
+
+    window, stride = 256, 248
+    for w0 in (256, 1000, 3000):
+        grid = sorted({x for x, _ in iter_windows(w0, 256, window, stride)})
+        for _ in range(300):
+            lo = float(rng.uniform(-5, w0 + 5))
+            hi = lo + float(rng.uniform(0, 80))
+            golden = [w for w in grid if contains_1d(lo, hi, w, grid, window)]
+            assert axis_candidates(lo, hi, grid, window) == golden, (w0, lo, hi)
     ws = iter_windows(1000, 600, 256, 248)
     xs = sorted({x for x, _ in ws})
     ys = sorted({y for _, y in ws})

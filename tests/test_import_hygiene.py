@@ -1,0 +1,62 @@
+"""Import hygiene: no module of the package may initialize a JAX backend at
+import time.
+
+The ambient production environment pins JAX_PLATFORMS=axon (one real TPU via
+a tunnel); the documented recipe for CPU work is to switch platforms AFTER
+importing jax (CLAUDE.md environment gotchas). A module-level device array
+(e.g. ``jnp.asarray(...)`` constants) initializes the backend during import,
+defeating that switch — and blocks for minutes when the tunnel is down.
+"""
+
+import subprocess
+import sys
+from pathlib import Path
+
+_PROBE = r"""
+import jax
+import jax._src.xla_bridge as xb
+
+def _boom(*a, **k):
+    raise RuntimeError("JAX backend initialized at import time")
+
+xb.backends = _boom
+xb._suggest_missing_backends = lambda *a, **k: None
+
+import importlib
+import pkgutil
+import traceback
+
+import path_gene_multimodal_tpu
+
+bad = []
+for m in pkgutil.walk_packages(
+    path_gene_multimodal_tpu.__path__, "path_gene_multimodal_tpu."
+):
+    try:
+        importlib.import_module(m.name)
+    except RuntimeError as e:
+        if "backend initialized at import time" in str(e):
+            bad.append(m.name)
+        else:
+            raise
+    except ImportError:
+        pass  # optional deps (torch-free deploys etc.)
+if bad:
+    print("BACKEND-AT-IMPORT:" + ",".join(bad))
+    raise SystemExit(1)
+print("CLEAN")
+"""
+
+
+def test_no_backend_init_at_import():
+    env_script = (
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n" + _PROBE
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", env_script],
+        capture_output=True, text=True, timeout=300,
+        cwd=Path(__file__).resolve().parents[1],
+    )
+    assert proc.returncode == 0 and "CLEAN" in proc.stdout, (
+        proc.stdout + proc.stderr
+    )

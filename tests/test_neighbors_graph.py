@@ -6,6 +6,7 @@ import pytest
 from scipy.spatial import cKDTree
 
 from path_gene_multimodal_tpu.config import GraphConfig
+from path_gene_multimodal_tpu.ops import neighbors
 from path_gene_multimodal_tpu.ops.neighbors import combined_graphs, knn, radius_graph
 from path_gene_multimodal_tpu.pipeline.graph import (
     build_cell_graph,
@@ -116,6 +117,35 @@ def test_uncapped_radius_matches_ball_query(rng):
     # the capped mode still truncates (old behavior, explicit opt-in)
     ei_cap, _ = radius_graph(pts, radius=30.0, max_degree=16)
     assert ei_cap.shape[1] < n_ref
+
+
+def test_knn_empty():
+    d, i = neighbors.knn(np.zeros((0, 2), np.float32), k=5)
+    assert d.shape == (0, 5) and i.shape == (0, 5)
+
+
+def test_device_path_shape_bucketing(rng, monkeypatch):
+    """Different slide sizes must REUSE the compiled kNN program: the db is
+    bucketed to db_chunk multiples and queries to q_chunk, with the true
+    count as a traced scalar (a per-n program costs minutes of compile per
+    slide over a tunnel)."""
+    monkeypatch.setattr(neighbors, "HOST_TREE_MAX_N", 0)  # force device path
+    base = neighbors._knn_filtered._cache_size()
+    outs = {}
+    for n in (100, 150, 130):  # same 256-bucket, different true n
+        pts = rng.random((n, 2)).astype(np.float32) * 1000
+        d, i = neighbors.knn(pts, k=5, q_chunk=64, db_chunk=256)
+        outs[n] = (d, i)
+        assert i.shape == (n, 5)
+    assert neighbors._knn_filtered._cache_size() - base == 1
+    # and the bucketed result is still exact vs the host tree
+    from scipy.spatial import cKDTree
+
+    pts = rng.random((130, 2)).astype(np.float32) * 1000
+    d, i = neighbors.knn(pts, k=5, q_chunk=64, db_chunk=256)
+    dt, it = cKDTree(pts).query(pts, k=6)
+    np.testing.assert_array_equal(i, it[:, 1:6])
+    np.testing.assert_allclose(d, dt[:, 1:6].astype(np.float32), rtol=1e-5)
 
 
 def test_combined_graphs_empty():
