@@ -67,6 +67,7 @@ class TiffPage:
     description: str = ""
     x_resolution: float | None = None
     resolution_unit: int | None = None
+    bits_per_sample: int = 8  # TIFF tag 258 (first sample)
 
     @property
     def is_tiled(self) -> bool:
@@ -209,6 +210,7 @@ def _page_from_ifd(ifd: dict) -> TiffPage | None:
         description=str(ifd.get(_TAG_IMAGE_DESCRIPTION, "")),
         x_resolution=float(_scalar(ifd, _TAG_X_RESOLUTION)) if _TAG_X_RESOLUTION in ifd else None,
         resolution_unit=int(_scalar(ifd, _TAG_RESOLUTION_UNIT)) if _TAG_RESOLUTION_UNIT in ifd else None,
+        bits_per_sample=int(_scalar(ifd, _TAG_BITS_PER_SAMPLE, 8)),
     )
 
 
@@ -332,8 +334,7 @@ class TiffTileSlide:
         page = self._pages[level]
         out = np.full((h, w, 3), 255, dtype=np.uint8)
         tw, th = page.tile_width, page.tile_height
-        tx0, tx1 = max(x0 // tw, 0), min((x0 + w - 1) // tw, page.tiles_across - 1)
-        ty0, ty1 = max(y0 // th, 0), min((y0 + h - 1) // th, page.tiles_down - 1)
+        tx0, tx1, ty0, ty1 = _tile_cover(page, x0, y0, w, h)
         for ty in range(ty0, ty1 + 1):
             for tx in range(tx0, tx1 + 1):
                 tile = self._decode_tile_cached(level, page, ty * page.tiles_across + tx)
@@ -374,16 +375,27 @@ class TiffTileSlide:
         """Decode a batch of tiles (by linear tile id) — the fast path used by
         tessellation; dispatches to the C++ threaded decoder when available."""
         page = self._pages[level]
-        if self._native is not None and page.compression == 7:
-            blobs, shapes = [], []
-            for tid in tile_ids:
-                blobs.append(self._tile_bytes(page, int(tid)))
+        has_sparse = any(
+            int(t) < 0 or int(t) >= len(page.offsets)
+            or page.byte_counts[int(t)] == 0 or page.offsets[int(t)] == 0
+            for t in tile_ids
+        )
+        if self._native is not None and page.compression == 7 and not has_sparse:
+            blobs = [self._tile_bytes(page, int(tid)) for tid in tile_ids]
             arr = self._native.decode_jpeg_batch(
                 blobs, page.tile_height, page.tile_width, page.jpeg_tables
             )
             if arr is not None:
                 return arr
-        return np.stack([self._decode_tile(page, int(t)) for t in tile_ids])
+        tiles = []
+        for t in tile_ids:
+            tile = self._decode_tile(page, int(t))
+            if tile is None:  # sparse-tile convention → blank (white)
+                tile = np.full(
+                    (page.tile_height, page.tile_width, 3), 255, np.uint8
+                )
+            tiles.append(tile)
+        return np.stack(tiles)
 
     def prefetch_regions(
         self,
@@ -517,12 +529,14 @@ class TiffTileSlide:
         out_y = np.full((h, w), 255, dtype=np.uint8)
         out_c = np.full((h // 2, w // 2, 2), 128, dtype=np.uint8)
         tw, th = page.tile_width, page.tile_height
-        tx0, tx1 = max(x0 // tw, 0), min((x0 + w - 1) // tw, page.tiles_across - 1)
-        ty0, ty1 = max(y0 // th, 0), min((y0 + h - 1) // th, page.tiles_down - 1)
+        tx0, tx1, ty0, ty1 = _tile_cover(page, x0, y0, w, h)
         for ty in range(ty0, ty1 + 1):
             for tx in range(tx0, tx1 + 1):
                 idx = ty * page.tiles_across + tx
-                if page.byte_counts[idx] == 0 or page.offsets[idx] == 0:
+                if (
+                    idx >= len(page.offsets)  # truncated offsets tag
+                    or page.byte_counts[idx] == 0 or page.offsets[idx] == 0
+                ):
                     continue  # sparse tile: stays white
                 planes = self._decode_tile_planar_cached(level, page, idx)
                 if planes is None:
@@ -554,19 +568,18 @@ class TiffTileSlide:
         cache capacity."""
         ds = self.level_downsamples[level]
         w, h = size
-        tw, th = page.tile_width, page.tile_height
         id_set: set[int] = set()
         for lx0, ly0 in np.asarray(locations).reshape(-1, 2):
             x0 = int(round(int(lx0) / ds))
             y0 = int(round(int(ly0) / ds))
-            tx0 = max(x0 // tw, 0)
-            tx1 = min((x0 + w - 1) // tw, page.tiles_across - 1)
-            ty0 = max(y0 // th, 0)
-            ty1 = min((y0 + h - 1) // th, page.tiles_down - 1)
+            tx0, tx1, ty0, ty1 = _tile_cover(page, x0, y0, w, h)
             for ty in range(ty0, ty1 + 1):
                 for tx in range(tx0, tx1 + 1):
                     id_set.add(ty * page.tiles_across + tx)
-        return sorted(id_set)[: self._cache_cap]
+        # ids past a truncated offsets tag are undecodable — drop them here
+        # so both prefetch paths stay crash-free
+        n_tiles = len(page.offsets)
+        return sorted(i for i in id_set if i < n_tiles)[: self._cache_cap]
 
     def _decode_tile_planar_cached(
         self, level: int, page: TiffPage, idx: int
@@ -626,13 +639,17 @@ class TiffTileSlide:
             return _decode_jpeg(data, page.jpeg_tables, th, tw)
         if comp in (8, 32946):  # deflate
             raw = zlib.decompress(data)
-            return _raw_to_rgb(raw, th, tw, page.samples, page.predictor)
+            return _raw_to_rgb(raw, th, tw, page.samples, page.predictor,
+                                page.bits_per_sample)
         if comp == 5:
-            return _raw_to_rgb(_lzw_decode(data), th, tw, page.samples, page.predictor)
+            return _raw_to_rgb(_lzw_decode(data), th, tw, page.samples,
+                                page.predictor, page.bits_per_sample)
         if comp == 32773:
-            return _raw_to_rgb(_packbits_decode(data), th, tw, page.samples, page.predictor)
+            return _raw_to_rgb(_packbits_decode(data), th, tw, page.samples,
+                                page.predictor, page.bits_per_sample)
         if comp == 1:
-            return _raw_to_rgb(data, th, tw, page.samples, page.predictor)
+            return _raw_to_rgb(data, th, tw, page.samples, page.predictor,
+                                page.bits_per_sample)
         if comp in (33003, 33005, 34712):  # JPEG2000 (Aperio / generic)
             import cv2
 
@@ -644,6 +661,20 @@ class TiffTileSlide:
 
     def close(self) -> None:
         self._f.close()
+
+
+def _tile_cover(
+    page: TiffPage, x0: int, y0: int, w: int, h: int
+) -> tuple[int, int, int, int]:
+    """Inclusive (tx0, tx1, ty0, ty1) tile-grid range covering the level-px
+    region — ONE definition so read_region / read_region_planar / prefetch
+    can never disagree about which tiles a region touches."""
+    tw, th = page.tile_width, page.tile_height
+    tx0 = max(x0 // tw, 0)
+    tx1 = min((x0 + w - 1) // tw, page.tiles_across - 1)
+    ty0 = max(y0 // th, 0)
+    ty1 = min((y0 + h - 1) // th, page.tiles_down - 1)
+    return tx0, tx1, ty0, ty1
 
 
 def _is_pyramid_level(page: TiffPage, base_w: int, base_h: int) -> bool:
@@ -670,8 +701,11 @@ def _parse_mpp(page: TiffPage) -> float | None:
                 return float(part.split("=")[1].strip())
             except ValueError:
                 pass
-    if page.x_resolution and page.resolution_unit == 3:  # pixels per cm
-        return 10000.0 / page.x_resolution
+    if page.x_resolution:
+        if page.resolution_unit == 3:  # pixels per cm
+            return 10000.0 / page.x_resolution
+        if page.resolution_unit == 2:  # pixels per inch (the TIFF default)
+            return 25400.0 / page.x_resolution
     return None
 
 
@@ -695,11 +729,24 @@ def _decode_jpeg(
 
 
 def _raw_to_rgb(
-    raw: bytes, height: int, width: int, samples: int, predictor: int = 1
+    raw: bytes, height: int, width: int, samples: int, predictor: int = 1,
+    bits: int = 8,
 ) -> np.ndarray:
+    if bits != 8:
+        # reinterpreting 16-bit (etc.) data as uint8 would silently emit a
+        # scrambled tile — fail closed instead
+        raise ValueError(f"unsupported BitsPerSample {bits} (only 8)")
     arr = np.frombuffer(raw, np.uint8)
     expect = height * width * samples
+    row = width * samples
     if arr.size < expect:
+        # some writers emit undersized EDGE tiles with whole rows missing —
+        # white-pad only that row-aligned case; anything else is truncation
+        if arr.size % row:
+            raise ValueError(
+                f"raw tile has {arr.size} bytes, expected {expect} "
+                f"(not row-aligned; truncated or mis-declared layout)"
+            )
         arr = np.pad(arr, (0, expect - arr.size), constant_values=255)
     arr = arr[:expect].reshape(height, width, samples)
     if predictor == 2:

@@ -30,75 +30,20 @@ def instance_features(
     """inst_map: (H, W) int32, 0 = background, ids 1..max_instances-1.
     type_map: (H, W) int32 per-pixel type (0 = background class).
 
-    Returns per-id arrays of length ``max_instances`` (id 0 = background
-    slot, ignore): area, centroid_x/y (pixel coords, x = column), bbox
+    Returns per-id arrays of length ``max_instances`` (slot 0 = background,
+    always zero): area, centroid_x/y (pixel coords, x = column), bbox
     [xmin, ymin, xmax, ymax] (max-exclusive), type (majority vote over
     non-background pixel types; 0 if none).
+
+    Thin B=1 wrapper over :func:`instance_features_batch` — ONE moment/vote
+    implementation, so fixes can't diverge between the per-tile and WSI
+    paths.
     """
-    h, w = inst_map.shape
-    flat = inst_map.reshape(-1)
-    ys = (jnp.arange(h * w, dtype=jnp.int32) // w).astype(jnp.float32)
-    xs = (jnp.arange(h * w, dtype=jnp.int32) % w).astype(jnp.float32)
-
-    ones = jnp.ones_like(flat, jnp.float32)
-    area = jnp.zeros(max_instances, jnp.float32).at[flat].add(ones, mode="drop")
-    sum_x = jnp.zeros(max_instances, jnp.float32).at[flat].add(xs, mode="drop")
-    sum_y = jnp.zeros(max_instances, jnp.float32).at[flat].add(ys, mode="drop")
-    safe_area = jnp.maximum(area, 1.0)
-    cx = sum_x / safe_area
-    cy = sum_y / safe_area
-
-    big = jnp.float32(1e9)
-    xmin = jnp.full(max_instances, big).at[flat].min(xs, mode="drop")
-    ymin = jnp.full(max_instances, big).at[flat].min(ys, mode="drop")
-    xmax = jnp.full(max_instances, -big).at[flat].max(xs, mode="drop")
-    ymax = jnp.full(max_instances, -big).at[flat].max(ys, mode="drop")
-
-    # central second moments (for regionprops-style shape features):
-    # scatter x², y², xy then subtract centroid terms
-    sum_xx = jnp.zeros(max_instances, jnp.float32).at[flat].add(xs * xs, mode="drop")
-    sum_yy = jnp.zeros(max_instances, jnp.float32).at[flat].add(ys * ys, mode="drop")
-    sum_xy = jnp.zeros(max_instances, jnp.float32).at[flat].add(xs * ys, mode="drop")
-    # + 1/12 per-pixel square correction (regionprops uses pixel centers;
-    # we keep raw point moments — documented, self-consistent)
-    mu_xx = sum_xx / safe_area - cx * cx
-    mu_yy = sum_yy / safe_area - cy * cy
-    mu_xy = sum_xy / safe_area - cx * cy
-    # eigenvalues of the covariance matrix → axis lengths / eccentricity
-    common = jnp.sqrt(jnp.maximum(((mu_xx - mu_yy) / 2) ** 2 + mu_xy**2, 0.0))
-    lam1 = (mu_xx + mu_yy) / 2 + common   # major
-    lam2 = (mu_xx + mu_yy) / 2 - common   # minor
-    lam1 = jnp.maximum(lam1, 0.0)
-    lam2 = jnp.maximum(lam2, 0.0)
-    major_axis = 4.0 * jnp.sqrt(lam1)
-    minor_axis = 4.0 * jnp.sqrt(lam2)
-    eccentricity = jnp.sqrt(jnp.maximum(1.0 - lam2 / jnp.maximum(lam1, 1e-12), 0.0))
-    orientation = 0.5 * jnp.arctan2(2.0 * mu_xy, mu_xx - mu_yy)
-
-    # majority type vote: scatter-add into (max_instances, num_types)
-    tflat = jnp.clip(type_map.reshape(-1), 0, num_types - 1)
-    votes = jnp.zeros((max_instances, num_types), jnp.float32)
-    votes = votes.at[flat, tflat].add(jnp.where(tflat > 0, 1.0, 0.0), mode="drop")
-    inst_type = jnp.where(
-        jnp.sum(votes[:, 1:], axis=1) > 0,
-        jnp.argmax(votes[:, 1:], axis=1) + 1,
-        0,
-    ).astype(jnp.int32)
-
-    return {
-        "area": area,
-        "centroid_x": cx,
-        "centroid_y": cy,
-        "bbox_xmin": jnp.where(area > 0, xmin, 0.0),
-        "bbox_ymin": jnp.where(area > 0, ymin, 0.0),
-        "bbox_xmax": jnp.where(area > 0, xmax + 1.0, 0.0),
-        "bbox_ymax": jnp.where(area > 0, ymax + 1.0, 0.0),
-        "type": inst_type,
-        "major_axis": major_axis,
-        "minor_axis": minor_axis,
-        "eccentricity": eccentricity,
-        "orientation": orientation,
-    }
+    out = instance_features_batch(
+        inst_map[None], type_map[None], max_instances, num_types,
+        use_pallas=False,
+    )
+    return {k: v[0] for k, v in out.items()}
 
 
 @jax.jit
@@ -150,12 +95,14 @@ def instance_features_batch(
         from path_gene_multimodal_tpu.ops.pallas.instance_stats import (
             features_from_stats,
             instance_stats_pallas,
+            stats_center,
         )
 
         sums, mins = instance_stats_pallas(
             inst_maps, type_maps, max_instances, num_types
         )
-        return features_from_stats(sums, mins, num_types)
+        center = stats_center(inst_maps.shape[1], inst_maps.shape[2])
+        return features_from_stats(sums, mins, num_types, center=center)
     b, h, w = inst_maps.shape
     offset = jnp.arange(b, dtype=jnp.int32)[:, None, None] * max_instances
     n_slots_total = b * max_instances
@@ -186,12 +133,20 @@ def instance_features_batch(
     ymin = jnp.full(n_slots, big).at[flat].min(ys, mode="drop")
     xmax = jnp.full(n_slots, -big).at[flat].max(xs, mode="drop")
     ymax = jnp.full(n_slots, -big).at[flat].max(ys, mode="drop")
-    sum_xx = jnp.zeros(n_slots, jnp.float32).at[flat].add(xs * xs, mode="drop")
-    sum_yy = jnp.zeros(n_slots, jnp.float32).at[flat].add(ys * ys, mode="drop")
-    sum_xy = jnp.zeros(n_slots, jnp.float32).at[flat].add(xs * ys, mode="drop")
-    mu_xx = sum_xx / safe_area - cx * cx
-    mu_yy = sum_yy / safe_area - cy * cy
-    mu_xy = sum_xy / safe_area - cx * cy
+    # central moments via a SECOND scatter over centroid-shifted coords:
+    # E[x²]−cx² in f32 over raw pixel coordinates cancels catastrophically
+    # for small instances far from the tile origin (both terms ~1e6, the
+    # difference ~10), skewing axis lengths / eccentricity / orientation by
+    # percents; E[(x−cx)²] is exact at the same cost plus two cheap gathers
+    cx_at = jnp.take(cx, flat, mode="fill", fill_value=0.0)
+    cy_at = jnp.take(cy, flat, mode="fill", fill_value=0.0)
+    dxs, dys = xs - cx_at, ys - cy_at
+    sum_xx = jnp.zeros(n_slots, jnp.float32).at[flat].add(dxs * dxs, mode="drop")
+    sum_yy = jnp.zeros(n_slots, jnp.float32).at[flat].add(dys * dys, mode="drop")
+    sum_xy = jnp.zeros(n_slots, jnp.float32).at[flat].add(dxs * dys, mode="drop")
+    mu_xx = sum_xx / safe_area
+    mu_yy = sum_yy / safe_area
+    mu_xy = sum_xy / safe_area
     common = jnp.sqrt(jnp.maximum(((mu_xx - mu_yy) / 2) ** 2 + mu_xy**2, 0.0))
     lam1 = jnp.maximum((mu_xx + mu_yy) / 2 + common, 0.0)
     lam2 = jnp.maximum((mu_xx + mu_yy) / 2 - common, 0.0)
@@ -249,7 +204,13 @@ def instance_contours(
         ring = exterior_ring(crop)
         if ring is None or len(ring) < 3:
             continue
-        ring = douglas_peucker(ring, simplify_tol, closed=True)
+        simp = douglas_peucker(ring, simplify_tol, closed=True)
+        if len(simp) < 3:
+            # DP collapsed a tiny ring (e.g. a 1-px diamond whose vertices
+            # all sit exactly at tol) — keep the unsimplified exterior
+            # rather than emitting a degenerate 2-point polygon
+            simp = ring
+        ring = simp
         xy = np.stack([ring[:, 1] + x0, ring[:, 0] + y0], axis=1)
         if max_vertices and len(xy) > max_vertices:
             step = int(np.ceil(len(xy) / max_vertices))

@@ -39,10 +39,21 @@ _BIG = 3e38  # python float: a jnp scalar would be a captured tracer constant
 _N_FIXED = 6
 
 
-def _stats_kernel(p: int, w: int, s_slots: int, num_types: int, c_sum: int):
+def _stats_kernel(
+    p: int, w: int, s_slots: int, num_types: int, c_sum: int,
+    sx: float, sy: float,
+):
     """Operates on a flattened pixel strip: lbl/tp blocks are (p, 1) —
     Mosaic cannot re-lane a (rows, w) → (p, 1) reshape, so the caller
-    flattens in XLA and x/y are rebuilt from a pixel-index iota here."""
+    flattens in XLA and x/y are rebuilt from a pixel-index iota here.
+
+    Second-moment channels (3-5) accumulate about the TILE CENTER
+    ``(sx, sy)``: raw-coordinate Σx² reaches ~1e8 where f32 ULP is ~8, and
+    the later E[x²]−cx² cancellation amplifies that into percent-level
+    axis/orientation errors for instances far from the origin; centering
+    bounds the accumulated magnitudes by the tile size. Central moments are
+    translation-invariant, so ``features_from_stats`` only needs the same
+    shift applied to the centroid terms (its ``center`` argument)."""
 
     def kernel(lbl_ref, tp_ref, sums_ref, mins_ref):
         strip = pl.program_id(1)
@@ -60,8 +71,9 @@ def _stats_kernel(p: int, w: int, s_slots: int, num_types: int, c_sum: int):
         # values matrix (p, c_sum) assembled by channel-index select —
         # Mosaic has no lane-changing reshape/stack for (p,) → (p, 1)
         cidx = jax.lax.broadcasted_iota(jnp.int32, (p, c_sum), 1)
+        xc, yc = xb - sx, yb - sy  # centered coords for the 2nd moments
         vmat = jnp.where(cidx == 0, 1.0, 0.0)
-        for c, v in ((1, xb), (2, yb), (3, xb * xb), (4, yb * yb), (5, xb * yb)):
+        for c, v in ((1, xb), (2, yb), (3, xc * xc), (4, yc * yc), (5, xc * yc)):
             vmat = jnp.where(cidx == c, v, vmat)
         for t in range(1, num_types):
             vmat = jnp.where(
@@ -136,8 +148,9 @@ def instance_stats_pallas(
 
     vma = _vma_of(inst_maps)
     blk = lambda: pl.BlockSpec((1, p, 1), lambda i, j: (i, j, 0))
+    sx, sy = stats_center(h, w)
     out = pl.pallas_call(
-        _stats_kernel(p, w, s, num_types, c_sum),
+        _stats_kernel(p, w, s, num_types, c_sum, sx, sy),
         out_shape=(
             jax.ShapeDtypeStruct((b, s, c_sum), jnp.float32, vma=vma),
             jax.ShapeDtypeStruct((b, 4, s), jnp.float32, vma=vma),
@@ -154,20 +167,34 @@ def instance_stats_pallas(
     return out
 
 
+def stats_center(h: int, w: int) -> tuple[float, float]:
+    """The (sx, sy) shift the stats kernel centers its second-moment
+    channels about — ONE definition shared with ``features_from_stats``
+    callers so producer and consumer can never disagree."""
+    return w / 2.0, h / 2.0
+
+
 def features_from_stats(
-    sums: jnp.ndarray, mins: jnp.ndarray, num_types: int
+    sums: jnp.ndarray, mins: jnp.ndarray, num_types: int,
+    center: tuple[float, float] = (0.0, 0.0),
 ) -> dict[str, jnp.ndarray]:
     """(B, S, c_sum) + (B, 4, S) → the ``instance_features_batch`` output
-    dict (plain XLA elementwise on the tiny stats tensors)."""
+    dict (plain XLA elementwise on the tiny stats tensors). ``center`` must
+    be the ``stats_center`` of the maps the stats came from (the kernel's
+    second moments are accumulated about it)."""
     # background slot 0 → zero, matching the scatter path's id-0 drop
     sums = sums.at[:, 0, :].set(0.0)
     area = sums[..., 0]
     safe = jnp.maximum(area, 1.0)
     cx = sums[..., 1] / safe
     cy = sums[..., 2] / safe
-    mu_xx = sums[..., 3] / safe - cx * cx
-    mu_yy = sums[..., 4] / safe - cy * cy
-    mu_xy = sums[..., 5] / safe - cx * cy
+    live = area > 0
+    cxs, cys = cx - center[0], cy - center[1]  # centroids in centered coords
+    # dead slots: all sums are 0 but cxs=-center, so the subtraction would
+    # fabricate nonzero moments (wrong orientation) — mask them to 0
+    mu_xx = jnp.where(live, sums[..., 3] / safe - cxs * cxs, 0.0)
+    mu_yy = jnp.where(live, sums[..., 4] / safe - cys * cys, 0.0)
+    mu_xy = jnp.where(live, sums[..., 5] / safe - cxs * cys, 0.0)
     common = jnp.sqrt(jnp.maximum(((mu_xx - mu_yy) / 2) ** 2 + mu_xy**2, 0.0))
     lam1 = jnp.maximum((mu_xx + mu_yy) / 2 + common, 0.0)
     lam2 = jnp.maximum((mu_xx + mu_yy) / 2 - common, 0.0)
@@ -175,7 +202,6 @@ def features_from_stats(
     inst_type = jnp.where(
         jnp.sum(votes, axis=-1) > 0, jnp.argmax(votes, axis=-1) + 1, 0
     ).astype(jnp.int32)
-    live = area > 0
     z = jnp.zeros_like(area)
     return {
         "area": area,

@@ -60,8 +60,13 @@ def tiles_to_grid(
         x_to_ix = {v: i for i, v in enumerate(x_vals)}
         y_to_iy = {v: i for i, v in enumerate(y_vals)}
         gw, gh = len(x_vals), len(y_vals)
-        ix = df["x"].map(x_to_ix).to_numpy()
-        iy = df["y"].map(y_to_iy).to_numpy()
+        # explicit int64: an empty frame maps to an object-dtype array,
+        # which numpy rejects as an index
+        ix = df["x"].map(x_to_ix).to_numpy(np.int64)
+        iy = df["y"].map(y_to_iy).to_numpy(np.int64)
+    elif len(x_vals) == 0:  # empty frame: 0×0 grid (rank path's behavior)
+        ix = iy = np.zeros(0, np.int64)
+        gw = gh = 0
     else:
         x0, y0 = int(x_vals[0]), int(y_vals[0])
         ix = ((df["x"].to_numpy() - x0) // tile_w).astype(np.int64)
@@ -105,8 +110,15 @@ def smooth_and_resolve(
     masks = jnp.stack(
         [label_grid == k for k in range(num_classes)], axis=0
     )  # (K, H, W) bool
-    se = morph.disk(max(1, int(round(smooth_radius_tiles))))
-    smoothed = morph.binary_opening(morph.binary_closing(masks, se), se)
+    radius = int(round(smooth_radius_tiles))
+    if radius > 0:
+        se = morph.disk(radius)
+        smoothed = morph.binary_opening(morph.binary_closing(masks, se), se)
+    else:
+        # radius 0 = smoothing OFF — the old max(1, ...) clamp meant a
+        # radius-1 opening always ran, silently erasing every isolated
+        # single-tile class region
+        smoothed = masks
     if blur_sigma is not None and blur_sigma > 0:
         smoothed = morph.gaussian_blur(smoothed.astype(jnp.float32), blur_sigma) > 0.5
     if area_min_tiles and area_min_tiles > 0:

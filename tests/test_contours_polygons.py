@@ -158,6 +158,24 @@ def test_smooth_and_resolve_exclusive(tile_df):
     assert not resolved[4].any()
 
 
+def test_tiles_to_grid_dense_empty():
+    """Zero tiles (blank slide) must yield a 0×0 grid in BOTH modes, not an
+    IndexError in the dense path."""
+    df = pd.DataFrame({"x": [], "y": [], "predicted_class": []})
+    for rc in (True, False):
+        grid = tiles_to_grid(df, ["a"], rank_compressed=rc)
+        assert grid["label_grid"].shape == (0, 0)
+
+
+def test_smooth_radius_zero_disables_smoothing(tile_df):
+    """smooth_radius_tiles=0 = smoothing OFF: an isolated single-tile region
+    must SURVIVE (the old max(1,...) clamp always opened it away)."""
+    df, cfg, classes = tile_df
+    grid = tiles_to_grid(df, classes)
+    resolved = smooth_and_resolve(grid, 5, smooth_radius_tiles=0.0)
+    assert resolved[4].any()  # the isolated necrosis tile is kept
+
+
 def test_build_polygons_features(tile_df):
     df, cfg, classes = tile_df
     features = build_polygons_for_all_classes(df, classes, cfg)

