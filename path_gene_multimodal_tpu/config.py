@@ -188,6 +188,11 @@ class CompatConfig:
     # create_and_overlay_polygon_from_prediction.py:111-124; False = dense
     # (x - x0) // tile mapping (geometrically correct for gappy grids).
     rank_compressed_grid: bool = True
+    # TME margin corner metric: True = shapely's quad_segs=8 inscribed
+    # polygon buffer (load_annotation_with_coordinates.py:216-222, exact
+    # reference parity incl. the ≤0.48% corner inset); False = true
+    # Euclidean disc.
+    polygonal_buffer_corners: bool = True
 
 
 @dataclass(frozen=True)

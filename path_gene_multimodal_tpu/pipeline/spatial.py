@@ -29,6 +29,7 @@ import pandas as pd
 from path_gene_multimodal_tpu.config import CompatConfig, PipelineConfig, resolve_tile_png_name
 from path_gene_multimodal_tpu.core.artifacts import read_tessellation_h5
 from path_gene_multimodal_tpu.ops.tme import tme_roi_flags
+from path_gene_multimodal_tpu.utils.log import get_logger
 
 
 def load_annotations_with_coords(
@@ -68,6 +69,18 @@ def load_annotations_with_coords(
     df_coords = pd.DataFrame(meta)
 
     df_merged = df.merge(df_coords, on="tile_index", how="left")
+    unmatched = df_merged["x"].isna()
+    if unmatched.any():
+        # annotations referencing tile indices absent from the H5 (e.g. a
+        # re-tessellation changed the grid): drop them loudly instead of
+        # crashing later on int(NaN) — the reference crashes here (bug not
+        # reproduced per CLAUDE.md)
+        get_logger().warning(
+            "%d/%d annotation rows have no matching tile in the H5 "
+            "(stale tile_index?) — dropped",
+            int(unmatched.sum()), len(df_merged),
+        )
+        df_merged = df_merged[~unmatched].reset_index(drop=True)
 
     if patches_dir is None:
         pdir = Path(out_dir) / "patches"
@@ -97,6 +110,7 @@ def load_annotations_with_coords(
             is_eligible,
             box_size=float(patch_size),
             margin=float(patch_size) * tme_margin_factor,
+            corners="polygon8" if compat.polygonal_buffer_corners else "euclid",
         )
         df_merged["in_tme_roi"] = flags
 

@@ -74,17 +74,25 @@ def run_tessellation(
     y0, y1, x0, x1, ny, nx = gridops.tile_edges_for_scale(
         th, tw, patch, mask_scale
     )
-    pad1 = lambda e: np.pad(e, (0, s_canon - len(e)))  # y0==y1 → frac 0
+    # edge arrays can exceed s_canon on very large slides (ny≈h0/patch is
+    # unbounded while the thumbnail caps at s_canon): bucket their length
+    # by doubling — one extra compiled program per rare huge-slide bucket,
+    # instead of np.pad crashing on a negative width
+    n_edge = s_canon
+    while n_edge < max(ny, nx):
+        n_edge *= 2
+    pad1 = lambda e: np.pad(e, (0, n_edge - len(e)))  # y0==y1 → frac 0
     frac = gridops.tile_foreground_fraction_edges(
         mask_dev, *(jnp.asarray(pad1(e)) for e in (y0, y1, x0, x1))
     )
-    frac_np = np.asarray(frac)[:ny, :nx]
+    # threshold ON DEVICE (same f32 compare, canonical shape → one cached
+    # program) and ship the 1-byte keep grid instead of the full float32
+    # frac canvas — 4× fewer D2H bytes over a ~25 MB/s tunnel
+    keep = np.asarray(frac >= np.float32(t.min_foreground_frac))[:ny, :nx]
     mask = np.asarray(mask_dev)[:th, :tw]
-    keep = frac_np >= t.min_foreground_frac
+    # np.nonzero on a 2-D array is already row-major (y outer, x ascending
+    # within y) — the reference's H5 layout
     gy, gx = np.nonzero(keep)
-    # row-major order (y outer) to match the reference's H5 layout
-    order = np.lexsort((gx, gy))
-    gy, gx = gy[order], gx[order]
     coords = np.stack([gx * patch, gy * patch], axis=1).astype(np.int64)
 
     result = TessellationResult(

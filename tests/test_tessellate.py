@@ -63,3 +63,24 @@ def test_patch_png_writing(tmp_path, small_slide):
     # naming contract {x}_{y}.png
     x, y = res.coords[0]
     assert (tmp_path / "patches" / f"{x}_{y}.png").exists()
+
+
+def test_huge_slide_grid_exceeds_canonical_thumbnail(tmp_path):
+    """A slide whose tile grid is larger than the canonical thumbnail
+    (ny or nx > thumbnail_size) must tile, not crash in the edge-array pad
+    (np.pad with a negative width). Simulated with a small thumbnail_size
+    so the grid/thumb ratio matches a >229k-px slide at the default 1024."""
+    import dataclasses
+
+    from path_gene_multimodal_tpu.io.slide import synthetic_wsi
+
+    slide = synthetic_wsi(16384, 512, seed=7, n_blobs=6, nuclei_per_blob=20)
+    cfg = default_config()
+    cfg = cfg.replace(
+        tessellation=dataclasses.replace(cfg.tessellation, thumbnail_size=64)
+    )
+    # nx = floor(64 / (224 * 64 / 16384)) = 73 > 64: the overflow case
+    res = run_tessellation(slide, tmp_path, cfg, stem="huge", write_artifacts=False)
+    assert res.num_tiles > 0
+    assert (res.coords % 224 == 0).all()
+    assert res.coords[:, 0].max() + 224 <= 16384
