@@ -68,12 +68,15 @@ def main(argv: list[str] | None = None) -> int:
         return 2
 
     vision_cfg = vision_params = text_cfg = text_params = None
+    weights_fp = None
     if args.weights:
         from path_gene_multimodal_tpu.core.checkpoints import (
+            file_fingerprint,
             load_converted,
             text_sidecar_path,
         )
 
+        weights_fp = file_fingerprint(args.weights)
         kind, vision_cfg, vision_params = load_converted(args.weights)
         if kind not in ("clip", "virchow2"):
             logger.error("%s is a %r artifact, expected kind clip|virchow2",
@@ -87,6 +90,7 @@ def main(argv: list[str] | None = None) -> int:
     models = PipelineModels.build(
         cfg, vision_params=vision_params, vision_cfg=vision_cfg,
         text_cfg=text_cfg, text_params=text_params,
+        weights_fingerprint=weights_fp,
     )
     if args.profile:
         import contextlib

@@ -42,6 +42,23 @@ def _npz_path(path: Path) -> Path:
     return path.parent / (path.name + ".npz")
 
 
+def file_fingerprint(path: str | Path, sample: int = 1 << 20) -> str:
+    """Cheap content fingerprint of a weights artifact for resume
+    manifests: sha1 over (size, first ``sample`` bytes, last ``sample``
+    bytes) — content-sensitive without reading multi-GB files whole."""
+    import hashlib
+
+    p = Path(path)
+    size = p.stat().st_size
+    h = hashlib.sha1(str(size).encode())
+    with open(p, "rb") as f:
+        h.update(f.read(sample))
+        if size > sample:
+            f.seek(max(size - sample, 0))
+            h.update(f.read(sample))
+    return h.hexdigest()[:16]
+
+
 def text_sidecar_path(artifact: str | Path) -> Path:
     """``<artifact minus a literal .npz>_text.npz`` — where the CLIP text
     tower rides along a converted vision artifact. One definition so the

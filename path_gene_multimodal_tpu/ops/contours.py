@@ -172,3 +172,25 @@ def _dp_open(pts: np.ndarray, tol: float) -> np.ndarray:
             stack.append((s, k))
             stack.append((k, e))
     return pts[keep]
+
+
+def component_rings(lbl: "np.ndarray", n: int) -> list["np.ndarray"]:
+    """Exterior ring per compact label 1..n, traced on each component's
+    bbox crop and offset back to mask (row, col) coordinates. Degenerate
+    (<3-vertex) components are skipped.
+
+    The shared inner step of pipeline/{morphology,polygons,altpaths}'s
+    labeled-mask → rings flows — ONE implementation so marching-squares
+    fixes propagate everywhere."""
+    rings: list[np.ndarray] = []
+    for k in range(1, n + 1):
+        comp = lbl == k
+        ys, xs = np.nonzero(comp)
+        if len(ys) == 0:
+            continue
+        crop = comp[ys.min() : ys.max() + 1, xs.min() : xs.max() + 1]
+        ring = exterior_ring(crop)
+        if ring is None or len(ring) < 3:
+            continue
+        rings.append(ring + np.asarray([ys.min(), xs.min()], dtype=ring.dtype))
+    return rings

@@ -66,15 +66,21 @@ def tumor_polygon_from_patches(
     gy = ((coords[:, 1] - y0) / px_per_unit).astype(np.int64)
     gw = int(gx.max()) + raster_scale
     gh = int(gy.max()) + raster_scale
-    mask = np.zeros((gh, gw), bool)
+    # bucket the raster to 256-multiples (zero pad = background): per-slide
+    # data-dependent shapes would compile a fresh closing/CC program per
+    # slide (same rationale as pipeline/morphology.py)
+    ph, pw = ((gh + 255) // 256) * 256, ((gw + 255) // 256) * 256
+    mask = np.zeros((ph, pw), bool)
     for xi, yi in zip(gx, gy):
         mask[yi : yi + raster_scale, xi : xi + raster_scale] = True
 
     r = max(1, int(round(smooth_radius_px / px_per_unit)))
     se = morph.disk(r)
-    # buffer(+r).buffer(-r) = morphological closing
+    # buffer(+r).buffer(-r) = morphological closing (zero-extended borders,
+    # identical on the padded canvas — closing cannot create foreground in
+    # an all-background band wider than the kernel)
     smoothed = morph.binary_closing(jnp.asarray(mask), se)
-    comp = _largest_component(smoothed)
+    comp = _largest_component(smoothed)[:gh, :gw]
     if not comp.any():
         return None
     ring = ct.exterior_ring(comp)
@@ -134,7 +140,10 @@ def mask_contour_from_tiles(
     scale = max(scale, patch_size / 16.0)
     rw, rh = int(np.ceil(w0 / scale)), int(np.ceil(h0 / scale))
     patch_r = max(int(round(patch_size / scale)), 1)
-    mask = np.zeros((rh, rw), bool)
+    # 256-bucketed canvas (zero pad = background) → shared compiled
+    # close/open/CC programs across slides; cropped before ring tracing
+    ph, pw = ((rh + 255) // 256) * 256, ((rw + 255) // 256) * 256
+    mask = np.zeros((ph, pw), bool)
     for x, y in coords:
         xi, yi = int(x / scale), int(y / scale)
         mask[yi : yi + patch_r, xi : xi + patch_r] = True
@@ -148,22 +157,11 @@ def mask_contour_from_tiles(
     m = morph.binary_closing(jnp.asarray(mask), close_k)
     m = morph.binary_opening(m, open_k)
     m = cc.remove_small_objects(m, int(min_area_frac * patch_r * patch_r))
-    lbl, n = cc.compact_labels(np.asarray(cc.label_components(m, 1)))
-    rings = []
-    for k in range(1, n + 1):
-        comp = lbl == k
-        ys, xs = np.nonzero(comp)
-        crop = comp[ys.min() : ys.max() + 1, xs.min() : xs.max() + 1]
-        ring = ct.exterior_ring(crop)
-        if ring is None or len(ring) < 3:
-            continue
-        rings.append(
-            np.stack(
-                [(ring[:, 1] + xs.min()) * scale, (ring[:, 0] + ys.min()) * scale],
-                axis=1,
-            )
-        )
-    return rings
+    lbl, n = cc.compact_labels(np.asarray(cc.label_components(m, 1))[:rh, :rw])
+    return [
+        np.stack([r[:, 1] * scale, r[:, 0] * scale], axis=1)
+        for r in ct.component_rings(lbl, n)
+    ]
 
 
 def composite_polygons_on_thumbnail(

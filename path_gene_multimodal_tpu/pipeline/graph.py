@@ -177,7 +177,8 @@ def to_pyg_data(graph: CellGraph) -> Any:
             edge_attr=torch.from_numpy(graph.edge_attr),
             pos=torch.from_numpy(graph.pos_um.astype(np.float32)),
         )
-    except ImportError:
+    except (ImportError, OSError):  # OSError: binary-incompatible
+        # torch_geometric C extensions raise at load, not ImportError
         return {
             "x": graph.x,
             "edge_index": graph.edge_index,

@@ -135,16 +135,7 @@ def mask_to_thumb_polygons(mask: np.ndarray, max_work_dim: int = 1024) -> list[n
     else:
         lbl_dev = cc.label_components(jnp.asarray(mask_p), 1)
     lbl, n = cc.compact_labels(np.asarray(lbl_dev)[:h, :w])
-    rings = []
-    for k in range(1, n + 1):
-        comp = lbl == k
-        ys, xs = np.nonzero(comp)
-        crop = comp[ys.min() : ys.max() + 1, xs.min() : xs.max() + 1]
-        ring = ct.exterior_ring(crop)
-        if ring is None or len(ring) < 3:
-            continue
-        rings.append(np.stack([ring[:, 1] + xs.min(), ring[:, 0] + ys.min()], axis=1))
-    return rings
+    return [r[:, ::-1] for r in ct.component_rings(lbl, n)]  # (row,col)→(x,y)
 
 
 def _ring_centroid(ring: np.ndarray) -> tuple[float, float]:
@@ -196,7 +187,10 @@ def island_table_one_slide_level0(
                 }
             )
 
-    by = lambda classes: [f for f in features if f["class_name"] in set(classes)]
+    def by(classes):
+        wanted = set(classes)
+        return [f for f in features if f["class_name"] in wanted]
+
     add_rows(by(tumor_classes), "tumor")
     add_rows(by(til_classes), "til")
     add_rows(by(tls_classes), "tls")

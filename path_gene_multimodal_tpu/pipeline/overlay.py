@@ -61,6 +61,7 @@ def plot_overlays_all_classes(
     import matplotlib.pyplot as plt
     from matplotlib.patches import Patch
 
+    Path(out_path).parent.mkdir(parents=True, exist_ok=True)
     fig, ax = plt.subplots(figsize=(12, 12))
     ax.imshow(thumb)
     color_of = {c: PALETTE[i % len(PALETTE)] for i, c in enumerate(classes)}
@@ -104,6 +105,7 @@ def plot_overlays_per_class(
     for f in features:
         by_class.setdefault(f["class_name"], []).append(f)
     outputs: dict[str, Path] = {}
+    used_names: set[str] = set()
     for i, c in enumerate(classes):
         feats = by_class.get(c)
         if not feats:
@@ -117,7 +119,13 @@ def plot_overlays_per_class(
             ax.plot(ring[:, 0], ring[:, 1], color=color, lw=1.0)
         ax.set_title(c, fontsize=9)
         ax.set_axis_off()
-        path = out_dir / f"{stem}_overlay_{sanitize_for_filename(c)}.png"
+        name = sanitize_for_filename(c)
+        if name in used_names:
+            # two classes sanitizing to the same token ("tumor/stroma" vs
+            # "tumor stroma") must not overwrite each other's PNG
+            name = f"{name}_{i}"
+        used_names.add(name)
+        path = out_dir / f"{stem}_overlay_{name}.png"
         fig.savefig(path, dpi=dpi, bbox_inches="tight")
         plt.close(fig)
         outputs[c] = path
@@ -133,6 +141,7 @@ def run_overlays(
     thumb_size: tuple[int, int] = (2000, 2000),
 ) -> dict[str, Any]:
     out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)  # not the callers' job
     thumb, sx, sy = load_thumbnail_with_scale(slide, thumb_size)
     all_path = plot_overlays_all_classes(
         thumb, features, classes, sx, sy, out_dir / f"{stem}_overlay_all.png"

@@ -160,21 +160,13 @@ def mask_to_features(
     tol_grid = simplify_frac  # tol in slide px = tile * frac → grid units = frac
     lbl, n = cc.compact_labels(np.asarray(cc.label_components(jnp.asarray(mask), 1)))
     features: list[dict[str, Any]] = []
-    for k in range(1, n + 1):
-        comp = lbl == k
-        ys, xs = np.nonzero(comp)
-        y_lo, y_hi = ys.min(), ys.max() + 1
-        x_lo, x_hi = xs.min(), xs.max() + 1
-        crop = comp[y_lo:y_hi, x_lo:x_hi]
-        ring = ct.exterior_ring(crop)
-        if ring is None or len(ring) < 3:
-            continue
-        ring = ct.douglas_peucker(ring, tol_grid, closed=True)
+    for ring0 in ct.component_rings(lbl, n):
+        ring = ct.douglas_peucker(ring0, tol_grid, closed=True)
         if len(ring) < 3:
             continue
         # (row, col) grid units → slide px
-        gx = ring[:, 1] + x_lo
-        gy = ring[:, 0] + y_lo
+        gx = ring[:, 1]
+        gy = ring[:, 0]
         # slide-px mapping X = x0 + index*tile (reference :246-248); under
         # rank compression "index" is the coordinate rank — same formula,
         # its geometric distortion for gappy grids is the preserved quirk

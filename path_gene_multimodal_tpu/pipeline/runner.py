@@ -61,6 +61,10 @@ class PipelineModels:
     image_encoder: ImageEncoder
     text_encoder: TextEncoder
     tokenizer: Any
+    #: identity of the loaded weights — mixed into the step-resume manifest
+    #: hash so features produced by DIFFERENT weights are never reused
+    #: (cfg.content_hash() alone cannot see the params)
+    fingerprint: str = "random-0"
 
     @classmethod
     def build(
@@ -73,6 +77,7 @@ class PipelineModels:
         tokenizer=None,
         seed: int = 0,
         mesh=None,
+        weights_fingerprint: str | None = None,
     ) -> "PipelineModels":
         virchow = cfg.model_type.lower().startswith("virchow")
         if vision_cfg is None:
@@ -100,6 +105,12 @@ class PipelineModels:
             ),
             text_encoder=TextEncoder(text_cfg, params=text_params, seed=seed + 1),
             tokenizer=tokenizer or open_tokenizer(),
+            fingerprint=(
+                weights_fingerprint
+                if weights_fingerprint is not None
+                else (f"random-{seed}" if vision_params is None
+                      else "loaded-params")
+            ),
         )
 
 
@@ -135,7 +146,10 @@ def run_one_wsi(
         done_flag_name=cfg.done_flag_name, stale_hours=cfg.stale_lock_hours,
     )
 
-    if already_done(job, fallback_globs=(f"{stem}_overlay_all.png", f"{stem}.geojson")):
+    import glob as _glob
+
+    esc = _glob.escape(stem)  # stems like "case[1]" must match literally
+    if already_done(job, fallback_globs=(f"{esc}_overlay_all.png", f"{esc}.geojson")):
         logger.info("skip %s: already done", stem)
         return RunResult(stem=stem, out_dir=out_dir, status="already_done")
     if use_locks and not try_acquire_lock(job):
@@ -143,6 +157,7 @@ def run_one_wsi(
         return RunResult(stem=stem, out_dir=out_dir, status="locked")
 
     timer = StageTimer()
+    opened_here = slide is None
     try:
         if slide is None:
             slide = open_slide(wsi_path)
@@ -154,7 +169,9 @@ def run_one_wsi(
         # reference's all-or-nothing slide reruns): the two expensive
         # steps skip when their manifest entry matches the config hash
         # and the artifacts still exist; later steps are cheap and re-run.
-        cfg_hash = cfg.content_hash()
+        # The models fingerprint rides along so features from different
+        # weights (random vs converted checkpoint) are never reused.
+        cfg_hash = f"{cfg.content_hash()}-{models.fingerprint}"
         coords = None
         with timer.stage("tessellation", step=(1, 8)) as info:
             h5_path = out_dir / f"{stem}.h5"
@@ -244,5 +261,9 @@ def run_one_wsi(
             stage_report=timer.report(),
         )
     finally:
+        if opened_here and slide is not None:
+            # release the slide's file descriptor: batch loops process
+            # thousands of slides per process and must not rely on GC
+            getattr(slide, "close", lambda: None)()
         if use_locks:
             release_lock(job)

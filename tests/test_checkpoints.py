@@ -209,3 +209,14 @@ def test_convert_weights_cli_clip(tmp_path):
              * 255).astype(np.uint8)
     feats = np.asarray(enc(tiles))
     assert feats.shape == (2, enc.out_dim) and np.isfinite(feats).all()
+
+
+def test_file_fingerprint(tmp_path):
+    from path_gene_multimodal_tpu.core.checkpoints import file_fingerprint
+
+    a = tmp_path / "a.npz"
+    a.write_bytes(b"x" * 4096)
+    f1 = file_fingerprint(a)
+    assert f1 == file_fingerprint(a)  # deterministic
+    a.write_bytes(b"x" * 4095 + b"y")  # same size, different content
+    assert file_fingerprint(a) != f1

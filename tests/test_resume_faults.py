@@ -116,3 +116,49 @@ def test_deleted_artifact_invalidates_resume(env, monkeypatch):
     assert r.status == "done", r.error
     # h5 regenerated
     assert (tmp_path / "out" / "caseR" / "caseR.h5").exists()
+
+
+def test_weights_change_invalidates_feature_resume(env, monkeypatch):
+    """Features computed with one set of weights must NOT be reused when the
+    next run carries different weights — the models fingerprint rides in
+    the manifest hash (cfg.content_hash alone cannot see the params)."""
+    import dataclasses
+
+    tmp_path, slide_path, cfg, models = env
+
+    def boom(*a, **kw):
+        raise RuntimeError("fault")
+
+    monkeypatch.setattr(runner_mod.spatial_stage, "run_spatial_join", boom)
+    run_one_wsi(slide_path, tmp_path / "out", cfg, models=models)
+    monkeypatch.undo()
+
+    calls = {"features": 0}
+    real_feats = runner_mod.embed_stage.run_extract_features
+
+    def counting_feats(*a, **kw):
+        calls["features"] += 1
+        return real_feats(*a, **kw)
+
+    monkeypatch.setattr(runner_mod.embed_stage, "run_extract_features", counting_feats)
+    models2 = dataclasses.replace(models, fingerprint="converted-abc123")
+    r = run_one_wsi(slide_path, tmp_path / "out", cfg, models=models2)
+    assert r.status == "done", r.error
+    assert calls["features"] == 1  # recomputed, not resumed
+
+
+def test_glob_metachar_stem_done_fallback(tmp_path, env):
+    """A stem containing glob metacharacters ('case[1]') must still be
+    recognized as done via the artifact-glob fallback."""
+    _, slide_path, cfg, models = env
+    import shutil
+
+    weird = tmp_path / "case[1].npz"
+    shutil.copy(slide_path, weird)
+    out = tmp_path / "out2" / "case[1]"
+    out.mkdir(parents=True)
+    # pre-existing reference-produced artifacts, no done flag
+    (out / "case[1]_overlay_all.png").write_bytes(b"png")
+    (out / "case[1].geojson").write_text("{}")
+    r = run_one_wsi(weird, tmp_path / "out2", cfg, models=models)
+    assert r.status == "already_done"
