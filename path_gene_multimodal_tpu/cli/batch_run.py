@@ -42,26 +42,26 @@ def main(argv: list[str] | None = None) -> int:
     if not wsis:
         logger.error("no slides to process")
         return 2
-    if args.limit:
+    if args.limit is not None:  # `if args.limit:` would make --limit 0 = ALL
         wsis = wsis[: args.limit]
 
     from path_gene_multimodal_tpu.pipeline.runner import PipelineModels, run_one_wsi
 
     models = PipelineModels.build(cfg)  # once for the whole batch
     outroot.mkdir(parents=True, exist_ok=True)
-    success_log = (outroot / "success_slides.txt").open("a")
-    error_log = (outroot / "error_slides.txt").open("a")
     counts = {"done": 0, "already_done": 0, "locked": 0, "error": 0}
-    for wsi in wsis:
-        result = run_one_wsi(wsi, outroot, cfg, models=models,
-                             use_locks=not args.no_locks)
-        counts[result.status] = counts.get(result.status, 0) + 1
-        if result.status == "done":
-            success_log.write(f"{result.stem}\n")
-            success_log.flush()
-        elif result.status == "error":
-            error_log.write(f"{result.stem}\t{result.error}\n")
-            error_log.flush()
+    with open(outroot / "success_slides.txt", "a") as success_log, \
+         open(outroot / "error_slides.txt", "a") as error_log:
+        for wsi in wsis:
+            result = run_one_wsi(wsi, outroot, cfg, models=models,
+                                 use_locks=not args.no_locks)
+            counts[result.status] = counts.get(result.status, 0) + 1
+            if result.status == "done":
+                success_log.write(f"{result.stem}\n")
+                success_log.flush()
+            elif result.status == "error":
+                error_log.write(f"{result.stem}\t{result.error}\n")
+                error_log.flush()
     logger.info("batch done: %s", counts)
     return 0 if counts["error"] == 0 else 1
 

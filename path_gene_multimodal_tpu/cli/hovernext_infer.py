@@ -49,11 +49,16 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--only-inference", action="store_true",
                     help="skip artifacts; report timings only")
     args = ap.parse_args(argv)
+    logger = get_logger()
+    # trivial usage errors must fail BEFORE setup_jax/model build (first
+    # compiles cost minutes over a remote link)
+    if args.mode == "tiles" and not args.annotations_csv:
+        logger.error("--mode tiles requires --annotations-csv")
+        return 2
 
     from path_gene_multimodal_tpu.utils.jaxsetup import setup_jax
 
     setup_jax()
-    logger = get_logger()
 
     from path_gene_multimodal_tpu.config import default_config
     from path_gene_multimodal_tpu.io.slide import open_slide
@@ -68,10 +73,17 @@ def main(argv: list[str] | None = None) -> int:
     if not wsi.exists():
         logger.error("input not found: %s", wsi)
         return 2
+    from dataclasses import replace as _dc_replace
+
     out_dir = Path(args.output)
+    out_dir.mkdir(parents=True, exist_ok=True)  # tiles mode writes csv/
+    # parquet directly without creating parents — fail here, not after hours
     cfg = default_config()
+    # dataclasses.replace, NOT __class__(...): reconstructing would reset
+    # the non-CLI fields (checkpoint, pp_*, max_instances, planar_feed)
     cfg = cfg.replace(
-        hovernext=cfg.hovernext.__class__(
+        hovernext=_dc_replace(
+            cfg.hovernext,
             tile_size=args.tile_size, overlap=args.overlap,
             tta=args.tta, batch_size=args.batch_size,
         )
@@ -136,9 +148,6 @@ def main(argv: list[str] | None = None) -> int:
             write_artifacts=not args.only_inference,
         )
     else:
-        if not args.annotations_csv:
-            logger.error("--mode tiles requires --annotations-csv")
-            return 2
         nuclei = run_hovernet_pipeline_on_wsi_tiles(
             slide, args.annotations_csv, out_dir, wsi.stem, model, cfg,
             batch_size=args.batch_size,

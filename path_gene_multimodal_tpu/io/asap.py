@@ -110,7 +110,11 @@ def overlay_for_slide_dir(
         if not xml.exists():
             continue
         slide = open_slide(wsi)
-        outputs[wsi.stem] = overlay_asap_annotations(
-            slide, xml, out_dir / f"{wsi.stem}_annotation_overlay.png", **kw
-        )
+        try:
+            outputs[wsi.stem] = overlay_asap_annotations(
+                slide, xml, out_dir / f"{wsi.stem}_annotation_overlay.png", **kw
+            )
+        finally:
+            # one leaked fd per slide would EMFILE a long TIGER directory
+            getattr(slide, "close", lambda: None)()
     return outputs

@@ -30,6 +30,19 @@ from typing import Protocol, Sequence, runtime_checkable
 import numpy as np
 
 
+def best_level_for_downsample(
+    level_downsamples: "Sequence[float]", downsample: float
+) -> int:
+    """Highest pyramid level whose downsample ≤ requested (openslide
+    semantics). ONE definition shared by every reader backend — the epsilon
+    must not drift between ArraySlide and TiffTileSlide."""
+    best = 0
+    for i, ds in enumerate(level_downsamples):
+        if ds <= downsample + 1e-9:
+            best = i
+    return best
+
+
 @runtime_checkable
 class SlideReader(Protocol):
     @property
@@ -126,16 +139,16 @@ class ArraySlide:
         return cv2.resize(src, (out_w, out_h), interpolation=cv2.INTER_AREA)
 
     def get_best_level_for_downsample(self, downsample: float) -> int:
-        best = 0
-        for i, ds in enumerate(self.level_downsamples):
-            if ds <= downsample + 1e-9:
-                best = i
-        return best
+        return best_level_for_downsample(self.level_downsamples, downsample)
 
     # -- npz persistence (synthetic fixture format) ---------------------------
 
     def save(self, path: str | Path) -> Path:
         path = Path(path)
+        if not path.name.endswith(".npz"):
+            # np.savez appends '.npz' itself; return the path it actually
+            # wrote (and append, don't with_suffix — dotted stems survive)
+            path = path.parent / (path.name + ".npz")
         np.savez_compressed(
             path, level0=self._levels[0], mpp=np.float64(self._mpp or np.nan)
         )
@@ -212,8 +225,15 @@ def open_slide(path: str | Path) -> SlideReader:
 
         try:
             return TiffTileSlide(path)
-        except Exception:
-            pass  # fall back to whole-image decode below
+        except Exception as e:
+            # keep the diagnostic: the cv2 fallback whole-image-decodes the
+            # file (multi-GB for a real WSI) and masks the parse error
+            from path_gene_multimodal_tpu.utils.log import get_logger
+
+            get_logger().warning(
+                "%s: tiled-TIFF parse failed (%s: %s) — falling back to "
+                "whole-image decode", path, type(e).__name__, e,
+            )
     import cv2
 
     img = cv2.imread(str(path), cv2.IMREAD_COLOR)

@@ -363,11 +363,9 @@ class TiffTileSlide:
         return cv2.resize(full, (out_w, out_h), interpolation=cv2.INTER_AREA)
 
     def get_best_level_for_downsample(self, downsample: float) -> int:
-        best = 0
-        for i, ds in enumerate(self.level_downsamples):
-            if ds <= downsample + 1e-9:
-                best = i
-        return best
+        from path_gene_multimodal_tpu.io.slide import best_level_for_downsample
+
+        return best_level_for_downsample(self.level_downsamples, downsample)
 
     # -- decoding -------------------------------------------------------------
 

@@ -81,8 +81,15 @@ def write_tiled_tiff(
                     if soc < 0:
                         raise ValueError("no J2K codestream in jp2 output")
                     data = b[soc:]
-                else:
+                elif compression == 1:
                     data = tile.tobytes()
+                else:
+                    # writing raw bytes while tag 259 advertises another
+                    # codec would produce a corrupt TIFF — fail loudly
+                    raise ValueError(
+                        f"unsupported write compression {compression} "
+                        "(supported: 1 raw, 7 JPEG, 8 deflate, 33003/33005 J2K)"
+                    )
                 _align()
                 offsets.append(len(blob))
                 counts.append(len(data))

@@ -594,3 +594,16 @@ def test_tiff_oversize_tag_count_rejected(tmp_path):
     )
     with pytest.raises(ValueError, match="corrupt"):
         TiffTileSlide(p)
+
+
+def test_write_tiled_tiff_unsupported_compression(tmp_path):
+    img = np.zeros((64, 64, 3), np.uint8)
+    with pytest.raises(ValueError, match="unsupported write compression"):
+        write_tiled_tiff(tmp_path / "bad.tif", [img], tile_size=64, compression=5)
+
+
+def test_array_slide_save_returns_real_path(tmp_path, small_slide):
+    p = small_slide.save(tmp_path / "fixture")  # no .npz suffix
+    assert p.exists() and p.name == "fixture.npz"
+    loaded = open_slide(p)
+    assert loaded.level_dimensions[0] == small_slide.level_dimensions[0]
