@@ -88,7 +88,11 @@ def check_accelerator(logger, require: bool = False) -> bool:
     devices = jax.devices()
     kinds = {d.platform for d in devices}
     logger.info("jax devices: %s", devices)
-    if "tpu" in kinds or "gpu" in kinds:
+    # 'axon' = the tunneled TPU backend (the production environment): the
+    # device platform string is the plugin name, not 'tpu'
+    if kinds & {"tpu", "gpu", "axon"} or any(
+        "tpu" in str(getattr(d, "device_kind", "")).lower() for d in devices
+    ):
         return True
     logger.warning("no accelerator — pipeline will run on CPU (slow)")
     return not require
@@ -99,6 +103,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--data-path", default=None)
     ap.add_argument("--require-accelerator", action="store_true")
     args = ap.parse_args(argv)
+    from path_gene_multimodal_tpu.utils.jaxsetup import setup_jax
+
+    setup_jax()  # repo convention: every entry point enables the compile cache
     logger = get_logger()
     cfg = default_config()
     if args.data_path:

@@ -47,6 +47,10 @@ class AttentionPool(nn.Module):
         if mask is not None:
             scores = jnp.where(mask, scores, -jnp.inf)
         weights = jax.nn.softmax(scores)
+        if mask is not None:
+            # an all-padding bag softmaxes all -inf into NaN — emit a zero
+            # embedding instead of poisoning the downstream loss
+            weights = jnp.where(jnp.any(mask), weights, 0.0)
         return jnp.sum(weights[:, None] * tiles, axis=0)
 
 

@@ -89,7 +89,13 @@ class CLIPTokenizer:
         else:
             raise ValueError("provide bpe_path or vocab_json+merges_txt")
         self.bpe_ranks = {m: i for i, m in enumerate(merges)}
-        self._cache: dict[str, str] = {}
+        # pre-seed the special tokens (OpenAI's tokenizer does the same):
+        # without it _bpe() would decompose a literal "<|endoftext|>" in the
+        # prompt into byte pieces instead of the single special id
+        self._cache: dict[str, str] = {
+            "<|startoftext|>": "<|startoftext|>",
+            "<|endoftext|>": "<|endoftext|>",
+        }
 
     @staticmethod
     def _read_openai_merges(path: Path) -> list[tuple[str, str]]:
@@ -231,6 +237,10 @@ def open_tokenizer(
     """Best tokenizer the environment allows: explicit paths, else
     auto-discovered vocab files (``find_vocab_files``), else the loud
     non-CLIP fallback."""
+    if bool(vocab_json) != bool(merges_txt):
+        # a half-specified explicit pair must not silently degrade to
+        # discovery / the non-CLIP fallback
+        raise ValueError("vocab_json and merges_txt must be given together")
     if bpe_path or (vocab_json and merges_txt):
         return CLIPTokenizer(bpe_path, vocab_json, merges_txt)
     found = find_vocab_files()

@@ -29,7 +29,12 @@ from path_gene_multimodal_tpu.models.clip import TextConfig, VisionConfig
 def _np(t) -> np.ndarray:
     """torch tensor / array → numpy float32."""
     if hasattr(t, "detach"):
-        t = t.detach().cpu().numpy()
+        t = t.detach().cpu()
+        if hasattr(t, "float"):
+            # numpy has no bfloat16: modern bf16 checkpoints would raise
+            # 'Got unsupported ScalarType BFloat16' without the upcast
+            t = t.float()
+        t = t.numpy()
     return np.asarray(t, dtype=np.float32)
 
 

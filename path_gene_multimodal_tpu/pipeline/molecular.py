@@ -58,11 +58,19 @@ def select_tme_tiles(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def get_wsi_overview_and_dims(
-    slide: SlideReader, power: float = 4.0, base_power: float = DEFAULT_BASE_POWER
+    slide: SlideReader, power: float = 4.0, base_power: float | None = None
 ) -> tuple[np.ndarray, float]:
     """Thumbnail at the given objective power (TIAToolbox
     ``resolution=power, units="power"`` semantics, ref :142-153). Returns
-    (thumb RGB, downsample = level0 px per thumb px)."""
+    (thumb RGB, downsample = level0 px per thumb px).
+
+    ``base_power`` defaults to the scanner power DERIVED from slide.mpp
+    (the 10/mpp convention: 0.25 mpp ≈ 40x, 0.5 ≈ 20x — what TIAToolbox
+    reads from metadata); only mpp-less slides fall back to the 40x
+    assumption."""
+    if base_power is None:
+        mpp = getattr(slide, "mpp", None)
+        base_power = (10.0 / mpp) if mpp else DEFAULT_BASE_POWER
     ds = base_power / power
     w0, h0 = slide.level_dimensions[0]
     thumb = slide.get_thumbnail((max(int(w0 / ds), 1), max(int(h0 / ds), 1)))
@@ -130,8 +138,6 @@ def extract_molecular_features(
             npz = out_dir / f"{stem}_prob_maps.npz"
             np.savez_compressed(npz, **{t: maps[i] for i, t in enumerate(tasks)})
             artifacts["prob_maps_path"] = npz
-        if not csv_path.exists():
-            raise RuntimeError(f"molecular step failed to produce {csv_path}")
         logger.info("molecular: %d tiles × %d tasks → %s", len(sel), len(tasks), csv_path)
     return MolecularResult(features=features, prob_maps=maps, thumb=thumb, artifacts=artifacts)
 

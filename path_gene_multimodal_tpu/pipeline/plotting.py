@@ -79,7 +79,10 @@ def merge_pred_tsvs(tsv_dir: str | Path, pattern: str = "pred_*.tsv") -> pd.Data
     frames = []
     for path in sorted(Path(tsv_dir).glob(pattern)):
         df = load_centroid_tsv(path)
-        df["class_name"] = path.stem[len("pred_"):]
+        stem = path.stem
+        # strip the conventional prefix only when present — a custom glob
+        # like '*.tsv' must not lose the first 5 chars of the class name
+        df["class_name"] = stem[len("pred_"):] if stem.startswith("pred_") else stem
         frames.append(df)
     if not frames:
         return pd.DataFrame(columns=["x", "y", "name", "class_name"])

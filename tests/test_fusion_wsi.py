@@ -405,3 +405,14 @@ def test_run_hovernext_wsi_planar_feed(tmp_path):
             assert abs(got[0] - want[0]) < 2 and abs(got[1] - want[1]) < 2, (
                 planar, cents,
             )
+
+
+def test_attention_pool_all_masked_is_finite(rng):
+    """A fully padded bag must pool to zeros, not NaN (softmax of all -inf)."""
+    from path_gene_multimodal_tpu.models.fusion import AttentionPool
+
+    tiles = jnp.asarray(rng.normal(size=(6, 8)).astype(np.float32))
+    pool = AttentionPool(hidden=4)
+    params = pool.init(jax.random.PRNGKey(0), tiles)
+    out = np.asarray(pool.apply(params, tiles, mask=jnp.zeros(6, bool)))
+    assert np.isfinite(out).all() and (out == 0).all()

@@ -271,3 +271,31 @@ def test_extract_features_planar_feed(tmp_path):
         np.linalg.norm(f_planar, axis=1) * np.linalg.norm(f_rgb, axis=1)
     )
     assert cos.min() > 0.999
+
+
+def test_special_tokens_encode_as_single_ids(tmp_path):
+    """A literal <|endoftext|> in the prompt must map to the single special
+    id, not decompose into byte pieces (OpenAI seeds the BPE cache)."""
+    import json as _json
+
+    from path_gene_multimodal_tpu.models.tokenizer import CLIPTokenizer
+
+    vocab = {}
+    for ch in "<|endofstarx>te":
+        vocab[ch] = len(vocab)
+        vocab[ch + "</w>"] = len(vocab)
+    vocab["<|startoftext|>"] = 400
+    vocab["<|endoftext|>"] = 401
+    (tmp_path / "vocab.json").write_text(_json.dumps(vocab))
+    (tmp_path / "merges.txt").write_text("#version\n")
+    tok = CLIPTokenizer(vocab_json=tmp_path / "vocab.json",
+                        merges_txt=tmp_path / "merges.txt")
+    assert tok.encode("<|endoftext|>") == [401]
+    assert tok.encode("<|startoftext|>") == [400]
+
+
+def test_open_tokenizer_half_pair_raises(tmp_path):
+    from path_gene_multimodal_tpu.models.tokenizer import open_tokenizer
+
+    with pytest.raises(ValueError, match="together"):
+        open_tokenizer(vocab_json=tmp_path / "vocab.json")
