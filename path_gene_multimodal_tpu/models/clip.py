@@ -247,6 +247,11 @@ class ImageEncoder:
 
     def __call__(self, tiles_u8) -> jnp.ndarray:
         if self._in_sharding is not None:
+            if not isinstance(tiles_u8, jax.Array):
+                # lists/sequences must become ONE array first — device_put
+                # would otherwise treat them as a pytree of 3-D leaves and
+                # mis-apply the 4-D batch sharding per leaf
+                tiles_u8 = np.asarray(tiles_u8)
             tiles_u8 = jax.device_put(tiles_u8, self._in_sharding)
         else:
             tiles_u8 = jnp.asarray(tiles_u8)

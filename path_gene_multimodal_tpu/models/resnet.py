@@ -81,8 +81,12 @@ class ResNet(nn.Module):
 
 
 # ImageNet preprocessing (TIAToolbox IDaRS models use torchvision transforms)
-IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
-IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+# one definition of the ImageNet normalization constants for the whole
+# package (models.clip owns them; runner.py imports from there too)
+from path_gene_multimodal_tpu.models.clip import (  # noqa: E402
+    IMAGENET_MEAN,
+    IMAGENET_STD,
+)
 
 
 class IDaRSEnsemble:

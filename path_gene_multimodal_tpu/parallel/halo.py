@@ -22,6 +22,9 @@ def exchange_halo(x: jnp.ndarray, halo: int, axis_name: str) -> jnp.ndarray:
     """Inside shard_map: (rows, cols[, c]) local band → band extended with
     ``halo`` rows from the previous/next device (edge-replicated at the
     mesh ends)."""
+    if halo == 0:
+        return x  # no neighborhood → nothing to exchange (x[-0:] would
+        # grab the WHOLE band and corrupt the concatenation)
     n = jax.lax.axis_size(axis_name)
     fwd = [(i, (i + 1) % n) for i in range(n)]
     bwd = [(i, (i - 1) % n) for i in range(n)]
@@ -56,6 +59,6 @@ def sharded_stencil(
     def _run(x):
         ext = exchange_halo(x, halo, axis)
         out = fn(ext)
-        return out[halo:-halo]
+        return out[halo:-halo] if halo else out  # out[0:-0] would be empty
 
     return _run

@@ -29,7 +29,9 @@ TILE_AXIS = "tiles"
 
 def make_mesh(num_devices: int | None = None, axis: str = TILE_AXIS) -> Mesh:
     devices = jax.devices()
-    n = num_devices or len(devices)
+    n = len(devices) if num_devices is None else num_devices
+    if n <= 0:  # 0/negative would silently slice devices[:n]
+        raise ValueError(f"requested {n} devices; need a positive count")
     if n > len(devices):
         raise ValueError(f"requested {n} devices, have {len(devices)}")
     return Mesh(np.asarray(devices[:n]), (axis,))
@@ -51,9 +53,14 @@ def shard_params(params: Any, mesh: Mesh) -> Any:
 
 
 def shard_batch(batch: Any, mesh: Mesh, axis: str = TILE_AXIS) -> Any:
-    """Place a host batch sharded over the tile axis."""
+    """Place a host batch sharded over the tile axis; 0-d leaves (step
+    counters etc.) replicate — P('tiles') on a scalar cannot place."""
     return jax.tree.map(
-        lambda x: jax.device_put(x, batch_sharding(mesh, np.ndim(x), axis)), batch
+        lambda x: jax.device_put(
+            x,
+            batch_sharding(mesh, np.ndim(x), axis) if np.ndim(x) else replicate(mesh),
+        ),
+        batch,
     )
 
 

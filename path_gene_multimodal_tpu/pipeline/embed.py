@@ -74,11 +74,21 @@ def run_extract_features(
         # the ViT-H Virchow2 tower has its own measured knee (see
         # EmbeddingConfig.virchow2_batch_size) — clamp to it
         batch = min(batch, cfg.embedding.virchow2_batch_size)
+    mesh = getattr(encoder, "mesh", None)
+    if mesh is not None:
+        # sharded batches must divide the mesh — round the (possibly
+        # clamped) batch down to a device multiple rather than crash the
+        # device_put on the first batch
+        m = mesh.devices.size
+        batch = max((batch // m) * m, m)
     tile = cfg.patch_size
     # half-bandwidth planar feed: raw 4:2:0 planes over the link, chroma
-    # upsample + color conversion on device (ops/jpegcolor.py)
+    # upsample + color conversion on device (ops/jpegcolor.py). Disabled
+    # under the mesh (same as nuclei): the plane→RGB conversion would run
+    # on the default device and force a reshard hop.
     planar = (
-        cfg.embedding.planar_feed
+        mesh is None
+        and cfg.embedding.planar_feed
         and tile % 2 == 0
         and getattr(slide, "supports_planar", lambda level=0: False)()
         # odd-coord / non-4:2:0 chunks degrade to RGB payloads per chunk
@@ -92,8 +102,11 @@ def run_extract_features(
         if planar and isinstance(tiles_u8, tuple):
             yb, cbcr = tiles_u8
             emb = encoder(_planar_to_rgb(jnp.asarray(yb), jnp.asarray(cbcr)))
-        else:  # RGB payload (planar off, or a chunk that fell back)
-            emb = encoder(jnp.asarray(tiles_u8))  # async dispatch
+        else:  # RGB payload (planar off, or a chunk that fell back).
+            # Pass the host array straight through: the encoder places it
+            # (sharded device_put scatters per shard; jnp.asarray here
+            # would commit the full batch to device 0 first)
+            emb = encoder(tiles_u8)  # async dispatch
         if hasattr(emb, "copy_to_host_async"):
             # enqueue the D2H copy behind this batch's compute: the final
             # np.concatenate then collects already-landed host buffers

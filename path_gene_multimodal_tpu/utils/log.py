@@ -75,15 +75,27 @@ class StageTimer:
         logger.info("%s✓ %s: %.2fs%s", prefix, name, dt, rate)
 
     def report(self) -> dict[str, dict]:
-        return {
-            r.name: {
-                "seconds": r.seconds,
-                "items": r.items,
-                "items_per_sec": r.items_per_sec,
-                **(r.extra or {}),
-            }
-            for r in self.records
-        }
+        """Per-stage summary. Repeated stage names AGGREGATE (seconds and
+        items sum) instead of the last run silently overwriting the
+        earlier ones; extras cannot shadow the timing fields."""
+        out: dict[str, dict] = {}
+        for r in self.records:
+            entry = out.get(r.name)
+            if entry is None:
+                # extras first so 'seconds'/'items' keys in extra can
+                # never mask the measured values
+                entry = dict(r.extra or {})
+                entry.update(seconds=r.seconds, items=r.items)
+                out[r.name] = entry
+            else:
+                entry["seconds"] += r.seconds
+                if r.items is not None:
+                    entry["items"] = (entry.get("items") or 0) + r.items
+            entry["items_per_sec"] = (
+                entry["items"] / entry["seconds"]
+                if entry.get("items") and entry["seconds"] > 0 else None
+            )
+        return out
 
 
 def _trace_annotation(name: str):
