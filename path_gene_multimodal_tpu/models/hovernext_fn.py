@@ -60,6 +60,7 @@ def _ln(p, x, dtype, eps=1e-6):
 
 
 def _grn(p, x, dtype):
+    x = x.astype(dtype)  # honor the requested dtype like _conv/_dense/_ln
     gamma, beta = p["gamma"], p["beta"]
     gx = jnp.sqrt(
         jnp.sum(x.astype(jnp.float32) ** 2, axis=(1, 2), keepdims=True) + 1e-12
@@ -97,7 +98,13 @@ def encoder_features(
     """ConvNeXtV2 feature pyramid [/4, /8, /16, /32] (convnext.py parity).
 
     ``fused_blocks``: False = pure XLA; True = Pallas blocks on
-    ``DEFAULT_FUSED_STAGES``; a tuple names the stages explicitly."""
+    ``DEFAULT_FUSED_STAGES``; a tuple names the stages explicitly.
+
+    PRECISION NOTE: the fused kernels compute in bf16 internally regardless
+    of ``dtype`` (they exist to fill the MXU); requesting ``dtype=f32``
+    with fused blocks gives bf16-rounded activations cast back to f32.
+    For exact f32 numerics keep ``fused_blocks=False`` (what
+    ``NucleiModel.build`` does for non-bf16 dtypes)."""
     if fused_blocks is True:
         fused_blocks = DEFAULT_FUSED_STAGES
     elif fused_blocks is False:
@@ -189,40 +196,6 @@ def _head_cat(p, ch, dtype):
     return wcat, bcat
 
 
-def _final_conv_lowres(p_final, x, dtype):
-    """resize(2×, bilinear) → conv3×3 → GELU computed WITHOUT the 2×
-    intermediate: the interpolation is linear, so conv∘upsample collapses
-    to FOUR parity convs on the low-res grid (composite weights
-    W̃[a,b] = Σ W·M_a⊗M_b) + a depth-to-space. Profiled: XLA materializes
-    the 2× tensor in HBM three times (~54 ms of a 180 ms b256 forward);
-    here it never exists. The outer 2-px ring (where resize's edge clamp
-    and the conv's zero pad interact) is recomputed exactly on thin
-    strips and overwritten."""
-    w = p_final["kernel"].astype(jnp.float32)  # (3, 3, cin, cout)
-    bias = p_final["bias"]
-    cout = w.shape[-1]
-    b, h, wd, cin = x.shape
-
-    # composite weights via the per-axis composition tables (row q of M_a
-    # maps conv tap dy=q-1 to low-res taps through u[2i+a+dy]'s
-    # interpolation weights) — see _composite_final_weights
-    wc = _composite_final_weights(w)
-    bias4 = jnp.tile(bias, 4)
-
-    y = _conv({"kernel": wc, "bias": bias4}, x, stride=1, pad=1, dtype=dtype)
-    y = jax.nn.gelu(y, approximate=False)
-    # depth_to_space: (B, h, w, 2, 2, cout) → (B, 2h, 2w, cout)
-    out = (
-        y.reshape(b, h, wd, 2, 2, cout)
-        .transpose(0, 1, 3, 2, 4, 5)
-        .reshape(b, 2 * h, 2 * wd, cout)
-    )
-
-    # exact border ring: clamp/zero-pad interactions differ from the
-    # composite's SAME-pad — recompute out's outer 2 px from thin strips
-    return _exact_border_heads(out, p_final, x, None, None, dtype)
-
-
 def _composite_final_weights(w):
     """Parity-fold resize(2×, bilinear)∘conv3×3 into low-res composite
     weights (3, 3, cin, 4·cout), parity order (a, b) = 00, 01, 10, 11."""
@@ -242,8 +215,7 @@ def _composite_final_weights(w):
 def _exact_border_heads(out, p_final, x, wcat, bcat, dtype):
     """Overwrite ``out``'s outer 2-px ring with the exact resize-clamp
     computation (the composite weights assume interior interpolation).
-    ``wcat``/``bcat`` apply the folded head matmul after the GELU; pass
-    None for the head-less (activation) variant."""
+    ``wcat``/``bcat`` apply the folded head matmul after the GELU."""
     cin = x.shape[-1]
 
     def exact(xs):
@@ -251,8 +223,6 @@ def _exact_border_heads(out, p_final, x, wcat, bcat, dtype):
         us = jax.image.resize(xs, (bb_, hh * 2, ww * 2, cin), method="bilinear")
         ys = _conv(p_final, us, stride=1, pad=1, dtype=dtype)
         ys = jax.nn.gelu(ys, approximate=False)
-        if wcat is None:
-            return ys
         return jnp.dot(ys.astype(dtype), wcat) + bcat
 
     out = out.at[:, :2].set(exact(x[:, :4])[:, :2])

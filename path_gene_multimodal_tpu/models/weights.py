@@ -24,6 +24,7 @@ from typing import Mapping
 import numpy as np
 
 from path_gene_multimodal_tpu.models.clip import TextConfig, VisionConfig
+from path_gene_multimodal_tpu.utils.log import get_logger
 
 
 def _np(t) -> np.ndarray:
@@ -278,6 +279,33 @@ def convert_timm_vit(
             }
     if cfg is None:
         cfg = infer_timm_vit_config(sd)
+    else:
+        # the checkpoint's pos_embed length is ground truth for
+        # no_embed_class: a hand-picked cfg (e.g. the VIRCHOW2_TIMM
+        # constant) must not crash the reshape — or silently build a
+        # model whose prefix tokens are (un)posed differently from the
+        # published network — when the real export disagrees
+        import dataclasses
+
+        n_pos = int(np.asarray(sd["pos_embed"]).shape[-2])
+        if n_pos != cfg.pos_len:
+            grid2 = cfg.grid * cfg.grid
+            if n_pos == grid2:
+                mode = "patches_only"
+            elif n_pos == grid2 + 1 + cfg.num_registers:
+                mode = "prefix"
+            else:
+                raise ValueError(
+                    f"pos_embed has {n_pos} positions; config expects "
+                    f"{cfg.pos_len} (grid {cfg.grid}², registers "
+                    f"{cfg.num_registers}) — architecture mismatch"
+                )
+            get_logger().warning(
+                "checkpoint pos_embed covers %d positions — overriding "
+                "pos_embed_mode=%r (config said %r)",
+                n_pos, mode, cfg.pos_embed_mode,
+            )
+            cfg = dataclasses.replace(cfg, pos_embed_mode=mode)
     consumed: set[str] = set()
 
     def take(key: str) -> np.ndarray:

@@ -180,7 +180,10 @@ class NucleiModel(_SegmentedModelMixin):
 
         use_pallas = pallas_supported()
         if fused is None:
-            fused = use_pallas
+            # the fused kernels compute in bf16 internally — do not let a
+            # default silently downgrade an explicit f32 model (pass
+            # fused=True to override)
+            fused = use_pallas and dtype == jnp.bfloat16
         if fused:
             # functional forward with the Pallas fused ConvNeXtV2 block on
             # the encoder hot loop (flax-parity asserted in
@@ -493,6 +496,10 @@ def run_hovernet_pipeline_on_wsi_tiles(
             )
         return chunk, offsets, ("rgb", batch_u8)
 
+    capped = {"tiles": 0}  # no-silent-caps: ids ≥ max_instances are dropped
+    # by instance_features_batch; count the affected tiles (nuclei_wsi warns
+    # for the identical cap)
+
     def _process(chunk, offsets, lbl_dev, tp_dev) -> None:
         # materialize (overlaps with the NEXT batch's device compute) and
         # crop to the tile frame; labels are already dense per tile
@@ -504,6 +511,9 @@ def run_hovernet_pipeline_on_wsi_tiles(
             off = offsets[bi]
             insts[bi] = inst_maps[bi, off : off + tile_size, off : off + tile_size]
             typs[bi] = type_maps[bi, off : off + tile_size, off : off + tile_size]
+        capped["tiles"] += int(
+            (insts.max(axis=(1, 2)) >= model.max_instances).sum()
+        )
         chunk_feats = {
             k: np.asarray(v)
             for k, v in instance_features_batch(
@@ -515,48 +525,31 @@ def run_hovernet_pipeline_on_wsi_tiles(
         for bi, (x, y) in enumerate(chunk):
             feats_bi = {k: v[bi] for k, v in chunk_feats.items()}
             rows.extend(
-                _tile_rows(insts[bi], typs[bi], int(x), int(y), tile_size, out_dir,
+                _tile_rows(insts[bi], typs[bi], int(x), int(y), out_dir,
                            stem, model.max_instances, save_tile_artifacts, cfg,
                            feats=feats_bi)
             )
 
     # three-stage software pipeline: threaded decode → async device dispatch
     # → host row-building for batch k while batch k+1 computes on device
-    from concurrent.futures import ThreadPoolExecutor
-
     chunks = [coords[s : s + batch] for s in range(0, len(coords), batch)]
-    pending = None
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        futures = [pool.submit(_decode_chunk, c) for c in chunks[:3]]
-        next_submit = 3
-        for i in range(len(chunks)):
-            chunk, offsets, payload = futures[i].result()
-            futures[i] = None  # release the decoded stack (same retention
-            # hazard as nuclei_wsi: GBs held across a large slide otherwise)
-            if next_submit < len(chunks):
-                futures.append(pool.submit(_decode_chunk, chunks[next_submit]))
-                next_submit += 1
-            if payload[0] == "planar":
-                batch_u8 = _planar_seg_prep(
-                    jnp.asarray(payload[1]), jnp.asarray(payload[2]),
-                    pad_lo, pad_hi,
-                )
-            else:
-                batch_u8 = payload[1]
-            # duck-typed models (tests, remote backends) may only offer the
-            # synchronous segment()
-            dispatch = getattr(model, "segment_async", model.segment)
-            lbl_dev, tp_dev = dispatch(batch_u8)
-            # enqueue D2H behind this batch's compute — _process for batch
-            # k then never waits on the transfer while batch k+1 computes
-            for t in (lbl_dev, tp_dev):
-                if hasattr(t, "copy_to_host_async"):
-                    t.copy_to_host_async()
-            if pending is not None:
-                _process(*pending)
-            pending = (chunk, offsets, lbl_dev, tp_dev)
-        if pending is not None:
-            _process(*pending)
+
+    def _step(item):
+        chunk, offsets, payload = item
+        if payload[0] == "planar":
+            batch_u8 = _planar_seg_prep(
+                jnp.asarray(payload[1]), jnp.asarray(payload[2]),
+                pad_lo, pad_hi,
+            )
+        else:
+            batch_u8 = payload[1]
+        # duck-typed models (tests, remote backends) may only offer the
+        # synchronous segment()
+        dispatch = getattr(model, "segment_async", model.segment)
+        lbl_dev, tp_dev = dispatch(batch_u8)
+        return chunk, offsets, lbl_dev, tp_dev
+
+    pipelined_batches(chunks, _decode_chunk, _step, _process)
     n_over = getattr(model, "cc_overflow_tiles", lambda **_: 0)(reset=True)
     if n_over:
         logger.warning(
@@ -564,13 +557,61 @@ def run_hovernet_pipeline_on_wsi_tiles(
             "it were dropped (pathological speckle; raise `big` in "
             "pallas_cc_sizes_adaptive to keep them)", stem, n_over,
         )
+    if capped["tiles"]:
+        logger.warning(
+            "%s: %d tile(s) had instance ids beyond max_instances=%d — "
+            "those nuclei were dropped (raise hovernext."
+            "max_instances_per_tile to keep them)",
+            stem, capped["tiles"], model.max_instances,
+        )
     nuclei = pd.DataFrame(rows)
+    if len(nuclei) == 0:
+        # keep the frozen 30-column schema on EVERY empty path (a
+        # column-less frame KeyErrors downstream consumers)
+        nuclei = _write_empty(out_dir, stem, write_artifacts)
+        nuclei.attrs["cc_slot_overflow_tiles"] = n_over
+        return nuclei
     nuclei.attrs["cc_slot_overflow_tiles"] = n_over
     if write_artifacts:
-        if len(nuclei) == 0:
-            return _write_empty(out_dir, stem, True)
         write_nuclei_table(out_dir / f"{stem}_hovernet_nuclei_wsi", nuclei)
     return nuclei
+
+
+def pipelined_batches(chunks, decode_fn, step_fn, process_fn, on_batch=None):
+    """The shared 3-stage software pipeline driver (per-tile AND WSI
+    sliding-window paths — ONE implementation, the two copies had already
+    drifted once): threaded decode (2 workers, 3-deep prefetch) →
+    ``step_fn(item) -> process_args`` (async device dispatch; device
+    outputs get their D2H copies enqueued behind the batch's compute) →
+    ``process_fn(*args)`` for batch k while batch k+1 computes."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    pending = None
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futures = [pool.submit(decode_fn, c) for c in chunks[:3]]
+        next_submit = 3
+        for i in range(len(chunks)):
+            item = futures[i].result()
+            futures[i] = None  # release the decoded tile stack — retaining
+            # every ~12 MB payload across a large slide holds GBs of host
+            # memory
+            if next_submit < len(chunks):
+                futures.append(pool.submit(decode_fn, chunks[next_submit]))
+                next_submit += 1
+            args = step_fn(item)
+            # enqueue D2H behind this batch's compute — process_fn for
+            # batch k then never waits on the transfer while batch k+1
+            # computes (jax enqueues the copy after the producing op)
+            for t in args:
+                if hasattr(t, "copy_to_host_async"):
+                    t.copy_to_host_async()
+            if pending is not None:
+                process_fn(*pending)
+            pending = args
+            if on_batch is not None:
+                on_batch(i, args)
+        if pending is not None:
+            process_fn(*pending)
 
 
 def _tile_rows(
@@ -578,7 +619,6 @@ def _tile_rows(
     types: np.ndarray,
     tile_x: int,
     tile_y: int,
-    tile_size: int,
     out_dir: Path,
     stem: str,
     max_instances: int,

@@ -274,7 +274,7 @@ def run_hovernext_wsi(
             inst = inst_np[bi]
             feats_bi = {k: v[bi] for k, v in chunk_feats.items()}
             sub_rows = _tile_rows(
-                inst, type_np[bi], wx, wy, window, out_dir, stem,
+                inst, type_np[bi], wx, wy, out_dir, stem,
                 model.max_instances, False, cfg, feats=feats_bi,
             )
             groups = _group_instance_pixels(inst) if write_instance_map else {}
@@ -321,11 +321,11 @@ def run_hovernext_wsi(
                     )
 
     # three-stage pipeline: threaded decode → async device dispatch →
-    # host row-building for batch k while batch k+1 computes
-    from concurrent.futures import ThreadPoolExecutor
+    # host row-building for batch k while batch k+1 computes (the shared
+    # driver lives in pipeline.nuclei)
+    from path_gene_multimodal_tpu.pipeline.nuclei import pipelined_batches
 
     chunks = [windows[s : s + batch] for s in range(0, len(windows), batch)]
-    pending = None
     # own the stage record (records[-1] during the call would be whatever
     # stage finished BEFORE this one — StageTimer appends on context exit)
     rec = None
@@ -335,43 +335,27 @@ def run_hovernext_wsi(
         rec = StageRecord(name="hovernext_wsi_segment", seconds=0.0)
         timer.records.append(rec)
     t_seg0 = time.perf_counter()
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        futures = [pool.submit(_decode_chunk, c) for c in chunks[:3]]
-        next_submit = 3
-        for i in range(len(chunks)):
-            chunk, payload = futures[i].result()
-            futures[i] = None  # release the Future's decoded tile stack —
-            # retaining every ~12 MB payload for the whole slide would grow
-            # host memory by GBs on large WSIs
-            if next_submit < len(chunks):
-                futures.append(pool.submit(_decode_chunk, chunks[next_submit]))
-                next_submit += 1
-            if payload[0] == "planar":
-                from path_gene_multimodal_tpu.ops.jpegcolor import (
-                    ycbcr420_to_rgb_jit,
-                )
 
-                tiles = ycbcr420_to_rgb_jit(
-                    jnp.asarray(payload[1]), jnp.asarray(payload[2])
-                )
-            else:
-                tiles = payload[1]
-            dispatch = getattr(model, "segment_async", model.segment)
-            lbl_dev, tp_dev = dispatch(tiles)
-            # enqueue the D2H copies behind this batch's compute so the
-            # host-side _process never waits on the transfer (on the dev
-            # tunnel the copy otherwise serializes at ~25 MB/s)
-            for t in (lbl_dev, tp_dev):
-                if hasattr(t, "copy_to_host_async"):
-                    t.copy_to_host_async()
-            if pending is not None:
-                _process(*pending)
-            pending = (chunk, lbl_dev, tp_dev)
-            if rec is not None:
-                rec.items = i * batch + len(chunk)
-                rec.seconds = time.perf_counter() - t_seg0
-        if pending is not None:
-            _process(*pending)
+    def _step(item):
+        chunk, payload = item
+        if payload[0] == "planar":
+            from path_gene_multimodal_tpu.ops.jpegcolor import ycbcr420_to_rgb_jit
+
+            tiles = ycbcr420_to_rgb_jit(
+                jnp.asarray(payload[1]), jnp.asarray(payload[2])
+            )
+        else:
+            tiles = payload[1]
+        dispatch = getattr(model, "segment_async", model.segment)
+        lbl_dev, tp_dev = dispatch(tiles)
+        return chunk, lbl_dev, tp_dev
+
+    def _on_batch(i, args):
+        if rec is not None:
+            rec.items = i * batch + len(args[0])
+            rec.seconds = time.perf_counter() - t_seg0
+
+    pipelined_batches(chunks, _decode_chunk, _step, _process, on_batch=_on_batch)
 
     n_over = getattr(model, "cc_overflow_tiles", lambda **_: 0)(reset=True)
     if n_over:

@@ -255,13 +255,13 @@ def test_fused_forward_full_model(small_model, rng):
         assert np.abs(g - r).max() / scale < 5e-2, k
 
 
-def test_final_conv_lowres_exact(rng):
+def test_final_heads_lowres_exact(rng):
     """The composite-weight reformulation (conv∘upsample collapsed to
-    parity convs + depth-to-space, borders strip-fixed) is EXACT vs
-    resize+conv+gelu — f32 rounding only, borders included."""
+    parity convs + depth-to-space, borders strip-fixed, heads folded in the
+    low-res domain) is EXACT vs resize+conv+gelu+heads — f32 rounding only,
+    borders included."""
     from path_gene_multimodal_tpu.models.hovernext_fn import (
         _conv,
-        _final_conv_lowres,
         _final_heads_lowres,
     )
 
@@ -273,8 +273,6 @@ def test_final_conv_lowres_exact(rng):
     ref = jax.image.resize(x, (b, 2 * h, 2 * w, cin), method="bilinear")
     ref = _conv(p_final, ref, stride=1, pad=1, dtype=jnp.float32)
     ref = np.asarray(jax.nn.gelu(ref, approximate=False))
-    got = np.asarray(_final_conv_lowres(p_final, x, jnp.float32))
-    np.testing.assert_allclose(got, ref, atol=1e-5)
 
     # heads folded in the low-res domain == heads applied at full res
     hw = {

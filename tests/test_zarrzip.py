@@ -141,7 +141,7 @@ def test_per_tile_pinst_pp_zip(tmp_path):
     inst = np.zeros((64, 64), np.int32)
     inst[10:20, 10:20] = 1
     types = np.where(inst > 0, 2, 0).astype(np.int32)
-    rows = _tile_rows(inst, types, 448, 224, 64, tmp_path, "s", 16, True,
+    rows = _tile_rows(inst, types, 448, 224, tmp_path, "s", 16, True,
                       default_config())
     assert len(rows) == 1
     tdir = tmp_path / "hovernet" / "448_224"
