@@ -91,7 +91,7 @@ def marching_squares(mask: np.ndarray) -> list[np.ndarray]:
         ka, kb = segments[start_idx]
         used[start_idx] = True
         loop = [ka, kb]
-        cur, prev = kb, ka
+        cur = kb
         while cur != ka:
             nxt = None
             for cand, sidx in seg_map[cur]:
@@ -102,7 +102,7 @@ def marching_squares(mask: np.ndarray) -> list[np.ndarray]:
             if nxt is None:
                 break  # open chain (shouldn't happen on padded masks)
             loop.append(nxt)
-            prev, cur = cur, nxt
+            cur = nxt
         pts = np.array(loop, np.float64) / 2.0 - 1.0  # undo doubling + pad
         loops.append(pts)
     return loops
@@ -181,16 +181,21 @@ def component_rings(lbl: "np.ndarray", n: int) -> list["np.ndarray"]:
 
     The shared inner step of pipeline/{morphology,polygons,altpaths}'s
     labeled-mask → rings flows — ONE implementation so marching-squares
-    fixes propagate everywhere."""
+    fixes propagate everywhere. Bboxes come from ONE
+    ``scipy.ndimage.find_objects`` pass (a per-label full-image
+    ``lbl == k`` scan would be O(n·H·W) — minutes of host time at
+    thousands of islands)."""
+    from scipy import ndimage
+
     rings: list[np.ndarray] = []
-    for k in range(1, n + 1):
-        comp = lbl == k
-        ys, xs = np.nonzero(comp)
-        if len(ys) == 0:
+    for k, sl in enumerate(ndimage.find_objects(lbl, max_label=n), start=1):
+        if sl is None:
             continue
-        crop = comp[ys.min() : ys.max() + 1, xs.min() : xs.max() + 1]
+        crop = lbl[sl] == k
         ring = exterior_ring(crop)
         if ring is None or len(ring) < 3:
             continue
-        rings.append(ring + np.asarray([ys.min(), xs.min()], dtype=ring.dtype))
+        rings.append(
+            ring + np.asarray([sl[0].start, sl[1].start], dtype=ring.dtype)
+        )
     return rings

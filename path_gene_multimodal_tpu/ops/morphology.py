@@ -85,7 +85,10 @@ def gaussian_blur(img: jnp.ndarray, sigma: float, truncate: float = 4.0) -> jnp.
     """Separable Gaussian (skimage.filters.gaussian semantics: 'nearest'
     border mode, radius = truncate * sigma rounded) — the reference's
     smooth_mask blur (create_and_overlay_polygon_from_prediction.py:173-176)."""
-    radius = int(round(truncate * float(sigma)))
+    # scipy's radius rule: int(truncate*sigma + 0.5). Python round() would
+    # banker's-round half-integers DOWN (4.5→4), shrinking the kernel
+    # support vs the skimage parity target.
+    radius = int(truncate * float(sigma) + 0.5)
     xs = np.arange(-radius, radius + 1, dtype=np.float32)
     k = np.exp(-0.5 * (xs / sigma) ** 2)
     k /= k.sum()

@@ -85,7 +85,14 @@ def _relax_fixpoint(
         new = relax(lbl)
         return i + 1, new, jnp.any(new != lbl)
 
-    _, lbl, _ = jax.lax.while_loop(cond, body, (0, relax(lbl0), jnp.bool_(True)))
+    # seed `changed` from data, not a literal True: a literal carry is
+    # unvarying under shard_map's varying-axes tracking while the body's
+    # jnp.any(...) is varying — check_vma=True would reject the loop
+    # (same pattern as ops/components.py)
+    first = relax(lbl0)
+    _, lbl, _ = jax.lax.while_loop(
+        cond, body, (0, first, jnp.any(first != lbl0))
+    )
     return lbl
 
 

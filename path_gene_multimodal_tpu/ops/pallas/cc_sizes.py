@@ -36,7 +36,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from path_gene_multimodal_tpu.ops.components import INF
-from path_gene_multimodal_tpu.ops.pallas.cc import _INF32, _relax_fixpoint
+from path_gene_multimodal_tpu.ops.pallas.cc import _INF32, _relax_fixpoint, _shifted
 from path_gene_multimodal_tpu.ops.pallas.convnext_block import (
     VMEM_LIMIT,
     _vma_of,
@@ -45,11 +45,10 @@ from path_gene_multimodal_tpu.ops.pallas.flood import _roll_axis
 
 
 def _shift_fill0(x: jnp.ndarray, dist: int, axis: int) -> jnp.ndarray:
-    """x shifted so out[i] = x[i - dist] (0-fill) — Hillis-Steele step."""
-    h, w = x.shape
-    out = _roll_axis(x, dist, axis)
-    idx = jax.lax.broadcasted_iota(jnp.int32, (h, w), axis)
-    return jnp.where(idx < dist, jnp.zeros_like(x), out)
+    """x shifted so out[i] = x[i - dist] (0-fill) — Hillis-Steele step.
+    Thin wrapper over cc._shifted so the Mosaic shift idiom has ONE
+    implementation across the pallas package."""
+    return _shifted(x, dist, axis, jnp.zeros((), x.dtype))
 
 
 def _cumsum_rowmajor(x: jnp.ndarray) -> jnp.ndarray:
@@ -176,7 +175,8 @@ def pallas_cc_sizes(
     mask: jnp.ndarray,
     connectivity: int = 1,
     s_slots: int = 4096,
-    max_iters: int = 128,
+    max_iters: int = 256,  # match label_components/pallas_label_components —
+    # a lower cap could stop the relax early and split spiral components
     chunk: int = 8,
     min_size: int = 0,
     interpret: bool = False,

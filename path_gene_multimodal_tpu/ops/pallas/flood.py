@@ -85,19 +85,28 @@ def _flood_kernel(levels: int, max_rounds: int):
             level = levels - 1 - i
             eligible = mask & (q >= level)
 
+            def step(l):
+                active = jnp.where((l < _INF32) & (q >= level), l, _INF32)
+                nb = neighbor_min(active)
+                grow = eligible & (l == _INF32) & (nb < _INF32)
+                return jnp.where(grow, nb, l)
+
             def cond(state):
                 it, l, changed = state
                 return changed & (it < max_rounds)
 
             def body(state):
                 it, l, _ = state
-                active = jnp.where((l < _INF32) & (q >= level), l, _INF32)
-                nb = neighbor_min(active)
-                grow = eligible & (l == _INF32) & (nb < _INF32)
-                new = jnp.where(grow, nb, l)
+                new = step(l)
                 return it + 1, new, jnp.any(new != l)
 
-            _, lbl, _ = jax.lax.while_loop(cond, body, (0, lbl, jnp.bool_(True)))
+            # data-derived carry seed (not a literal True): keeps the loop
+            # traceable under shard_map varying-axes tracking (see
+            # ops/components.py) and exits immediately at a fixpoint
+            first = step(lbl)
+            _, lbl, _ = jax.lax.while_loop(
+                cond, body, (0, first, jnp.any(first != lbl))
+            )
             return lbl
 
         out_ref[0] = jax.lax.fori_loop(0, levels, level_body, lbl0)
