@@ -214,17 +214,26 @@ def export_geojson(
         ext = np.asarray(poly["exterior"], dtype=np.float64)
         if len(ext) < 3:
             continue
-        rings = [ext] + [np.asarray(h, dtype=np.float64) for h in poly.get("holes", [])]
+        # degenerate (<3-point) hole rings would make the Polygon invalid
+        # GeoJSON (RFC 7946 wants ≥4 positions per linear ring) — drop them
+        rings = [ext] + [
+            h2 for h in poly.get("holes", [])
+            if len(h2 := np.asarray(h, dtype=np.float64)) >= 3
+        ]
         area = poly.get("area_px2")
         perim = poly.get("perimeter_px")
-        if area is None or perim is None:
-            # shapely semantics (reference :298-299): Polygon.area subtracts
-            # holes; Polygon.length sums exterior + hole perimeters.
-            area, perim = polygon_ring_area_perimeter(ext)
+        # shapely semantics (reference :298-299): Polygon.area subtracts
+        # holes; Polygon.length sums exterior + hole perimeters. Each field
+        # is computed independently so a caller-supplied value for ONE of
+        # them survives.
+        if area is None:
+            area = polygon_ring_area_perimeter(ext)[0]
             for hole in rings[1:]:
-                h_area, h_perim = polygon_ring_area_perimeter(hole)
-                area -= h_area
-                perim += h_perim
+                area -= polygon_ring_area_perimeter(hole)[0]
+        if perim is None:
+            perim = polygon_ring_area_perimeter(ext)[1]
+            for hole in rings[1:]:
+                perim += polygon_ring_area_perimeter(hole)[1]
         coords = []
         for ring in rings:
             ring_closed = ring

@@ -75,19 +75,29 @@ def save_params(params: Any, path: str | Path) -> Path:
     path = Path(path)
     try:
         import orbax.checkpoint as ocp
+    except ImportError:
+        ocp = None
+    if ocp is not None:
+        try:
+            ckptr = ocp.StandardCheckpointer()
+            ckptr.save(path.resolve(), jax.device_get(params), force=True)
+            ckptr.wait_until_finished()
+            return path
+        except Exception:
+            # a REAL save failure (disk full, serialization error) must not
+            # silently degrade to npz: a partial orbax dir left at `path`
+            # would shadow the npz on a later load. Clean it and re-raise.
+            import shutil
 
-        ckptr = ocp.StandardCheckpointer()
-        ckptr.save(path.resolve(), jax.device_get(params), force=True)
-        ckptr.wait_until_finished()
-        return path
-    except Exception:
-        # flat-npz fallback
-        flat = {}
-        for kp, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
-            flat[_flat_key(kp)] = np.asarray(leaf)
-        out = _npz_path(path)
-        np.savez_compressed(out, **flat)
-        return out
+            shutil.rmtree(path, ignore_errors=True)
+            raise
+    # orbax absent → flat-npz fallback
+    flat = {}
+    for kp, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        flat[_flat_key(kp)] = np.asarray(leaf)
+    out = _npz_path(path)
+    np.savez_compressed(out, **flat)
+    return out
 
 
 def load_params(path: str | Path, like: Any | None = None) -> Any:
@@ -201,6 +211,18 @@ def load_convnext_encoder_from_torch(path: str | Path, allow_pickle: bool = Fals
     )
 
     sd = load_torch_checkpoint(path, allow_pickle=allow_pickle)
+    if any(k.startswith("stages.0.blocks.") for k in sd):
+        # timm export naming — route to the timm converter (the hovernext
+        # real-layout path already owns it) instead of refusing
+        from path_gene_multimodal_tpu.models.weights_hovernext_real import (
+            convert_convnextv2_timm,
+            infer_convnext_config_timm,
+        )
+
+        cfg = infer_convnext_config_timm(sd)
+        params, consumed = convert_convnextv2_timm(sd, cfg)
+        leftover = {k: v for k, v in sd.items() if k not in consumed}
+        return cfg, {"params": params}, leftover
     cfg = infer_convnext_config(sd)
     variables, leftover = convert_convnextv2(sd, cfg)
     return cfg, variables, leftover

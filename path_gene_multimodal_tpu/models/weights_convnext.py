@@ -36,14 +36,9 @@ def _conv(sd: Mapping, key: str) -> dict:
     return out
 
 
-def _dwconv(sd: Mapping, key: str, dim: int) -> dict:
-    # torch depthwise: (C, 1, kh, kw) → flax feature_group_count=C layout
-    # (kh, kw, in_per_group=1, C)
-    w = _np(sd[f"{key}.weight"])  # (C, 1, kh, kw)
-    out = {"kernel": w.transpose(2, 3, 1, 0)}
-    if f"{key}.bias" in sd:
-        out["bias"] = _np(sd[f"{key}.bias"])
-    return out
+# NOTE: torch depthwise (C, 1, kh, kw) transposes to the flax
+# feature_group_count=C layout (kh, kw, 1, C) with the SAME permutation a
+# regular conv uses — _conv serves both.
 
 
 def _ln(sd: Mapping, key: str) -> dict:
@@ -68,9 +63,10 @@ def infer_convnext_config(sd: Mapping[str, np.ndarray]) -> ConvNeXtConfig:
         if b == 0:
             if any(k.startswith(f"stages.{s}.blocks.") for k in sd):
                 raise ValueError(
-                    "timm 'stages.S.blocks.B.conv_dw' naming is not supported; "
-                    "export the checkpoint with the official FCMAE layout "
-                    "('stages.S.B.dwconv')"
+                    "timm 'stages.S.blocks.B.conv_dw' naming: use "
+                    "weights_hovernext_real.convert_convnextv2_timm (or "
+                    "core.checkpoints.load_convnext_encoder_from_torch, "
+                    "which auto-routes)"
                 )
             break
         depths.append(b)
@@ -92,13 +88,6 @@ def convert_convnextv2(
     if cfg is None:
         cfg = infer_convnext_config(sd)
     consumed: set[str] = set()
-
-    def take(fn, *keys):
-        for k in keys:
-            consumed.add(k + ".weight")
-            consumed.add(k + ".bias")
-        return fn
-
     p: dict = {}
     p["stem_conv"] = _conv(sd, "downsample_layers.0.0")
     p["stem_norm"] = _ln(sd, "downsample_layers.0.1")
@@ -115,7 +104,7 @@ def convert_convnextv2(
         for b in range(cfg.depths[s]):
             t = f"stages.{s}.{b}"
             blk = {
-                "dwconv": _dwconv(sd, f"{t}.dwconv", cfg.dims[s]),
+                "dwconv": _conv(sd, f"{t}.dwconv"),
                 "norm": _ln(sd, f"{t}.norm"),
                 "pwconv1": _dense(sd, f"{t}.pwconv1"),
                 "pwconv2": _dense(sd, f"{t}.pwconv2"),

@@ -204,10 +204,29 @@ def _pair_branches(
     return fixed
 
 
+def _encoder_cfg_only(sd: Mapping[str, np.ndarray]) -> ConvNeXtConfig:
+    """Encoder config WITHOUT materializing the ~28M-param weight copy
+    (infer_real_config must not pay the full conversion twice)."""
+    for prefix in ("encoder.model.", "encoder."):
+        sub = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+        if not sub:
+            continue
+        if "stem.0.weight" in sub:  # timm naming
+            return infer_convnext_config_timm(sub)
+        if "downsample_layers.0.0.weight" in sub:  # official FCMAE naming
+            from path_gene_multimodal_tpu.models.weights_convnext import (
+                infer_convnext_config,
+            )
+
+            return infer_convnext_config(sub)
+    # fall through to _convert_encoder's error message
+    return _convert_encoder(sd)[0]
+
+
 def infer_real_config(
     sd: Mapping[str, np.ndarray], input_size: int = 256
 ) -> RealHoverNeXtConfig:
-    enc_cfg, _, _ = _convert_encoder(sd)
+    enc_cfg = _encoder_cfg_only(sd)
     decoders = _discover_decoders(sd)
     heads = _discover_heads(sd, decoders)
     pairs = _pair_branches(decoders, heads)

@@ -215,6 +215,50 @@ def fused_decoder_conv(
     return out[:bsz]
 
 
+def _up_axis_mosaic(v, axis):
+    """In-kernel 2× bilinear along ``axis`` (half-pixel centers, edge
+    clamp), Mosaic-safe: lax.concatenate + stack-reshape interleave. ONE
+    implementation shared by both fused upsample kernels."""
+    n = v.shape[axis]
+    first = jax.lax.slice_in_dim(v, 0, 1, axis=axis)
+    last = jax.lax.slice_in_dim(v, n - 1, n, axis=axis)
+    prev = jax.lax.concatenate(
+        [first, jax.lax.slice_in_dim(v, 0, n - 1, axis=axis)], axis
+    )
+    nxt = jax.lax.concatenate(
+        [jax.lax.slice_in_dim(v, 1, n, axis=axis), last], axis
+    )
+    even = 0.25 * prev + 0.75 * v
+    odd = 0.75 * v + 0.25 * nxt
+    st = jnp.stack([even, odd], axis=axis + 1)
+    shape = list(v.shape)
+    shape[axis] *= 2
+    return st.reshape(shape)
+
+
+#: 3×3 conv taps K-packed in pairs: single-tap matmuls have K=cin (64 for
+#: HoverNeXt) and run the 128-lane MXU half-empty — pairing restores full K
+_TAPS = [(dy, dx) for dy in range(3) for dx in range(3)]
+_TAP_PAIRS = [(_TAPS[i], _TAPS[i + 1]) for i in range(0, 8, 2)] + [(_TAPS[8],)]
+
+
+def _chunk_conv_gelu(xp, w_ref, bias, c, rc, ow, cin, cout):
+    """One row-chunk of the padded-upsample 3×3 conv + bias + exact GELU
+    (f32 accumulate) — the shared inner loop of both fused kernels."""
+    acc = jnp.zeros((rc * ow, cout), jnp.float32)
+
+    def tap_of(dy, dx):
+        return jax.lax.slice(
+            xp, (c * rc + dy, dx, 0), (c * rc + dy + rc, dx + ow, cin)
+        ).reshape(rc * ow, cin)
+
+    for group in _TAP_PAIRS:
+        t = jnp.concatenate([tap_of(*g) for g in group], axis=1)
+        wg = jnp.concatenate([w_ref[dy, dx] for dy, dx in group], axis=0)
+        acc = acc + jnp.dot(t, wg, preferred_element_type=jnp.float32)
+    return _gelu_exact(acc + bias)
+
+
 def _upsample_final_kernel(h: int, w: int, cin: int, cout: int):
     """Whole-image 2× bilinear upsample + 3×3 conv + GELU, VMEM-resident.
 
@@ -226,50 +270,15 @@ def _upsample_final_kernel(h: int, w: int, cin: int, cout: int):
 
     def kernel(x_ref, w_ref, b_ref, out_ref):
         x = x_ref[0].astype(jnp.float32)  # (h, w, cin)
-
-        def up_axis(v, axis):
-            n = v.shape[axis]
-            first = jax.lax.slice_in_dim(v, 0, 1, axis=axis)
-            last = jax.lax.slice_in_dim(v, n - 1, n, axis=axis)
-            prev = jax.lax.concatenate(
-                [first, jax.lax.slice_in_dim(v, 0, n - 1, axis=axis)], axis
-            )
-            nxt = jax.lax.concatenate(
-                [jax.lax.slice_in_dim(v, 1, n, axis=axis), last], axis
-            )
-            even = 0.25 * prev + 0.75 * v
-            odd = 0.75 * v + 0.25 * nxt
-            st = jnp.stack([even, odd], axis=axis + 1)
-            shape = list(v.shape)
-            shape[axis] *= 2
-            return st.reshape(shape)
-
-        up = up_axis(up_axis(x, 0), 1).astype(jnp.bfloat16)  # (2h, 2w, cin)
+        up = _up_axis_mosaic(_up_axis_mosaic(x, 0), 1).astype(jnp.bfloat16)
         xp = jnp.pad(up, ((1, 1), (1, 1), (0, 0)))
         # conv in 4 row-chunks: a whole-image f32 accumulator is ~34 MB
         # after lane padding and tips total VMEM past the 128 MB chip limit
         oh, ow = 2 * h, 2 * w
         rc = oh // 4
         bias = b_ref[...].astype(jnp.float32)
-        taps = [(dy, dx) for dy in range(3) for dx in range(3)]
-        # K-pack pairs of taps along the contraction dim: single-tap
-        # matmuls have K=cin (64 for HoverNeXt) and run the 128-lane MXU
-        # half-empty — pairing restores full K
-        pairs = [(taps[i], taps[i + 1]) for i in range(0, 8, 2)] + [(taps[8],)]
         for c in range(4):
-            acc = jnp.zeros((rc * ow, cout), jnp.float32)
-
-            def tap_of(dy, dx):
-                return jax.lax.slice(
-                    xp, (c * rc + dy, dx, 0),
-                    (c * rc + dy + rc, dx + ow, cin),
-                ).reshape(rc * ow, cin)
-
-            for group in pairs:
-                t = jnp.concatenate([tap_of(*g) for g in group], axis=1)
-                wg = jnp.concatenate([w_ref[dy, dx] for dy, dx in group], axis=0)
-                acc = acc + jnp.dot(t, wg, preferred_element_type=jnp.float32)
-            acc = _gelu_exact(acc + bias)
+            acc = _chunk_conv_gelu(xp, w_ref, bias, c, rc, ow, cin, cout)
             out_ref[0, c * rc : (c + 1) * rc, :, :] = acc.reshape(
                 rc, ow, cout
             ).astype(out_ref.dtype)
@@ -288,6 +297,11 @@ def fused_upsample_final(
     GELU, (B, 2H, 2W, cout) bf16. Matches ``jax.image.resize(bilinear)``
     + conv + gelu element-wise (asserted in tests)."""
     bsz, h, wd, cin = x.shape
+    if (2 * h) % 4:
+        # the kernel writes the output in 4 row chunks of (2H)//4 rows:
+        # a non-multiple would leave the tail rows UNINITIALIZED (Pallas
+        # outputs are not zeroed) — same guard as fused_final_heads
+        raise ValueError(f"2*H must be a multiple of 4, got H={h}")
     cout = w.shape[-1]
     vma = _vma_of(x)
     out = pl.pallas_call(
@@ -333,46 +347,16 @@ def _upsample_final_heads_kernel(h: int, w: int, cin: int, cout: int,
 
     def kernel(x_ref, w_ref, b_ref, wh_ref, bh_ref, out_ref):
         x = x_ref[0].astype(jnp.float32)  # (h, w, cin)
-
-        def up_axis(v, axis):
-            n = v.shape[axis]
-            first = jax.lax.slice_in_dim(v, 0, 1, axis=axis)
-            last = jax.lax.slice_in_dim(v, n - 1, n, axis=axis)
-            prev = jax.lax.concatenate(
-                [first, jax.lax.slice_in_dim(v, 0, n - 1, axis=axis)], axis
-            )
-            nxt = jax.lax.concatenate(
-                [jax.lax.slice_in_dim(v, 1, n, axis=axis), last], axis
-            )
-            even = 0.25 * prev + 0.75 * v
-            odd = 0.75 * v + 0.25 * nxt
-            st = jnp.stack([even, odd], axis=axis + 1)
-            shape = list(v.shape)
-            shape[axis] *= 2
-            return st.reshape(shape)
-
-        up = up_axis(up_axis(x, 0), 1).astype(jnp.bfloat16)  # (2h, 2w, cin)
+        up = _up_axis_mosaic(_up_axis_mosaic(x, 0), 1).astype(jnp.bfloat16)
         xp = jnp.pad(up, ((1, 1), (1, 1), (0, 0)))
         oh, ow = 2 * h, 2 * w
         rc = oh // 4
         bias = b_ref[...].astype(jnp.float32)
         bh = bh_ref[...].astype(jnp.float32)  # (1, n_out)
-        taps = [(dy, dx) for dy in range(3) for dx in range(3)]
-        pairs = [(taps[i], taps[i + 1]) for i in range(0, 8, 2)] + [(taps[8],)]
         for c in range(4):
-            acc = jnp.zeros((rc * ow, cout), jnp.float32)
-
-            def tap_of(dy, dx):
-                return jax.lax.slice(
-                    xp, (c * rc + dy, dx, 0),
-                    (c * rc + dy + rc, dx + ow, cin),
-                ).reshape(rc * ow, cin)
-
-            for group in pairs:
-                t = jnp.concatenate([tap_of(*g) for g in group], axis=1)
-                wg = jnp.concatenate([w_ref[dy, dx] for dy, dx in group], axis=0)
-                acc = acc + jnp.dot(t, wg, preferred_element_type=jnp.float32)
-            acc = _gelu_exact(acc + bias).astype(jnp.bfloat16)
+            acc = _chunk_conv_gelu(
+                xp, w_ref, bias, c, rc, ow, cin, cout
+            ).astype(jnp.bfloat16)
             # transposed head matmul: (cout, n_out)ᵀ·(rc·ow, cout)ᵀ →
             # (n_out, rc·ow) lands directly in the NCHW output layout
             z = jax.lax.dot_general(
@@ -508,7 +492,10 @@ def fused_final_conv_gelu(
     halo DMA from HBM (module docstring). x (B, H, W, cin), H % rows == 0."""
     bsz, h, wd, cin = x.shape
     cout = w.shape[-1]
-    assert h % rows == 0, (h, rows)
+    if h % rows:
+        # assert would vanish under -O, leaving the last rows of the strip
+        # grid UNWRITTEN (Pallas outputs are not zeroed)
+        raise ValueError(f"H={h} must be a multiple of rows={rows}")
     n_strips = h // rows
     bf = jnp.bfloat16
 
