@@ -95,6 +95,15 @@ bool decode_one_jpeg(const uint8_t* data, size_t len, const uint8_t* tables,
     return false;
   }
   if (!open_jpeg(&cinfo, &jerr, data, len, tables, tables_len)) return false;
+  // Contract (io/tiff.py): blobs are TIFF tiles decoded at the page's
+  // declared tile size, so headers claiming far larger dims are corrupt.
+  // Keep modest crop tolerance (≤2× per side) but fail anything beyond —
+  // otherwise a hostile/corrupt header drives unbounded scanline work.
+  if (cinfo.image_width > 2u * static_cast<unsigned>(tile_w) + 32u ||
+      cinfo.image_height > 2u * static_cast<unsigned>(tile_h) + 32u) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
   cinfo.out_color_space = JCS_RGB;
   cinfo.do_fancy_upsampling = fancy ? TRUE : FALSE;
   jpeg_start_decompress(&cinfo);
@@ -162,7 +171,12 @@ bool decode_one_jpeg_planar(const uint8_t* data, size_t len,
       // boundary is real, so the first pad column/row would reconstruct
       // tinted instead of white and break bit-parity with the RGB path —
       // such (rare, undersized-edge) tiles fall back to RGB decode
-      (cinfo.image_width % 2) != 0 || (cinfo.image_height % 2) != 0) {
+      (cinfo.image_width % 2) != 0 || (cinfo.image_height % 2) != 0 ||
+      // corrupt headers claiming huge dims would size the raw-plane
+      // scratch below from those dims (multi-GB, bad_alloc): bound them
+      // by the same ≤2×-tile crop tolerance as the RGB path
+      cinfo.image_width > 2u * static_cast<unsigned>(tile_w) + 32u ||
+      cinfo.image_height > 2u * static_cast<unsigned>(tile_h) + 32u) {
     jpeg_destroy_decompress(&cinfo);
     return false;
   }
@@ -263,7 +277,16 @@ int run_pool(int n, int threads, const std::function<bool(int)>& work) {
       for (;;) {
         const int i = next.fetch_add(1);
         if (i >= n) break;
-        if (!work(i)) failures.fetch_add(1);
+        // an exception escaping a std::thread calls std::terminate and
+        // takes the whole interpreter down — contain per-tile failures
+        // (bad_alloc on corrupt dims, etc.) to a failure count instead
+        bool good = false;
+        try {
+          good = work(i);
+        } catch (...) {
+          good = false;
+        }
+        if (!good) failures.fetch_add(1);
       }
     });
   }

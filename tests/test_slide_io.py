@@ -201,6 +201,58 @@ def test_native_decoder_deflate():
     np.testing.assert_array_equal(out, np.stack(tiles))
 
 
+def _patch_jpeg_sof_dims(blob: bytes, h: int, w: int) -> bytes:
+    """Rewrite the SOF0/SOF2 height/width fields of an encoded JPEG —
+    produces a corrupt blob whose header CLAIMS the given dims."""
+    buf = bytearray(blob)
+    i = 2
+    while i + 4 <= len(buf):
+        assert buf[i] == 0xFF
+        marker = buf[i + 1]
+        seg_len = (buf[i + 2] << 8) | buf[i + 3]
+        if marker in (0xC0, 0xC2):  # SOF0 / SOF2: len(2) prec(1) h(2) w(2)
+            buf[i + 5] = (h >> 8) & 0xFF
+            buf[i + 6] = h & 0xFF
+            buf[i + 7] = (w >> 8) & 0xFF
+            buf[i + 8] = w & 0xFF
+            return bytes(buf)
+        i += 2 + seg_len
+    raise AssertionError("no SOF marker found")
+
+
+def test_native_decoder_rejects_corrupt_huge_dims():
+    """A corrupt JPEG header claiming huge dims must fail that tile (not
+    allocate multi-GB raw-plane scratch → bad_alloc → std::terminate, which
+    would take the whole interpreter down from inside a pool thread)."""
+    import cv2
+
+    from path_gene_multimodal_tpu.io.native import NativeTileDecoder
+
+    try:
+        dec = NativeTileDecoder()
+    except Exception:
+        pytest.skip("native decoder unavailable")
+    tile = np.full((224, 224, 3), 180, np.uint8)
+    ok, enc = cv2.imencode(".jpg", tile[:, :, ::-1])
+    assert ok
+    good = enc.tobytes()
+    corrupt = _patch_jpeg_sof_dims(good, 65500, 65500)
+    # whole-batch RGB decode fails closed (caller falls back per-tile)
+    assert dec.decode_jpeg_batch([corrupt], 224, 224) is None
+    # mixed planar batch keeps the good tile and flags only the corrupt one
+    y, c, okf = dec.decode_jpeg_batch_planar(
+        [good, corrupt], 224, 224, return_ok=True
+    )
+    assert okf.tolist() == [True, False]
+    assert int(y[0].min()) > 0  # the good tile actually decoded
+    # mildly-oversized claims stay within the ≤2×-tile crop tolerance: the
+    # header passes the bound and libjpeg decodes leniently (premature scan
+    # end is a libjpeg warning, not an error) — must not crash either way
+    mild = _patch_jpeg_sof_dims(good, 300, 300)
+    out = dec.decode_jpeg_batch([mild], 224, 224)
+    assert out is None or out.shape == (1, 224, 224, 3)
+
+
 def test_tiff_native_batch_matches_python(tmp_path):
     rng = np.random.default_rng(4)
     base = np.kron(
