@@ -22,6 +22,17 @@ def setup_jax(cache_dir: str | Path | None = None, platform: str | None = None) 
     global _DONE
     import jax
 
+    # Honor the user's JAX_PLATFORMS env var even when a sitecustomize
+    # already overrode it at interpreter start (the axon image pins
+    # jax_platforms="axon,cpu" that way, so `JAX_PLATFORMS=cpu python ...`
+    # would otherwise still block on the TPU tunnel). A config value that
+    # already starts with the env value (e.g. env "axon" vs config
+    # "axon,cpu") is compatible — keep its extra fallbacks.
+    env_platforms = os.environ.get("JAX_PLATFORMS")
+    if env_platforms and not platform:
+        current = getattr(jax.config, "jax_platforms", None) or ""
+        if not current.startswith(env_platforms):
+            jax.config.update("jax_platforms", env_platforms)
     if platform:
         jax.config.update("jax_platforms", platform)
     if _DONE:

@@ -60,3 +60,50 @@ def test_no_backend_init_at_import():
     assert proc.returncode == 0 and "CLEAN" in proc.stdout, (
         proc.stdout + proc.stderr
     )
+
+
+_SETUP_JAX_PROBE = r"""
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+
+# simulate the axon sitecustomize, which overrides the env var at
+# interpreter start (and in this test image genuinely does so again here)
+jax.config.update("jax_platforms", "axon,cpu")
+
+import path_gene_multimodal_tpu.utils.jaxsetup as js
+
+js.setup_jax()
+assert jax.config.jax_platforms == "cpu", jax.config.jax_platforms
+assert jax.default_backend() == "cpu"
+
+# compatible prefix: config already leads with the env value -> unchanged
+# (re-asserting "axon" over "axon,cpu" would drop the cpu fallback)
+os.environ["JAX_PLATFORMS"] = "cpu"
+jax.config.update("jax_platforms", "cpu,axon")
+js._DONE = False
+js.setup_jax()
+assert jax.config.jax_platforms == "cpu,axon", jax.config.jax_platforms
+
+# the explicit platform argument still wins over the env var
+js._DONE = False
+js.setup_jax(platform="cpu")
+assert jax.config.jax_platforms == "cpu"
+print("SETUPJAX-OK")
+"""
+
+
+def test_setup_jax_reasserts_user_env_platforms():
+    """`JAX_PLATFORMS=cpu python <entry point>` must actually select CPU even
+    though the axon sitecustomize re-pins jax_platforms at interpreter start
+    — otherwise every entry point blocks on the TPU tunnel (~18 min when it
+    is down) despite the user explicitly asking for CPU."""
+    proc = subprocess.run(
+        [sys.executable, "-c", _SETUP_JAX_PROBE],
+        capture_output=True, text=True, timeout=300,
+        cwd=Path(__file__).resolve().parents[1],
+    )
+    assert proc.returncode == 0 and "SETUPJAX-OK" in proc.stdout, (
+        proc.stdout + proc.stderr
+    )
