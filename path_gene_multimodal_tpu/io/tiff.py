@@ -185,7 +185,21 @@ def _page_from_ifd(ifd: dict) -> TiffPage | None:
     height = _scalar(ifd, _TAG_IMAGE_LENGTH)
     if width is None or height is None:
         return None
+    if not (0 < int(width) < 2**32 and 0 < int(height) < 2**32):
+        return None  # corrupt dims — drop the page (fail-closed)
     tiled = _TAG_TILE_OFFSETS in ifd
+    if tiled:
+        tw, th = _scalar(ifd, _TAG_TILE_WIDTH), _scalar(ifd, _TAG_TILE_LENGTH)
+        # sane tile bounds: TIFF tiles are small fixed blocks (SVS 240-512,
+        # Ventana ≤4096). A corrupt TileWidth of 0 would divide-by-zero in
+        # the grid math; a huge claim would drive multi-GB per-tile decode
+        # allocations. 16..16384 per side, ≤4096² area.
+        if tw is None or th is None:
+            return None
+        if not (16 <= int(tw) <= 16384 and 16 <= int(th) <= 16384):
+            return None
+        if int(tw) * int(th) > 4096 * 4096:
+            return None
     offsets = np.asarray(
         ifd.get(_TAG_TILE_OFFSETS if tiled else _TAG_STRIP_OFFSETS, []), dtype=np.int64
     )

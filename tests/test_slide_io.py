@@ -648,6 +648,64 @@ def test_tiff_oversize_tag_count_rejected(tmp_path):
         TiffTileSlide(p)
 
 
+def test_tiff_header_fuzz_fails_closed(tmp_path):
+    """Seeded corruption sweep over a valid SVS: every mutated file must
+    either work or raise a clean exception — never hang, exhaust memory, or
+    crash the interpreter (generalizes the targeted malformed-input cases:
+    production batch loops feed whatever bytes the filesystem hands them)."""
+    import signal
+
+    from path_gene_multimodal_tpu.io.tiff import TiffTileSlide
+
+    rng = np.random.default_rng(1234)
+    img = np.kron(
+        rng.integers(40, 220, (4, 4, 3), np.uint8), np.ones((128, 128, 1), np.uint8)
+    )
+    src = tmp_path / "base.svs"
+    write_tiled_tiff(src, [img], tile_size=256, compression=7)
+    data = bytearray(src.read_bytes())
+    n = len(data)
+
+    def exercise(path):
+        slide = TiffTileSlide(path)
+        slide.read_region((0, 0), 0, (96, 96))
+        slide.read_tiles_batch(0, np.array([0]))
+
+    cases = []
+    # byte flips weighted to the structured head/tail (IFDs live there)
+    for _ in range(120):
+        k = int(rng.integers(1, 5))
+        zone = rng.integers(0, 3)
+        lo, hi = [(0, min(2048, n)), (max(0, n - 2048), n), (0, n)][zone]
+        cases.append(("flip", rng.integers(lo, hi, size=k).tolist()))
+    for _ in range(25):
+        cases.append(("trunc", int(rng.integers(0, n))))
+    for _ in range(25):
+        cases.append(("zero", int(rng.integers(0, max(1, n - 16)))))
+
+    old = signal.alarm(300)  # the whole sweep must stay promptly bounded
+    try:
+        for i, (kind, arg) in enumerate(cases):
+            buf = bytearray(data)
+            if kind == "flip":
+                for pos in arg:
+                    buf[pos] ^= int(rng.integers(1, 256))
+            elif kind == "trunc":
+                buf = buf[:arg]
+            else:
+                buf[arg : arg + 16] = b"\x00" * 16
+            p = tmp_path / "fuzz.svs"
+            p.write_bytes(bytes(buf))
+            try:
+                exercise(p)
+            except Exception as e:  # clean failure is the contract
+                assert not isinstance(
+                    e, (MemoryError, RecursionError, SystemError)
+                ), f"case {i} ({kind}, {arg}): {type(e).__name__}: {e}"
+    finally:
+        signal.alarm(old)
+
+
 def test_write_tiled_tiff_unsupported_compression(tmp_path):
     img = np.zeros((64, 64, 3), np.uint8)
     with pytest.raises(ValueError, match="unsupported write compression"):
