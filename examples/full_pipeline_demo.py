@@ -161,6 +161,12 @@ def main() -> int:
         print(f"    (synthetic table) {len(graph.node_ids)} nodes, "
               f"{graph.edge_index.shape[1]} edges")
 
+    from path_gene_multimodal_tpu.pipeline.graph_stats import analyze_graph
+
+    stats = analyze_graph(graph, out_dir, stem, n_perms=50)
+    print(f"    stage-6 analysis: mean degree {stats['mean_degree']:.2f}, "
+          f"mean clustering {stats['mean_clustering']:.3f}")
+
     print("[6] islands + burden metrics ...")
     from path_gene_multimodal_tpu.pipeline.morphology import (
         process_one_slide_make_csv_and_plot,

@@ -1,0 +1,209 @@
+"""Stage-6 spatial graph analysis (pipeline/graph_stats.py) vs independent
+goldens: networkx for degree/clustering, dense eigendecomposition for
+centrality, brute-force loops for composition / interaction counts /
+tumor-immune metrics."""
+
+import json
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from path_gene_multimodal_tpu.config import TYPE_NAMES, GraphConfig
+from path_gene_multimodal_tpu.pipeline.graph import build_cell_graph
+from path_gene_multimodal_tpu.pipeline.graph_stats import (
+    adjacency,
+    analyze_graph,
+    clustering_coefficients,
+    degrees,
+    eigenvector_centrality,
+    interaction_enrichment,
+    neighborhood_composition,
+    tumor_immune_metrics,
+)
+
+
+def _random_edge_index(rng, n, n_edges):
+    """Random undirected graph as a both-directions (2, E) edge list (the
+    ops.neighbors.radius_graph convention), with duplicates + self loops
+    thrown in to prove the adjacency builder cleans them."""
+    src = rng.integers(0, n, size=n_edges)
+    dst = rng.integers(0, n, size=n_edges)
+    ei = np.stack([np.r_[src, dst, src[:3], [0]], np.r_[dst, src, dst[:3], [0]]])
+    return ei.astype(np.int64)
+
+
+def _nx_graph(a):
+    import networkx as nx
+
+    g = nx.Graph()
+    g.add_nodes_from(range(a.shape[0]))
+    coo = a.tocoo()
+    g.add_edges_from(
+        (int(i), int(j)) for i, j in zip(coo.row, coo.col) if i < j
+    )
+    return g
+
+
+def test_adjacency_symmetric_dedup(rng):
+    n = 40
+    ei = _random_edge_index(rng, n, 120)
+    a = adjacency(ei, n)
+    assert (a != a.T).nnz == 0          # symmetric
+    assert a.diagonal().sum() == 0      # no self loops
+    assert set(np.unique(a.data)) == {1.0}  # binarized
+
+
+def test_degree_clustering_match_networkx(rng):
+    nx = pytest.importorskip("networkx")
+    n = 60
+    a = adjacency(_random_edge_index(rng, n, 150), n)
+    g = _nx_graph(a)
+    deg = degrees(a)
+    nx_deg = np.array([g.degree(i) for i in range(n)])
+    np.testing.assert_array_equal(deg, nx_deg)
+    clust = clustering_coefficients(a)
+    nx_clust = np.array([nx.clustering(g, i) for i in range(n)])
+    np.testing.assert_allclose(clust, nx_clust, atol=1e-12)
+
+
+def test_eigenvector_centrality_matches_dense_eig(rng):
+    n = 50
+    a = adjacency(_random_edge_index(rng, n, 400), n)  # dense-ish: connected
+    c = eigenvector_centrality(a)
+    w, v = np.linalg.eigh(a.toarray())
+    golden = np.abs(v[:, np.argmax(w)])
+    np.testing.assert_allclose(np.abs(c), golden, atol=1e-6)
+
+
+def test_neighborhood_composition_brute_force(rng):
+    n = 50
+    a = adjacency(_random_edge_index(rng, n, 130), n)
+    types = rng.integers(1, 6, size=n).astype(np.int32)
+    comp = neighborhood_composition(a, types)
+    k = max(TYPE_NAMES)
+    dense = a.toarray()
+    for i in range(n):
+        nbrs = np.nonzero(dense[i])[0]
+        if len(nbrs) == 0:
+            np.testing.assert_array_equal(comp[i], np.zeros(k))
+            continue
+        want = np.array([(types[nbrs] == t + 1).mean() for t in range(k)])
+        np.testing.assert_allclose(comp[i], want, atol=1e-12)
+
+
+def test_interaction_counts_brute_force(rng):
+    n = 60
+    a = adjacency(_random_edge_index(rng, n, 200), n)
+    types = rng.integers(1, 6, size=n).astype(np.int32)
+    res = interaction_enrichment(a, types, n_perms=0)
+    k = max(TYPE_NAMES)
+    want = np.zeros((k, k))
+    dense = np.triu(a.toarray(), 1)
+    for i, j in zip(*np.nonzero(dense)):
+        ti, tj = sorted((types[i], types[j]))
+        want[ti - 1, tj - 1] += 1
+    want = want + np.triu(want, 1).T
+    np.testing.assert_array_equal(res["observed"], want)
+    # expected sums to the total edge count
+    assert np.triu(res["expected"]).sum() == pytest.approx(dense.sum(), rel=1e-9)
+
+
+def test_interaction_zscores_detect_assortativity(rng):
+    """Two spatial clusters of distinct types: on-diagonal enrichment must
+    be strongly positive, cross-type strongly negative."""
+    n_half = 40
+    pts = np.concatenate(
+        [rng.normal(0, 5, size=(n_half, 2)), rng.normal(100, 5, size=(n_half, 2))]
+    )
+    types = np.r_[np.ones(n_half), np.full(n_half, 2)].astype(np.int32)
+    from path_gene_multimodal_tpu.ops.neighbors import radius_graph
+
+    ei, _ = radius_graph(pts.astype(np.float32), radius=15.0)
+    a = adjacency(ei, len(pts))
+    res = interaction_enrichment(a, types, n_perms=100, seed=1)
+    z = res["zscores"]
+    assert z[0, 0] > 3 and z[1, 1] > 3
+    assert z[0, 1] < -3
+
+
+def test_tumor_immune_metrics_brute_force(rng):
+    from dataclasses import dataclass
+
+    n = 80
+    pos = rng.uniform(0, 300, size=(n, 2))
+    types = rng.integers(1, 4, size=n).astype(np.int32)
+
+    @dataclass
+    class G:
+        pos_um: np.ndarray
+        types: np.ndarray
+
+    from path_gene_multimodal_tpu.ops.neighbors import radius_graph
+
+    ei, _ = radius_graph(pos.astype(np.float32), radius=40.0)
+    a = adjacency(ei, n)
+    m = tumor_immune_metrics(G(pos, types), a)
+    dense = a.toarray()
+    tumor, immune = np.nonzero(types == 1)[0], np.nonzero(types == 2)[0]
+    want_inf = np.mean([dense[t][immune].sum() > 0 for t in tumor])
+    assert m["immune_infiltration_frac"] == pytest.approx(want_inf)
+    d = np.sqrt(((pos[immune][:, None] - pos[tumor][None]) ** 2).sum(-1)).min(1)
+    assert m["immune_to_tumor_dist_um_mean"] == pytest.approx(d.mean(), rel=1e-6)
+    it = ii = 0
+    for i, j in zip(*np.nonzero(np.triu(dense, 1))):
+        s = {types[i], types[j]}
+        if s == {1, 2}:
+            it += 1
+        elif s == {2}:
+            ii += 1
+    assert m["immune_tumor_edges"] == it and m["immune_immune_edges"] == ii
+
+
+def test_degenerate_graphs():
+    from scipy import sparse
+
+    empty = sparse.csr_matrix((0, 0))
+    assert eigenvector_centrality(empty).shape == (0,)
+    lone = adjacency(np.zeros((2, 0), np.int64), 3)  # 3 isolated nodes
+    assert degrees(lone).tolist() == [0, 0, 0]
+    assert clustering_coefficients(lone).tolist() == [0, 0, 0]
+    comp = neighborhood_composition(lone, np.array([1, 2, 3], np.int32))
+    assert not np.isnan(comp).any() and comp.sum() == 0
+    res = interaction_enrichment(lone, np.array([1, 2, 3], np.int32), n_perms=5)
+    assert res["observed"].sum() == 0 and not np.isnan(res["expected"]).any()
+
+
+def test_analyze_graph_end_to_end(tmp_path, rng):
+    n = 120
+    rows = [
+        {
+            "nuc_id": f"n{i}",
+            "type": int(rng.integers(1, 6)),
+            "wsi_centroid_x": float(rng.uniform(0, 1500)),
+            "wsi_centroid_y": float(rng.uniform(0, 1500)),
+            "area": float(rng.uniform(40, 200)),
+            "perimeter": float(rng.uniform(20, 70)),
+            "eccentricity": float(rng.uniform(0, 0.9)),
+            "solidity": float(rng.uniform(0.7, 1.0)),
+            "major_axis_length": float(rng.uniform(8, 20)),
+            "minor_axis_length": float(rng.uniform(4, 10)),
+            "orientation": float(rng.uniform(-1.5, 1.5)),
+        }
+        for i in range(n)
+    ]
+    g = build_cell_graph(
+        pd.DataFrame(rows), GraphConfig(), out_dir=tmp_path, stem="s"
+    )
+    summary = analyze_graph(g, out_dir=tmp_path, stem="s", n_perms=20)
+    assert summary["n_nodes"] == n
+    assert summary["n_edges"] >= 0
+    assert set(summary["type_counts"]) == set(TYPE_NAMES.values())
+    # artifacts round-trip
+    loaded = json.loads((tmp_path / "s_graph_stats.json").read_text())
+    assert loaded["n_nodes"] == n and "interaction_zscores" in loaded
+    node = np.load(tmp_path / "s_graph_node_stats.npz", allow_pickle=True)
+    assert node["degree"].shape == (n,)
+    assert node["neighborhood_composition"].shape == (n, max(TYPE_NAMES))
+    # JSON is pure stdlib types (the done-flag json_safe convention)
+    json.dumps(summary.get("tumor_immune"))
