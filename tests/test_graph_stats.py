@@ -207,3 +207,46 @@ def test_analyze_graph_end_to_end(tmp_path, rng):
     assert node["neighborhood_composition"].shape == (n, max(TYPE_NAMES))
     # JSON is pure stdlib types (the done-flag json_safe convention)
     json.dumps(summary.get("tumor_immune"))
+
+
+def test_graph_cli(tmp_path, rng):
+    """pgm-tpu-graph: nuclei parquet in → graph + stage-6 artifacts out."""
+    from path_gene_multimodal_tpu.cli.graph_build import main
+
+    n = 80
+    df = pd.DataFrame(
+        {
+            "nuc_id": [f"n{i}" for i in range(n)],
+            "type": rng.integers(1, 6, n),
+            "wsi_centroid_x": rng.uniform(0, 1000, n),
+            "wsi_centroid_y": rng.uniform(0, 1000, n),
+            "area": rng.uniform(40, 200, n),
+            "perimeter": rng.uniform(20, 70, n),
+            "eccentricity": rng.uniform(0, 0.9, n),
+            "solidity": rng.uniform(0.7, 1.0, n),
+            "major_axis_length": rng.uniform(8, 20, n),
+            "minor_axis_length": rng.uniform(4, 10, n),
+            "orientation": rng.uniform(-1.5, 1.5, n),
+        }
+    )
+    src = tmp_path / "case1_hovernet_nuclei_wsi.parquet"
+    df.to_parquet(src)
+    rc = main([
+        "--nuclei", str(src), "--output", str(tmp_path / "g"),
+        "--radius-um", "60", "--n-perms", "10",
+    ])
+    assert rc == 0
+    assert (tmp_path / "g" / "case1_cell_graph.npz").exists()
+    stats = json.loads((tmp_path / "g" / "case1_graph_stats.json").read_text())
+    assert stats["n_nodes"] == n
+    # type filter restricts the node set
+    rc = main([
+        "--nuclei", str(src), "--output", str(tmp_path / "g2"),
+        "--type-filter", "1", "2", "--n-perms", "0",
+    ])
+    assert rc == 0
+    stats2 = json.loads((tmp_path / "g2" / "case1_graph_stats.json").read_text())
+    assert stats2["n_nodes"] == int(df["type"].isin([1, 2]).sum())
+    # missing input fails cleanly
+    assert main(["--nuclei", str(tmp_path / "nope.csv"),
+                 "--output", str(tmp_path)]) == 2
