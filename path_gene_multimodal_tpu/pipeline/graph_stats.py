@@ -63,14 +63,22 @@ def degrees(a) -> np.ndarray:
     return np.asarray(a.sum(axis=1)).ravel().astype(np.int64)
 
 
-def clustering_coefficients(a) -> np.ndarray:
+def clustering_coefficients(a, row_chunk: int = 65536) -> np.ndarray:
     """Local clustering coefficient per node: triangles through the node
-    over possible neighbor pairs. ``(A·A)∘A`` keeps the triangle count
-    inside A's sparsity pattern, so memory stays O(E·d̄) not O(N²)."""
+    over possible neighbor pairs. ``(A·A)∘A`` keeps the *result* inside
+    A's sparsity pattern, but the intermediate ``A·A`` holds ~N·d̄² entries
+    (≈6 GB at 10⁶ nuclei, d̄≈20) — so the product runs in row chunks,
+    bounding the transient to ``row_chunk·d̄²`` (the same chunked-host
+    convention as ``ops.neighbors``'s distance recompute)."""
+    n = a.shape[0]
     deg = degrees(a).astype(np.float64)
     if a.nnz == 0:
-        return np.zeros(a.shape[0], np.float64)
-    tri2 = np.asarray((a @ a).multiply(a).sum(axis=1)).ravel()  # 2·triangles
+        return np.zeros(n, np.float64)
+    tri2 = np.empty(n, np.float64)  # 2·triangles per node
+    for lo in range(0, n, row_chunk):
+        hi = min(lo + row_chunk, n)
+        rows = a[lo:hi]
+        tri2[lo:hi] = np.asarray((rows @ a).multiply(rows).sum(axis=1)).ravel()
     denom = deg * (deg - 1.0)
     with np.errstate(divide="ignore", invalid="ignore"):
         c = np.where(denom > 0, tri2 / denom, 0.0)

@@ -65,6 +65,10 @@ def test_degree_clustering_match_networkx(rng):
     clust = clustering_coefficients(a)
     nx_clust = np.array([nx.clustering(g, i) for i in range(n)])
     np.testing.assert_allclose(clust, nx_clust, atol=1e-12)
+    # row-chunked product is exact, chunk boundary mid-matrix
+    np.testing.assert_allclose(
+        clustering_coefficients(a, row_chunk=17), clust, atol=1e-12
+    )
 
 
 def test_eigenvector_centrality_matches_dense_eig(rng):
