@@ -56,8 +56,42 @@ def _median_rate(fn, n_items: int, warmup: int = 1, iters: int = 4) -> float:
     return n_items / float(np.median(times))
 
 
+def _preflight_backend(timeout_s: float = 180.0) -> None:
+    """Fail FAST when the accelerator backend is unreachable: a dead axon
+    tunnel blocks backend init for ~18 min before raising UNAVAILABLE —
+    probe in a subprocess with a bounded wait instead (a live tunnel
+    initializes in seconds; compiles are slow, init is not)."""
+    import subprocess
+
+    # the probe must resolve platforms exactly like this process (setup_jax
+    # honors JAX_PLATFORMS over the sitecustomize re-pin) — a bare
+    # `import jax` probe would camp on the axon tunnel even when the parent
+    # was told to use CPU
+    snippet = (
+        f"import sys; sys.path.insert(0, {str(Path(__file__).parent)!r}); "
+        "from path_gene_multimodal_tpu.utils.jaxsetup import setup_jax; "
+        "setup_jax(); import jax; jax.devices()"
+    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", snippet],
+            timeout=timeout_s, capture_output=True, text=True,
+        )
+    except subprocess.TimeoutExpired:
+        raise RuntimeError(
+            f"backend init did not complete within {timeout_s:.0f}s — "
+            "accelerator tunnel unreachable; re-run when it is back"
+        ) from None
+    if proc.returncode != 0:
+        raise RuntimeError(
+            "backend init failed:\n" + (proc.stderr or proc.stdout)[-2000:]
+        )
+
+
 def main() -> None:
     import tempfile
+
+    _preflight_backend()
 
     import jax
     import jax.numpy as jnp
