@@ -98,6 +98,39 @@ def check_accelerator(logger, require: bool = False) -> bool:
     return not require
 
 
+def check_runtime_components(logger) -> bool:
+    """Throughput/quality preflight beyond the reference's checks: the
+    native C++ decoder and the real CLIP vocab both have graceful fallbacks
+    (cv2 decode; the loud fallback tokenizer), so absence WARNS rather than
+    fails — but a production fleet wants both present."""
+    try:
+        from path_gene_multimodal_tpu.io.native import NativeTileDecoder
+
+        NativeTileDecoder()
+        logger.info("native C++ tile decoder available")
+    except Exception as e:
+        logger.warning(
+            "native tile decoder unavailable (%s) — decode falls back to "
+            "cv2 (several× slower); build with `make -C native`", e,
+        )
+    try:
+        from path_gene_multimodal_tpu.models.tokenizer import find_vocab_files
+
+        found = find_vocab_files()
+        if found:
+            logger.info("CLIP vocab found: %s",
+                        {k: str(v) for k, v in found.items()})
+        else:
+            logger.warning(
+                "CLIP vocab not found — zero-shot annotation would use the "
+                "non-CLIP fallback tokenizer (degraded); see README for the "
+                "one-command fetch recipe"
+            )
+    except Exception as e:
+        logger.warning("vocab discovery failed: %s", e)
+    return True
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--data-path", default=None)
@@ -114,6 +147,7 @@ def main(argv: list[str] | None = None) -> int:
         check_paths(cfg, logger),
         check_config(cfg, logger),
         check_imports(logger),
+        check_runtime_components(logger),
         check_accelerator(logger, require=args.require_accelerator),
     ]
     if all(results):
