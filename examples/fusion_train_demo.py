@@ -111,7 +111,7 @@ def main() -> int:
     restored, loss = step(restored, h_tr, g_tr, y_tr)
     print(f"[4] resumed from checkpoint, next-step loss {float(loss):.3f}")
 
-    if acc <= 0.78:
+    if acc <= acc_hist:  # the stated success criterion: beat the oracle
         print("FUSION DEMO WEAK (no gain over the single-modality oracle)")
         return 1
     print("FUSION DEMO OK")

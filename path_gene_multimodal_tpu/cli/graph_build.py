@@ -76,10 +76,16 @@ def main(argv: list[str] | None = None) -> int:
         cfg = dataclasses.replace(cfg, **overrides)
 
     out_dir = Path(args.output)
-    graph = build_cell_graph(
-        nuclei, cfg, out_dir, stem,
-        type_filter=args.type_filter if args.type_filter else None,
-    )
+    try:
+        graph = build_cell_graph(
+            nuclei, cfg, out_dir, stem,
+            type_filter=args.type_filter if args.type_filter else None,
+        )
+    except ValueError as e:
+        # e.g. --type-filter matched no rows — same clean exit contract as
+        # the missing/empty-input paths, not a traceback
+        logger.error("cannot build graph: %s", e)
+        return 2
     summary = analyze_graph(graph, out_dir, stem, n_perms=args.n_perms)
     logger.info(
         "graph CLI done: %d nodes, %d edges, mean degree %.2f → %s",

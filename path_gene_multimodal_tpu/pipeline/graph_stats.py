@@ -63,7 +63,9 @@ def degrees(a) -> np.ndarray:
     return np.asarray(a.sum(axis=1)).ravel().astype(np.int64)
 
 
-def clustering_coefficients(a, row_chunk: int = 65536) -> np.ndarray:
+def clustering_coefficients(
+    a, row_chunk: int = 65536, deg: np.ndarray | None = None
+) -> np.ndarray:
     """Local clustering coefficient per node: triangles through the node
     over possible neighbor pairs. ``(A·A)∘A`` keeps the *result* inside
     A's sparsity pattern, but the intermediate ``A·A`` holds ~N·d̄² entries
@@ -71,7 +73,7 @@ def clustering_coefficients(a, row_chunk: int = 65536) -> np.ndarray:
     bounding the transient to ``row_chunk·d̄²`` (the same chunked-host
     convention as ``ops.neighbors``'s distance recompute)."""
     n = a.shape[0]
-    deg = degrees(a).astype(np.float64)
+    deg = (degrees(a) if deg is None else deg).astype(np.float64)
     if a.nnz == 0:
         return np.zeros(n, np.float64)
     tri2 = np.empty(n, np.float64)  # 2·triangles per node
@@ -88,9 +90,12 @@ def clustering_coefficients(a, row_chunk: int = 65536) -> np.ndarray:
 def eigenvector_centrality(
     a, iters: int = 200, tol: float = 1e-10
 ) -> np.ndarray:
-    """Power iteration on the (symmetric) adjacency — converges to the
-    principal eigenvector; nodes in smaller components get ~0 weight, the
-    standard convention. Normalized to unit L2 norm."""
+    """Power iteration on ``A + I`` (networkx's shift): plain ``A`` has
+    ±λ eigenvalue pairs on bipartite components (a hub-and-spokes star is
+    the common WSI case), putting the iterate in a period-2 limit cycle;
+    the +I shift breaks the symmetry without changing eigenvectors.
+    Nodes in smaller components get ~0 weight, the standard convention.
+    Normalized to unit L2 norm."""
     n = a.shape[0]
     if n == 0:
         return np.zeros(0, np.float64)
@@ -98,7 +103,7 @@ def eigenvector_centrality(
     if a.nnz == 0:
         return x
     for _ in range(iters):
-        y = a @ x
+        y = a @ x + x  # (A + I) @ x
         norm = np.linalg.norm(y)
         if norm == 0:
             return x
@@ -128,25 +133,35 @@ def neighborhood_composition(
     return frac
 
 
+def _upper_edges(a) -> tuple[np.ndarray, np.ndarray]:
+    """Each undirected edge once as (src, dst) index arrays."""
+    coo = a.tocoo()
+    mask = coo.row < coo.col
+    return coo.row[mask], coo.col[mask]
+
+
 def interaction_enrichment(
     a,
     types: np.ndarray,
     n_types: int | None = None,
     n_perms: int = 200,
     seed: int = 0,
+    edges: tuple[np.ndarray, np.ndarray] | None = None,
 ) -> dict[str, np.ndarray]:
     """Cell–cell interaction patterns: observed undirected edge counts per
     unordered type pair vs a type-label permutation null (the standard
     neighborhood-enrichment construction, cf. Keren 2018 / squidpy).
 
-    Returns ``observed`` (K, K) symmetric counts, ``expected`` (analytic:
-    2·E·pᵢ·pⱼ off-diagonal, E·pᵢ² diagonal), and — when ``n_perms > 0`` —
-    permutation ``zscores`` (K, K). Permutations shuffle labels once per
-    round and recount via one bincount pass: O(n_perms · E)."""
+    Returns ``observed`` (K, K) symmetric counts, ``expected`` (analytic
+    label-shuffle expectation: 2·E·qᵢ·qⱼ off-diagonal, E·qᵢ² diagonal,
+    with qᵢ = type-i count over ALL nodes — so edges touching out-of-range
+    types, which ``observed`` drops, deflate ``expected`` consistently),
+    and — when ``n_perms > 0`` — permutation ``zscores`` (K, K).
+    Permutations shuffle labels once per round and recount via one
+    bincount pass: O(n_perms · E). ``edges`` accepts precomputed
+    upper-triangle (src, dst) arrays to avoid re-materializing the COO."""
     k = n_types or max(TYPE_NAMES)
-    coo = a.tocoo()
-    mask = coo.row < coo.col  # each undirected edge once
-    src, dst = coo.row[mask], coo.col[mask]
+    src, dst = _upper_edges(a) if edges is None else edges
     e = len(src)
 
     def _counts(lbl: np.ndarray) -> np.ndarray:
@@ -159,11 +174,14 @@ def interaction_enrichment(
 
     observed = _counts(types).astype(np.float64)
 
-    valid = (types >= 1) & (types <= k)
-    p = np.bincount(types[valid] - 1, minlength=k).astype(np.float64)
-    p = p / max(valid.sum(), 1)
-    expected = 2.0 * e * np.outer(p, p)
-    np.fill_diagonal(expected, e * p * p)
+    # q over ALL nodes (Σq = valid fraction ≤ 1): the permutation null also
+    # drops shuffled-onto-edges out-of-range labels, so E[observed] under
+    # the null is 2·e·qᵢ·qⱼ, NOT 2·e·pᵢ·pⱼ with p normalized over valid
+    q = np.bincount(
+        np.clip(types, 0, k)[(types >= 1) & (types <= k)] - 1, minlength=k
+    ).astype(np.float64) / max(len(types), 1)
+    expected = 2.0 * e * np.outer(q, q)
+    np.fill_diagonal(expected, e * q * q)
 
     out: dict[str, np.ndarray] = {"observed": observed, "expected": expected}
     if n_perms > 0 and e > 0:
@@ -184,7 +202,8 @@ def tumor_immune_metrics(
     a,
     tumor_type: int = TUMOR_TYPE,
     immune_type: int = IMMUNE_TYPE,
-) -> dict[str, float]:
+    edges: tuple[np.ndarray, np.ndarray] | None = None,
+) -> dict[str, float | None]:
     """Tumor–immune spatial organization summary:
 
     - ``immune_infiltration_frac``: fraction of tumor nuclei with ≥1
@@ -193,7 +212,9 @@ def tumor_immune_metrics(
       distance to its nearest tumor nucleus (host tree; the 10⁵-10⁶ scale
       is exactly ``ops.neighbors``'s host fast-path regime);
     - ``mixing_score``: immune–tumor edges over immune–immune edges
-      (Keren 2018's mixing score; >1 = mixed, <1 = compartmentalized).
+      (Keren 2018's mixing score; >1 = mixed, <1 = compartmentalized;
+      ``None`` when there are no immune–immune edges to normalize by —
+      the artifact JSON must stay strict-parseable, so no inf/NaN).
     """
     types = graph.types
     tumor = types == tumor_type
@@ -217,9 +238,8 @@ def tumor_immune_metrics(
         out["immune_to_tumor_dist_um_mean"] = float(np.mean(d))
         out["immune_to_tumor_dist_um_median"] = float(np.median(d))
 
-        coo = a.tocoo()
-        mask = coo.row < coo.col
-        ts, td = types[coo.row[mask]], types[coo.col[mask]]
+        src, dst = _upper_edges(a) if edges is None else edges
+        ts, td = types[src], types[dst]
         it_edges = int(
             (((ts == immune_type) & (td == tumor_type))
              | ((ts == tumor_type) & (td == immune_type))).sum()
@@ -227,7 +247,12 @@ def tumor_immune_metrics(
         ii_edges = int(((ts == immune_type) & (td == immune_type)).sum())
         out["immune_tumor_edges"] = it_edges
         out["immune_immune_edges"] = ii_edges
-        out["mixing_score"] = float(it_edges / ii_edges) if ii_edges else float("inf") if it_edges else 0.0
+        # None (JSON null), not inf: json.dumps would emit literal
+        # `Infinity`, which strict JSON consumers reject
+        out["mixing_score"] = (
+            float(it_edges / ii_edges) if ii_edges
+            else None if it_edges else 0.0
+        )
     return out
 
 
@@ -246,11 +271,14 @@ def analyze_graph(
     a = adjacency(np.asarray(graph.edge_index), n)
 
     deg = degrees(a)
-    clust = clustering_coefficients(a)
+    edges = _upper_edges(a)  # one COO pass shared by both O(E) consumers
+    clust = clustering_coefficients(a, deg=deg)
     cent = eigenvector_centrality(a)
     comp = neighborhood_composition(a, graph.types)
-    inter = interaction_enrichment(a, graph.types, n_perms=n_perms, seed=seed)
-    ti = tumor_immune_metrics(graph, a)
+    inter = interaction_enrichment(
+        a, graph.types, n_perms=n_perms, seed=seed, edges=edges
+    )
+    ti = tumor_immune_metrics(graph, a, edges=edges)
 
     type_names = [TYPE_NAMES[t] for t in sorted(TYPE_NAMES)]
     summary: dict[str, Any] = {
@@ -275,7 +303,9 @@ def analyze_graph(
         out_dir = Path(out_dir)
         out_dir.mkdir(parents=True, exist_ok=True)
         jp = out_dir / f"{stem}_graph_stats.json"
-        jp.write_text(json.dumps(summary, indent=2))
+        # allow_nan=False: the artifact must stay strict-JSON parseable
+        # (inf/NaN would serialize as bare Infinity/NaN literals)
+        jp.write_text(json.dumps(summary, indent=2, allow_nan=False))
         npz = out_dir / f"{stem}_graph_node_stats.npz"
         np.savez_compressed(
             npz,

@@ -25,13 +25,17 @@ def setup_jax(cache_dir: str | Path | None = None, platform: str | None = None) 
     # Honor the user's JAX_PLATFORMS env var even when a sitecustomize
     # already overrode it at interpreter start (the axon image pins
     # jax_platforms="axon,cpu" that way, so `JAX_PLATFORMS=cpu python ...`
-    # would otherwise still block on the TPU tunnel). A config value that
-    # already starts with the env value (e.g. env "axon" vs config
-    # "axon,cpu") is compatible — keep its extra fallbacks.
+    # would otherwise still block on the TPU tunnel). With an explicit
+    # jax_platforms list JAX initializes EVERY listed platform eagerly and
+    # fails loudly — extra entries are NOT quiet fallbacks — so when the
+    # env's primary platform differs from the config's, replace the config
+    # with the env value EXACTLY. When the primaries already agree (ambient
+    # env "axon" vs sitecustomize "axon,cpu"), the config is the
+    # environment owner's deliberate choice: leave it untouched.
     env_platforms = os.environ.get("JAX_PLATFORMS")
     if env_platforms and not platform:
         current = getattr(jax.config, "jax_platforms", None) or ""
-        if not current.startswith(env_platforms):
+        if current.split(",")[0] != env_platforms.split(",")[0]:
             jax.config.update("jax_platforms", env_platforms)
     if platform:
         jax.config.update("jax_platforms", platform)

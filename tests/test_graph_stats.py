@@ -131,6 +131,62 @@ def test_interaction_zscores_detect_assortativity(rng):
     assert z[0, 1] < -3
 
 
+def test_eigenvector_centrality_bipartite_star():
+    """A hub-and-spokes star is bipartite (±λ eigenvalue pairs): plain-A
+    power iteration limit-cycles; the +I shift must converge to the known
+    principal eigenvector ∝ (√k, 1, …, 1)."""
+    from scipy import sparse
+
+    k = 12
+    src = np.zeros(k, np.int64)
+    dst = np.arange(1, k + 1, dtype=np.int64)
+    a = adjacency(np.stack([np.r_[src, dst], np.r_[dst, src]]), k + 1)
+    c = eigenvector_centrality(a)
+    golden = np.r_[np.sqrt(k), np.ones(k)]
+    golden /= np.linalg.norm(golden)
+    np.testing.assert_allclose(np.abs(c), golden, atol=1e-8)
+
+
+def test_interaction_expected_consistent_with_null_when_types_invalid(rng):
+    """Edges touching out-of-range types are dropped from `observed`; the
+    analytic `expected` must reflect the same filtering (q over ALL nodes),
+    i.e. match the permutation-null mean."""
+    n = 200
+    a = adjacency(_random_edge_index(rng, n, 800), n)
+    types = rng.integers(0, 6, size=n).astype(np.int32)  # ~1/6 type-0
+    res = interaction_enrichment(a, types, n_perms=400, seed=3)
+    src, dst = np.nonzero(np.triu(a.toarray(), 1))
+    # permutation-null mean of total valid-valid edge count
+    null_tot = []
+    prng = np.random.default_rng(99)
+    for _ in range(400):
+        t = prng.permutation(types)
+        null_tot.append(((t[src] >= 1) & (t[dst] >= 1)).sum())
+    assert np.triu(res["expected"]).sum() == pytest.approx(
+        np.mean(null_tot), rel=0.05
+    )
+
+
+def test_mixing_score_json_safe(rng):
+    """immune-tumor edges with zero immune-immune edges: mixing_score is
+    None (JSON null), never inf — the stats artifact must stay strict-JSON
+    parseable."""
+    from dataclasses import dataclass
+
+    @dataclass
+    class G:
+        pos_um: np.ndarray
+        types: np.ndarray
+
+    # path graph T-I-T: two immune-tumor edges, no immune-immune edge
+    ei = np.array([[0, 1, 1, 2], [1, 0, 2, 1]])
+    a = adjacency(ei, 3)
+    g = G(np.array([[0.0, 0], [1, 0], [2, 0]]), np.array([1, 2, 1], np.int32))
+    m = tumor_immune_metrics(g, a)
+    assert m["mixing_score"] is None
+    assert json.loads(json.dumps(m, allow_nan=False))["mixing_score"] is None
+
+
 def test_tumor_immune_metrics_brute_force(rng):
     from dataclasses import dataclass
 
@@ -254,3 +310,8 @@ def test_graph_cli(tmp_path, rng):
     # missing input fails cleanly
     assert main(["--nuclei", str(tmp_path / "nope.csv"),
                  "--output", str(tmp_path)]) == 2
+    # a type filter matching no rows exits 2 cleanly, no traceback
+    assert main([
+        "--nuclei", str(src), "--output", str(tmp_path / "g3"),
+        "--type-filter", "99",
+    ]) == 2

@@ -78,13 +78,20 @@ js.setup_jax()
 assert jax.config.jax_platforms == "cpu", jax.config.jax_platforms
 assert jax.default_backend() == "cpu"
 
-# compatible prefix: config already leads with the env value -> unchanged
-# (re-asserting "axon" over "axon,cpu" would drop the cpu fallback)
-os.environ["JAX_PLATFORMS"] = "cpu"
-jax.config.update("jax_platforms", "cpu,axon")
+# same primary platform: the config is the environment owner's choice —
+# untouched (explicit jax_platforms lists are initialized EAGERLY, so the
+# override must be exact when it happens, not a prefix merge)
+os.environ["JAX_PLATFORMS"] = "axon"
+jax.config.update("jax_platforms", "axon,cpu")
 js._DONE = False
 js.setup_jax()
-assert jax.config.jax_platforms == "cpu,axon", jax.config.jax_platforms
+assert jax.config.jax_platforms == "axon,cpu", jax.config.jax_platforms
+# different primary: replaced EXACTLY by the env value (no extra entries
+# that would still eagerly initialize the unwanted backend)
+os.environ["JAX_PLATFORMS"] = "cpu"
+js._DONE = False
+js.setup_jax()
+assert jax.config.jax_platforms == "cpu", jax.config.jax_platforms
 
 # the explicit platform argument still wins over the env var
 js._DONE = False

@@ -683,6 +683,10 @@ def test_tiff_header_fuzz_fails_closed(tmp_path):
     for _ in range(25):
         cases.append(("zero", int(rng.integers(0, max(1, n - 16)))))
 
+    def _timed_out(signum, frame):  # fail THIS test, don't kill pytest
+        raise TimeoutError("fuzz sweep exceeded its 300 s bound")
+
+    old_handler = signal.signal(signal.SIGALRM, _timed_out)
     old = signal.alarm(300)  # the whole sweep must stay promptly bounded
     try:
         for i, (kind, arg) in enumerate(cases):
@@ -704,6 +708,7 @@ def test_tiff_header_fuzz_fails_closed(tmp_path):
                 ), f"case {i} ({kind}, {arg}): {type(e).__name__}: {e}"
     finally:
         signal.alarm(old)
+        signal.signal(signal.SIGALRM, old_handler)
 
 
 def test_write_tiled_tiff_unsupported_compression(tmp_path):
