@@ -177,8 +177,9 @@ def interaction_enrichment(
     # q over ALL nodes (Σq = valid fraction ≤ 1): the permutation null also
     # drops shuffled-onto-edges out-of-range labels, so E[observed] under
     # the null is 2·e·qᵢ·qⱼ, NOT 2·e·pᵢ·pⱼ with p normalized over valid
+    valid = (types >= 1) & (types <= k)
     q = np.bincount(
-        np.clip(types, 0, k)[(types >= 1) & (types <= k)] - 1, minlength=k
+        types[valid] - 1, minlength=k
     ).astype(np.float64) / max(len(types), 1)
     expected = 2.0 * e * np.outer(q, q)
     np.fill_diagonal(expected, e * q * q)
