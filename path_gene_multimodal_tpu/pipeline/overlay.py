@@ -125,7 +125,9 @@ def plot_overlays_per_class(
             # "tumor stroma") must not overwrite each other's PNG
             name = f"{name}_{i}"
         used_names.add(name)
-        path = out_dir / f"{stem}_overlay_{name}.png"
+        # reference contract: per-class overlays are `<class>.png` in the
+        # per-slide dir (create_and_overlay_polygon_from_prediction.py:621-622)
+        path = out_dir / f"{name}.png"
         fig.savefig(path, dpi=dpi, bbox_inches="tight")
         plt.close(fig)
         outputs[c] = path
@@ -143,8 +145,11 @@ def run_overlays(
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)  # not the callers' job
     thumb, sx, sy = load_thumbnail_with_scale(slide, thumb_size)
+    # reference contract: `<slide>_all_classes_overlay.png`
+    # (create_and_overlay_polygon_from_prediction.py:497)
     all_path = plot_overlays_all_classes(
-        thumb, features, classes, sx, sy, out_dir / f"{stem}_overlay_all.png"
+        thumb, features, classes, sx, sy,
+        out_dir / f"{stem}_all_classes_overlay.png",
     )
     per_class = plot_overlays_per_class(thumb, features, classes, sx, sy, out_dir, stem)
     return {"overlay_all_path": all_path, "per_class_outputs": per_class}

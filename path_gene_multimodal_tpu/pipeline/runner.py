@@ -10,7 +10,7 @@ Steps (numbered exactly like the reference's ``[N/8]`` logs):
 5. spatial join + TME ROI                      → <stem>_annotations_with_coords.csv
 6. polygon construction                        (in memory)
 7. GeoJSON export                              → <stem>.geojson
-8. thumbnail overlays                          → <stem>_overlay_all.png + per class
+8. thumbnail overlays                          → <stem>_all_classes_overlay.png + <class>.png
 
 Unlike the reference, all device work happens inside a persistent
 ``PipelineModels`` bundle (encoders built once per process, not per slide —
@@ -149,7 +149,14 @@ def run_one_wsi(
     import glob as _glob
 
     esc = _glob.escape(stem)  # stems like "case[1]" must match literally
-    if already_done(job, fallback_globs=(f"{esc}_overlay_all.png", f"{esc}.geojson")):
+    # overlay fallback glob matches the reference name
+    # (<stem>_all_classes_overlay.png) and the pre-round-3 legacy
+    # <stem>_overlay_all.png, so slides finished by older builds still skip
+    # (the reference's own heuristic is even looser: any *<slide>*.png,
+    # main.py:112)
+    if already_done(job, fallback_globs=(
+        f"{esc}_*overlay*.png", f"{esc}.geojson",
+    )):
         logger.info("skip %s: already done", stem)
         return RunResult(stem=stem, out_dir=out_dir, status="already_done")
     if use_locks and not try_acquire_lock(job):

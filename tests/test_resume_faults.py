@@ -157,7 +157,8 @@ def test_glob_metachar_stem_done_fallback(tmp_path, env):
     shutil.copy(slide_path, weird)
     out = tmp_path / "out2" / "case[1]"
     out.mkdir(parents=True)
-    # pre-existing reference-produced artifacts, no done flag
+    # pre-existing artifacts under the LEGACY overlay name, no done flag —
+    # slides finished by pre-round-3 builds must still skip
     (out / "case[1]_overlay_all.png").write_bytes(b"png")
     (out / "case[1].geojson").write_text("{}")
     r = run_one_wsi(weird, tmp_path / "out2", cfg, models=models)

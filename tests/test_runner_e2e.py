@@ -57,7 +57,7 @@ def test_all_artifacts_exist(e2e):
         f"{stem}_annotations.csv",
         f"{stem}_annotations_with_coords.csv",
         f"{stem}.geojson",
-        f"{stem}_overlay_all.png",
+        f"{stem}_all_classes_overlay.png",  # reference name, :497
         "mask.png",
         "thumbnail.png",
     ]:
