@@ -685,7 +685,9 @@ def _tile_rows(
     if save_tile_artifacts:
         from path_gene_multimodal_tpu.io.zarrzip import write_zarr_zip
 
-        tdir = out_dir / "hovernet" / tile_name
+        # reference layout: <slide dir>/hovernet_tiles/<tile_stem>/
+        # (aggregated_hovernet_run.py:376)
+        tdir = out_dir / "hovernet_tiles" / tile_name
         tdir.mkdir(parents=True, exist_ok=True)
         (tdir / "class_inst.json").write_text(json.dumps(class_inst))
         np.savez_compressed(tdir / "pinst_pp.npz", inst_map=inst.astype(np.uint32))

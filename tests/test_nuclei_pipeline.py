@@ -94,10 +94,10 @@ def test_pipeline_with_fake_model(ann_csv, tmp_path):
     # artifacts
     assert (tmp_path / "s_hovernet_nuclei_wsi.csv").exists()
     assert (tmp_path / "s_hovernet_nuclei_wsi.parquet").exists()
-    ci = json.loads((tmp_path / "hovernet" / "224_0" / "class_inst.json").read_text())
+    ci = json.loads((tmp_path / "hovernet_tiles" / "224_0" / "class_inst.json").read_text())
     assert ci["1"][0] == 2  # {inst_id: [type, [0, cx, cy]]}
     assert ci["1"][1][0] == 0
-    with np.load(tmp_path / "hovernet" / "224_0" / "pinst_pp.npz") as z:
+    with np.load(tmp_path / "hovernet_tiles" / "224_0" / "pinst_pp.npz") as z:
         m = z["inst_map"]
         assert m.dtype == np.uint32 and m.shape == (224, 224)
         assert (m == 1).sum() == 100

@@ -144,7 +144,7 @@ def test_per_tile_pinst_pp_zip(tmp_path):
     rows = _tile_rows(inst, types, 448, 224, tmp_path, "s", 16, True,
                       default_config())
     assert len(rows) == 1
-    tdir = tmp_path / "hovernet" / "448_224"
+    tdir = tmp_path / "hovernet_tiles" / "448_224"
     assert (tdir / "class_inst.json").exists()
     arr = read_zarr_zip(tdir / "pinst_pp.zip")
     assert arr.shape == (1, 64, 64)
