@@ -81,33 +81,46 @@ def _flood_kernel(levels: int, max_rounds: int):
                     best = jnp.minimum(best, _shift_with_fill(a, dy, dx, _INF32))
             return best
 
+        is_marker = lbl0 < _INF32
+
         def level_body(i, lbl):
             level = levels - 1 - i
             eligible = mask & (q >= level)
+            # two-phase arrival-order parity (see ops.watershed
+            # marker_watershed): markers activating AT this level wait for
+            # phase 2 so established fronts drain the contour first
+            fresh = is_marker & (q == level)
 
-            def step(l):
-                active = jnp.where((l < _INF32) & (q >= level), l, _INF32)
-                nb = neighbor_min(active)
-                grow = eligible & (l == _INF32) & (nb < _INF32)
-                return jnp.where(grow, nb, l)
+            def run(lbl, allow_fresh: bool):
+                def step(l):
+                    act = (l < _INF32) & (q >= level)
+                    if not allow_fresh:
+                        act = act & ~fresh
+                    active = jnp.where(act, l, _INF32)
+                    nb = neighbor_min(active)
+                    grow = eligible & (l == _INF32) & (nb < _INF32)
+                    return jnp.where(grow, nb, l)
 
-            def cond(state):
-                it, l, changed = state
-                return changed & (it < max_rounds)
+                def cond(state):
+                    it, l, changed = state
+                    return changed & (it < max_rounds)
 
-            def body(state):
-                it, l, _ = state
-                new = step(l)
-                return it + 1, new, jnp.any(new != l)
+                def body(state):
+                    it, l, _ = state
+                    new = step(l)
+                    return it + 1, new, jnp.any(new != l)
 
-            # data-derived carry seed (not a literal True): keeps the loop
-            # traceable under shard_map varying-axes tracking (see
-            # ops/components.py) and exits immediately at a fixpoint
-            first = step(lbl)
-            _, lbl, _ = jax.lax.while_loop(
-                cond, body, (0, first, jnp.any(first != lbl))
-            )
-            return lbl
+                # data-derived carry seed (not a literal True): keeps the
+                # loop traceable under shard_map varying-axes tracking (see
+                # ops/components.py) and exits immediately at a fixpoint
+                first = step(lbl)
+                _, lbl, _ = jax.lax.while_loop(
+                    cond, body, (0, first, jnp.any(first != lbl))
+                )
+                return lbl
+
+            lbl = run(lbl, allow_fresh=False)
+            return run(lbl, allow_fresh=True)
 
         out_ref[0] = jax.lax.fori_loop(0, levels, level_body, lbl0)
 

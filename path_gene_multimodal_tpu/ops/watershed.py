@@ -102,33 +102,55 @@ def marker_watershed(
 ) -> jnp.ndarray:
     """Flood ``markers`` (int32, INF = unlabeled) over ``mask`` following
     descending ``dist`` (higher = flooded earlier). Returns int32 labels,
-    INF outside/unreached."""
+    INF outside/unreached.
+
+    Serial-heap parity notes: (1) a labeled pixel only seeds growth once
+    the flood level has descended to its own quantized energy — otherwise
+    low-energy markers would expand prematurely; (2) within one level the
+    flood runs in TWO phases — established fronts (labeled before this
+    level, incl. growth they seed this level) drain first, and markers
+    whose own energy equals the current level activate second. A serial
+    priority queue resolves same-level contention by arrival order: fronts
+    descending from above pre-claim the level's contour before a marker
+    sitting mid-slope can grow, so a single-phase synchronous BFS would
+    hand such a marker an equal-speed wedge of terrain the serial order
+    (and skimage's label-at-pop order) gives to the incumbent basin."""
     q = jnp.clip((dist * (levels - 1)).astype(jnp.int32), 0, levels - 1)
     lbl0 = jnp.where(markers < INF, markers, INF)
+    is_marker = markers < INF
 
     def flood_level(level, lbl):
         eligible = mask & (q >= level) & (lbl == INF)
+        # markers activating AT this level wait for phase 2 (arrival-order
+        # parity); claimed pixels always have q >= claim level, so they
+        # join phase 1 naturally as the front advances
+        fresh = is_marker & (q == level)
 
-        def cond(state):
-            i, lbl, changed = state
-            return changed & (i < max_rounds)
+        def run(lbl, allow_fresh: bool):
+            def cond(state):
+                i, lbl, changed = state
+                return changed & (i < max_rounds)
 
-        def body(state):
-            i, lbl, _ = state
-            # serial-heap parity: a labeled pixel only seeds growth once the
-            # flood level has descended to its own quantized energy —
-            # otherwise low-energy markers would expand prematurely
-            active = jnp.where((lbl < INF) & (q >= level), lbl, INF)
-            nb = _neighbor_min_label(active)
-            grow = eligible & (lbl == INF) & (nb < INF)
-            new = jnp.where(grow, nb, lbl)
-            return i + 1, new, jnp.any(new != lbl)
+            def body(state):
+                i, lbl, _ = state
+                act = (lbl < INF) & (q >= level)
+                if not allow_fresh:
+                    act = act & ~fresh
+                active = jnp.where(act, lbl, INF)
+                nb = _neighbor_min_label(active)
+                grow = eligible & (lbl == INF) & (nb < INF)
+                new = jnp.where(grow, nb, lbl)
+                return i + 1, new, jnp.any(new != lbl)
 
-        # unroll one body step so the carry's `changed` is data-derived
-        # (varying) — a literal True is unvarying under shard_map's
-        # varying-axes tracking and the loop would be rejected
-        _, lbl1, ch1 = body((0, lbl, jnp.bool_(True)))
-        _, lbl, _ = jax.lax.while_loop(cond, body, (1, lbl1, ch1))
+            # unroll one body step so the carry's `changed` is data-derived
+            # (varying) — a literal True is unvarying under shard_map's
+            # varying-axes tracking and the loop would be rejected
+            _, lbl1, ch1 = body((0, lbl, jnp.bool_(True)))
+            _, lbl, _ = jax.lax.while_loop(cond, body, (1, lbl1, ch1))
+            return lbl
+
+        lbl = run(lbl, allow_fresh=False)   # established fronts drain first
+        lbl = run(lbl, allow_fresh=True)    # then same-level markers join
         return lbl
 
     lbl = jax.lax.fori_loop(

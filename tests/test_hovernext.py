@@ -169,6 +169,47 @@ def test_marker_watershed_matches_priority_queue(rng):
     assert (ours[mask] < int(INF)).all()
 
 
+def test_watershed_mid_slope_marker_arrival_order():
+    """A marker sitting ON another basin's slope must be starved, not win
+    an equal-speed wedge: the serial priority queue's arrival order lets
+    the incumbent front pre-claim each contour before the mid-slope marker
+    activates. Regression for the two-phase level flood (a single-phase
+    synchronous BFS handed the slope marker ~40% of the cone)."""
+    h = w = 48
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    r = np.sqrt((yy - 12.0) ** 2 + (xx - 12.0) ** 2)
+    dist = np.clip(1.0 - r / 50.0, 0.0, 1.0).astype(np.float32)
+    dist = np.round(dist * 31) / 31.0  # exact level quantization
+    mask = np.ones((h, w), bool)
+    markers = np.full((h, w), int(INF), np.int32)
+    markers[12, 12] = 1          # basin owner at the peak
+    markers[30, 30] = 2          # mid-slope interloper
+    ours = np.asarray(ws.marker_watershed(
+        jnp.asarray(dist), jnp.asarray(markers), jnp.asarray(mask), levels=32
+    ))
+    golden = _golden_watershed(dist, markers, mask)
+    golden_b2 = int((golden == 2).sum())
+    ours_b2 = int((ours == 2).sum())
+    # serial gives the interloper only its immediate surroundings; allow
+    # modest slack but nothing like the pre-fix equal-speed wedge
+    assert golden_b2 <= 32, golden_b2
+    assert ours_b2 <= 4 * max(golden_b2, 8), (ours_b2, golden_b2)
+    agree = (ours == golden)[mask].mean()
+    assert agree > 0.95, agree
+    # the Pallas kernel path must share the two-phase semantics
+    from path_gene_multimodal_tpu.ops.pallas.flood import (
+        pallas_marker_watershed,
+        pallas_supported,
+    )
+
+    plbl = np.asarray(pallas_marker_watershed(
+        jnp.asarray(dist)[None], jnp.asarray(markers)[None],
+        jnp.asarray(mask)[None], levels=32,
+        interpret=not pallas_supported(),
+    ))[0]
+    np.testing.assert_array_equal(plbl, ours)
+
+
 def test_watershed_respects_mask():
     dist = np.ones((10, 10), np.float32)
     mask = np.zeros((10, 10), bool)
