@@ -114,7 +114,13 @@ def marker_watershed(
     descending from above pre-claim the level's contour before a marker
     sitting mid-slope can grow, so a single-phase synchronous BFS would
     hand such a marker an equal-speed wedge of terrain the serial order
-    (and skimage's label-at-pop order) gives to the incumbent basin."""
+    (and skimage's label-at-pop order) gives to the incumbent basin.
+
+    Residual deviation: when wide fronts contend laterally across large
+    same-level plateaus, the synchronous ring race can still split them
+    differently from a serial heap's push-order drain. Markers at basin
+    extrema — the HoVer production regime (``hover_instances`` seeds
+    markers at energy maxima) — match the serial golden (tested)."""
     q = jnp.clip((dist * (levels - 1)).astype(jnp.int32), 0, levels - 1)
     lbl0 = jnp.where(markers < INF, markers, INF)
     is_marker = markers < INF
