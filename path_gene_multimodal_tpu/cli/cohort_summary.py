@@ -31,10 +31,10 @@ from path_gene_multimodal_tpu.utils.log import get_logger
 
 
 def _slide_row(slide_dir: Path, stem: str) -> dict:
-    import numpy as np
     import pandas as pd
 
     row: dict = {"stem": stem, "out_dir": str(slide_dir)}
+    read_errors: list[str] = []
 
     flag = slide_dir / f"{stem}._DONE.json"
     if flag.exists():
@@ -49,39 +49,52 @@ def _slide_row(slide_dir: Path, stem: str) -> dict:
     elif (slide_dir / f"{stem}_ERROR.txt").exists():
         row["status"] = "error"
 
+    # A half-written table (another worker mid-write; the module docstring
+    # calls partial cohorts "the normal case") must cost ITS columns only,
+    # never the whole cohort run — so every artifact read fails soft into
+    # the row's read_errors note.
     ann = slide_dir / f"{stem}_annotations_with_coords.csv"
     if ann.exists():
-        df = pd.read_csv(ann)
-        row["n_annotated_tiles"] = len(df)
-        if "in_tme_roi" in df.columns and len(df):
-            row["tme_roi_frac"] = float(
-                df["in_tme_roi"].astype(bool).mean()
-            )
-        if "predicted_class" in df.columns and len(df):
-            for cls, frac in (
-                df["predicted_class"].value_counts(normalize=True).items()
-            ):
-                row[f"tile_frac[{cls}]"] = float(frac)
+        try:
+            df = pd.read_csv(ann)
+            row["n_annotated_tiles"] = len(df)
+            if "in_tme_roi" in df.columns and len(df):
+                row["tme_roi_frac"] = float(
+                    df["in_tme_roi"].astype(bool).mean()
+                )
+            if "predicted_class" in df.columns and len(df):
+                for cls, frac in (
+                    df["predicted_class"].value_counts(normalize=True).items()
+                ):
+                    row[f"tile_frac[{cls}]"] = float(frac)
+        except Exception:
+            read_errors.append(ann.name)
 
     mol = slide_dir / f"{stem}_molecular_features.csv"
     if mol.exists():
-        df = pd.read_csv(mol)
-        for c in df.columns:
-            if c.endswith("_prob"):
-                row[f"mean_{c}"] = float(df[c].mean()) if len(df) else None
+        try:
+            df = pd.read_csv(mol)
+            for c in df.columns:
+                if c.endswith("_prob"):
+                    row[f"mean_{c}"] = float(df[c].mean()) if len(df) else None
+        except Exception:
+            read_errors.append(mol.name)
 
     nuc_pq = slide_dir / f"{stem}_hovernet_nuclei_wsi.parquet"
     nuc_csv = slide_dir / f"{stem}_hovernet_nuclei_wsi.csv"
-    nuc = None
-    if nuc_pq.exists():
-        nuc = pd.read_parquet(nuc_pq)
-    elif nuc_csv.exists():
-        nuc = pd.read_csv(nuc_csv)
-    if nuc is not None:
-        row["n_nuclei"] = len(nuc)
-        if "type_name" in nuc.columns and len(nuc):
-            for t, n in nuc["type_name"].value_counts().items():
-                row[f"n_nuclei[{t}]"] = int(n)
+    try:
+        nuc = None
+        if nuc_pq.exists():
+            nuc = pd.read_parquet(nuc_pq)
+        elif nuc_csv.exists():
+            nuc = pd.read_csv(nuc_csv)
+        if nuc is not None:
+            row["n_nuclei"] = len(nuc)
+            if "type_name" in nuc.columns and len(nuc):
+                for t, n in nuc["type_name"].value_counts().items():
+                    row[f"n_nuclei[{t}]"] = int(n)
+    except Exception:
+        read_errors.append(nuc_pq.name if nuc_pq.exists() else nuc_csv.name)
 
     gstats = slide_dir / f"{stem}_graph_stats.json"
     if gstats.exists():
@@ -94,8 +107,10 @@ def _slide_row(slide_dir: Path, stem: str) -> dict:
             row["immune_infiltration_frac"] = ti.get("immune_infiltration_frac")
             row["mixing_score"] = ti.get("mixing_score")
         except (json.JSONDecodeError, OSError):
-            pass
+            read_errors.append(gstats.name)
 
+    if read_errors:
+        row["read_errors"] = ";".join(read_errors)
     return row
 
 

@@ -69,6 +69,30 @@ def test_cohort_summary(tmp_path):
     assert np.isnan(r2["mean_msi_prob"]) and np.isnan(r2["n_nuclei"])
 
 
+def test_cohort_summary_corrupt_artifacts_fail_soft(tmp_path):
+    """A half-written table (another worker mid-write) costs its OWN
+    columns only — the cohort run completes and other artifacts of the
+    same slide still populate."""
+    _make_slide(tmp_path, "s1")
+    d = _make_slide(tmp_path, "s2")
+    # truncated parquet takes priority over the intact CSV → read fails
+    (d / "s2_hovernet_nuclei_wsi.parquet").write_bytes(b"PAR1\x00garbage")
+    # binary garbage in a CSV pandas cannot tokenize
+    (d / "s2_molecular_features.csv").write_bytes(b"\x00\xff" * 64 + b'"')
+
+    assert main(["--outroot", str(tmp_path)]) == 0
+    df = pd.read_csv(tmp_path / "cohort_summary.csv").set_index("stem")
+    r2 = df.loc["s2"]
+    assert r2["status"] == "done"  # done flag still read
+    assert r2["tme_roi_frac"] == 0.4  # intact annotations still read
+    assert np.isnan(r2["n_nuclei"]) and np.isnan(r2["mean_msi_prob"])
+    assert "s2_hovernet_nuclei_wsi.parquet" in r2["read_errors"]
+    assert "s2_molecular_features.csv" in r2["read_errors"]
+    r1 = df.loc["s1"]
+    assert r1["n_nuclei"] == 3 and r1["mean_msi_prob"] == 0.3
+    assert not isinstance(r1.get("read_errors"), str)
+
+
 def test_cohort_summary_empty_and_missing(tmp_path):
     assert main(["--outroot", str(tmp_path / "nope")]) == 2
     empty = tmp_path / "empty"
