@@ -147,6 +147,46 @@ def infer_tile_size_from_attrs(attrs: Mapping[str, Any]) -> int | None:
     return None
 
 
+def tiles_table(path: str | Path) -> tuple[pd.DataFrame, dict[str, Any]]:
+    """Tessellation H5 → analysis-ready DataFrame + metadata dict — the
+    ``tiling_info.py:1-58`` ``read_tiles`` surface over this module's
+    5-variant coord reader:
+
+    - ``x``/``y`` columns (+ ``level`` when present);
+    - ``w``/``h`` derived from the ``tile_size``/``patch_size`` attr;
+    - box corners ``x1,y1,x2,y2`` when w/h are known;
+    - useful global attrs (level, mpp, stride, downsample, slide_id)
+      tacked on as constant columns (tiling_info.py:52-54).
+    """
+    data = read_tessellation_h5(path)
+    attrs = data["attrs"]
+    df = pd.DataFrame(data["coords"], columns=["x", "y"])
+    if data["level"] is not None:
+        df["level"] = data["level"]
+    ts = infer_tile_size_from_attrs(attrs)
+    if ts is not None:
+        df["w"] = ts
+        df["h"] = ts
+        df["x1"] = df["x"]
+        df["y1"] = df["y"]
+        df["x2"] = df["x"] + ts
+        df["y2"] = df["y"] + ts
+    for k in ("level", "mpp", "stride", "downsample", "slide_id"):
+        if k in attrs and k not in df.columns:
+            v = attrs[k]
+            df[k] = v.item() if isinstance(v, np.generic) else v
+    return df, attrs
+
+
+def export_tiles_csv(path: str | Path, out: str | Path | None = None) -> Path:
+    """``<h5>.tiles.csv`` sidecar (tiling_info.py:62-64 contract)."""
+    path = Path(path)
+    df, _ = tiles_table(path)
+    out = Path(out) if out is not None else path.with_suffix(".tiles.csv")
+    df.to_csv(out, index=False)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Features H5 (+ .npy sidecar replacing the reference's torch .pt)
 # ---------------------------------------------------------------------------

@@ -61,6 +61,37 @@ def test_h5_level_column(tmp_path):
     np.testing.assert_array_equal(out["level"], np.ones(4, np.int64))
 
 
+def test_tiles_table_and_csv_export(tmp_path):
+    """tiling_info.py read_tiles surface: w/h from the tile_size attr,
+    derived box corners, global attrs as constant columns, .tiles.csv."""
+    from path_gene_multimodal_tpu.core.artifacts import (
+        export_tiles_csv,
+        tiles_table,
+    )
+
+    p = write_tessellation_h5(tmp_path / "s.h5", COORDS, tile_size=224, mpp=0.25)
+    df, attrs = tiles_table(p)
+    assert list(df["x"]) == list(COORDS[:, 0])
+    assert (df["w"] == 224).all() and (df["h"] == 224).all()
+    np.testing.assert_array_equal(df["x2"], COORDS[:, 0] + 224)
+    np.testing.assert_array_equal(df["y2"], COORDS[:, 1] + 224)
+    assert (df["mpp"] == 0.25).all()  # global attr → constant column
+    assert infer_tile_size_from_attrs(attrs) == 224
+
+    out = export_tiles_csv(p)
+    assert out == tmp_path / "s.tiles.csv"
+    back = pd.read_csv(out)
+    assert list(back.columns) == list(df.columns)
+    np.testing.assert_array_equal(back["x1"], df["x1"])
+
+    # no tile_size attr → no w/h/box columns, still a valid table
+    q = tmp_path / "bare.h5"
+    with h5py.File(q, "w") as f:
+        f.create_dataset("coords", data=COORDS)
+    df2, _ = tiles_table(q)
+    assert list(df2.columns) == ["x", "y"]
+
+
 def test_h5_missing_raises(tmp_path):
     p = tmp_path / "bad.h5"
     with h5py.File(p, "w") as f:
