@@ -15,6 +15,38 @@ from pathlib import Path
 _DONE = False
 
 
+def _host_cpu_key() -> str:
+    """Short identity hash of this host's CPU feature set. XLA:CPU AOT
+    executables bind to the compile host's features — the loader only
+    WARNS on mismatch ("could lead to execution errors such as SIGILL")
+    and loads anyway — so cached CPU programs must never be reused after
+    a container migrates hosts."""
+    import hashlib
+    import platform as _plat
+
+    ident = _plat.machine()
+    try:
+        with open("/proc/cpuinfo") as fh:
+            for line in fh:
+                if line.startswith(("flags", "Features")):
+                    ident += line
+                    break
+    except OSError:
+        ident += _plat.processor()
+    return hashlib.sha256(ident.encode()).hexdigest()[:8]
+
+
+def _cache_dir_for(platforms: str | None, base: Path) -> Path:
+    """CPU-primary processes get a host-keyed subdir (see _host_cpu_key);
+    TPU/axon-primary processes keep ``base`` itself so the expensive
+    remote-compile cache survives host migrations (TPU executables don't
+    bind to the host CPU)."""
+    primary = (platforms or "").split(",")[0].strip().lower()
+    if primary in ("", "cpu"):
+        return base / f"cpu-{_host_cpu_key()}"
+    return base
+
+
 def setup_jax(cache_dir: str | Path | None = None, platform: str | None = None) -> None:
     """Enable the persistent compilation cache (idempotent). ``platform``
     forces a backend ("cpu" for semantic tools) — must run before any JAX
@@ -41,11 +73,12 @@ def setup_jax(cache_dir: str | Path | None = None, platform: str | None = None) 
         jax.config.update("jax_platforms", platform)
     if _DONE:
         return
-    cache = Path(
+    base = Path(
         cache_dir
         or os.environ.get("PGM_TPU_JAX_CACHE")
         or Path.home() / ".cache" / "pgm_tpu_jax"
     )
+    cache = _cache_dir_for(getattr(jax.config, "jax_platforms", None), base)
     cache.mkdir(parents=True, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", str(cache))

@@ -101,6 +101,25 @@ print("SETUPJAX-OK")
 """
 
 
+def test_cache_dir_host_keyed_for_cpu(tmp_path):
+    """XLA:CPU AOT cache entries bind to the compile host's CPU features
+    (the loader only warns on mismatch and may SIGILL) — CPU-primary
+    processes must use a host-keyed subdir, while axon/TPU-primary keeps
+    the shared base so the expensive remote-compile cache survives."""
+    from path_gene_multimodal_tpu.utils.jaxsetup import (
+        _cache_dir_for,
+        _host_cpu_key,
+    )
+
+    key = _host_cpu_key()
+    assert len(key) == 8 and key == _host_cpu_key()  # stable on one host
+    assert _cache_dir_for("cpu", tmp_path) == tmp_path / f"cpu-{key}"
+    assert _cache_dir_for("", tmp_path) == tmp_path / f"cpu-{key}"
+    assert _cache_dir_for(None, tmp_path) == tmp_path / f"cpu-{key}"
+    assert _cache_dir_for("axon,cpu", tmp_path) == tmp_path
+    assert _cache_dir_for("tpu", tmp_path) == tmp_path
+
+
 def test_setup_jax_reasserts_user_env_platforms():
     """`JAX_PLATFORMS=cpu python <entry point>` must actually select CPU even
     though the axon sitecustomize re-pins jax_platforms at interpreter start
