@@ -48,6 +48,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--batch-size", type=int, default=32)
     ap.add_argument("--only-inference", action="store_true",
                     help="skip artifacts; report timings only")
+    ap.add_argument(
+        "--dp", action="store_true",
+        help="data-parallel over all local devices: replicate the model "
+             "weights and shard each window batch over a tile-axis mesh "
+             "(--batch-size must divide the device count; the WSI loop's "
+             "static batches already pad to the full size)",
+    )
     args = ap.parse_args(argv)
     logger = get_logger()
     # trivial usage errors must fail BEFORE setup_jax/model build (first
@@ -126,16 +133,26 @@ def main(argv: list[str] | None = None) -> int:
     else:
         logger.warning("no --checkpoint given: running with RANDOM weights "
                        "(plumbing/benchmark mode, not biology)")
+    mesh = None
+    if args.dp:
+        from path_gene_multimodal_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()  # all local devices, tile axis
+        if args.batch_size % mesh.devices.size:
+            logger.error("--batch-size %d does not divide the %d-device mesh",
+                         args.batch_size, mesh.devices.size)
+            return 2
+        logger.info("data-parallel over %d devices", mesh.devices.size)
     if real:
         from path_gene_multimodal_tpu.pipeline.nuclei import RealNucleiModel
 
         model = RealNucleiModel.build(
-            mcfg, params=params, tta=args.tta,
+            mcfg, params=params, tta=args.tta, mesh=mesh,
             max_instances=cfg.hovernext.max_instances_per_tile,
         )
     else:
         model = NucleiModel.build(
-            mcfg, params=params, tta=args.tta,
+            mcfg, params=params, tta=args.tta, mesh=mesh,
             max_instances=cfg.hovernext.max_instances_per_tile,
         )
 

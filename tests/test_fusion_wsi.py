@@ -221,7 +221,8 @@ def test_hovernext_infer_cli(tmp_path, monkeypatch):
         kw.pop("tta", None)
         import jax.numpy as jnp
 
-        return orig_build(nuclei_mod.NucleiModel, mcfg, dtype=jnp.float32, tta=1)
+        return orig_build(nuclei_mod.NucleiModel, mcfg, dtype=jnp.float32,
+                          tta=1, mesh=kw.pop("mesh", None))
 
     monkeypatch.setattr(nuclei_mod.NucleiModel, "build", classmethod(small_build))
     rc = hn.main(["--input", str(p), "--output", str(tmp_path / "out"),
@@ -229,6 +230,14 @@ def test_hovernext_infer_cli(tmp_path, monkeypatch):
     assert rc == 0
     assert (tmp_path / "out" / "cli_hovernet_nuclei_wsi.csv").exists()
     assert (tmp_path / "out" / "cli_pinst_pp.npz").exists()
+    # --dp: same run sharded over the 8-device test mesh via the CLI flag
+    rc = hn.main(["--input", str(p), "--output", str(tmp_path / "out_dp"),
+                  "--mode", "wsi", "--batch-size", "8", "--dp"])
+    assert rc == 0
+    assert (tmp_path / "out_dp" / "cli_hovernet_nuclei_wsi.csv").exists()
+    # --dp with a batch that does not divide the mesh → exit 2
+    assert hn.main(["--input", str(p), "--output", str(tmp_path / "out_bad"),
+                    "--mode", "wsi", "--batch-size", "3", "--dp"]) == 2
     # missing input → exit 2
     assert hn.main(["--input", str(tmp_path / "nope.svs"), "--output", str(tmp_path)]) == 2
     # tiles mode without csv → exit 2
