@@ -48,6 +48,12 @@ def main(argv: list[str] | None = None) -> int:
              "<stem>_text.npz next to it. Without it the towers run with "
              "RANDOM weights (plumbing mode).",
     )
+    ap.add_argument(
+        "--dp", action="store_true",
+        help="data-parallel embedding: replicate the image tower and shard "
+             "each tile batch over a tile-axis mesh of all local devices "
+             "(the embedding batch size must divide the device count)",
+    )
     args = ap.parse_args(argv)
 
     from path_gene_multimodal_tpu.utils.jaxsetup import setup_jax
@@ -87,10 +93,20 @@ def main(argv: list[str] | None = None) -> int:
             _, text_cfg, text_params = load_converted(tfile)
             logger.info("loaded text tower from %s", tfile)
         logger.info("loaded %s image tower from %s", kind, args.weights)
+    mesh = None
+    if args.dp:
+        from path_gene_multimodal_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()  # all local devices, tile axis
+        if cfg.embedding.batch_size % mesh.devices.size:
+            logger.error("embedding batch %d does not divide the %d-device mesh",
+                         cfg.embedding.batch_size, mesh.devices.size)
+            return 2
+        logger.info("data-parallel embedding over %d devices", mesh.devices.size)
     models = PipelineModels.build(
         cfg, vision_params=vision_params, vision_cfg=vision_cfg,
         text_cfg=text_cfg, text_params=text_params,
-        weights_fingerprint=weights_fp,
+        weights_fingerprint=weights_fp, mesh=mesh,
     )
     if args.profile:
         import contextlib

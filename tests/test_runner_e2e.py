@@ -125,11 +125,16 @@ def test_cli_entry(tmp_path, monkeypatch):
         "build",
         classmethod(lambda klass, cfg, **kw: orig_build(
             PipelineModels, cfg, vision_cfg=SMALL_V, text_cfg=SMALL_T,
-            tokenizer=FallbackTokenizer())),
+            tokenizer=FallbackTokenizer(), mesh=kw.get("mesh"))),
     )
     rc = cli.main(["--wsi", str(p), "--outroot", str(tmp_path / "out")])
     assert rc == 0
     assert (tmp_path / "out" / "s1" / "s1.geojson").exists()
+    # --dp: embed tower sharded over the 8-device test mesh via the CLI flag
+    rc = cli.main(["--wsi", str(p), "--outroot", str(tmp_path / "out_dp"),
+                   "--dp", "--no-locks"])
+    assert rc == 0
+    assert (tmp_path / "out_dp" / "s1" / "s1.geojson").exists()
     # missing slide → exit 2
     assert cli.main(["--wsi", str(tmp_path / "nope.svs")]) == 2
 
