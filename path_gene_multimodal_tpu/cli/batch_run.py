@@ -26,6 +26,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--outroot", default=None)
     ap.add_argument("--no-locks", action="store_true")
     ap.add_argument("--limit", type=int, default=None, help="max slides this run")
+    ap.add_argument(
+        "--dp", action="store_true",
+        help="data-parallel embedding over a tile-axis mesh of all local "
+             "devices (same flag as pgm-tpu --dp)",
+    )
     args = ap.parse_args(argv)
 
     from path_gene_multimodal_tpu.utils.jaxsetup import setup_jax
@@ -47,7 +52,17 @@ def main(argv: list[str] | None = None) -> int:
 
     from path_gene_multimodal_tpu.pipeline.runner import PipelineModels, run_one_wsi
 
-    models = PipelineModels.build(cfg)  # once for the whole batch
+    mesh = None
+    if args.dp:
+        from path_gene_multimodal_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+        if cfg.embedding.batch_size % mesh.devices.size:
+            logger.error("embedding batch %d does not divide the %d-device mesh",
+                         cfg.embedding.batch_size, mesh.devices.size)
+            return 2
+        logger.info("data-parallel embedding over %d devices", mesh.devices.size)
+    models = PipelineModels.build(cfg, mesh=mesh)  # once for the whole batch
     outroot.mkdir(parents=True, exist_ok=True)
     counts = {"done": 0, "already_done": 0, "locked": 0, "error": 0}
     with open(outroot / "success_slides.txt", "a") as success_log, \

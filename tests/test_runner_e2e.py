@@ -176,3 +176,14 @@ def test_batch_run_cli(tmp_path, monkeypatch):
     # second run: everything already done
     rc2 = batch_run.main(["--slide-list", str(lst), "--outroot", str(tmp_path / "out")])
     assert rc2 == 0
+    # --dp run on the 8-device test mesh (fresh outroot; builder forwards mesh)
+    monkeypatch.setattr(
+        runner_mod.PipelineModels, "build",
+        classmethod(lambda klass, cfg, **kw: orig_build(
+            PipelineModels, cfg, vision_cfg=SMALL_V, text_cfg=SMALL_T,
+            tokenizer=FallbackTokenizer(), mesh=kw.get("mesh"))),
+    )
+    rc3 = batch_run.main(["--slide-list", str(lst), "--dp",
+                          "--outroot", str(tmp_path / "out_dp")])
+    assert rc3 == 0
+    assert (tmp_path / "out_dp" / "b0" / "b0.geojson").exists()
