@@ -25,9 +25,34 @@ from pathlib import Path
 from path_gene_multimodal_tpu.utils.log import get_logger
 
 
+def resolve_inputs(spec: str) -> list[Path]:
+    """Reference ``prepare_input`` semantics (hovernet_inference.py:22-59):
+    a ``.txt`` file = one input path per line; anything else is a glob
+    pattern (a plain existing path matches itself). Raises on empty lists
+    and unmatched patterns exactly like the reference."""
+    if spec.endswith(".txt"):
+        p = Path(spec)
+        if not p.exists():
+            raise FileNotFoundError(f"input text file not found: {spec}")
+        inputs = [Path(s.strip()) for s in p.read_text().splitlines() if s.strip()]
+        if not inputs:
+            raise ValueError(f"{spec} is empty or contains no valid paths")
+        return inputs
+    import glob as _glob
+
+    matches = sorted(_glob.glob(spec.rstrip()))
+    if not matches:
+        raise ValueError(f"no files found matching pattern: {spec}")
+    return [Path(m) for m in matches]
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--input", required=True, help="WSI path")
+    ap.add_argument(
+        "--input", required=True,
+        help="WSI/image/.npy path, a glob pattern, or a .txt list of paths "
+             "(one per line) — the reference's prepare_input surface",
+    )
     ap.add_argument("--output", required=True, help="output directory")
     ap.add_argument("--mode", choices=["wsi", "tiles"], default="wsi")
     ap.add_argument("--annotations-csv", default=None,
@@ -62,6 +87,20 @@ def main(argv: list[str] | None = None) -> int:
     if args.mode == "tiles" and not args.annotations_csv:
         logger.error("--mode tiles requires --annotations-csv")
         return 2
+    try:
+        inputs = resolve_inputs(args.input)
+    except (FileNotFoundError, ValueError) as e:
+        logger.error("%s", e)
+        return 2
+    missing = [p for p in inputs if not p.exists()]
+    if missing:
+        logger.error("input not found: %s", ", ".join(map(str, missing)))
+        return 2
+    if args.mode == "tiles" and len(inputs) > 1:
+        logger.error("--mode tiles takes a single input (got %d; one "
+                     "--annotations-csv cannot describe several slides)",
+                     len(inputs))
+        return 2
 
     from path_gene_multimodal_tpu.utils.jaxsetup import setup_jax
 
@@ -76,10 +115,6 @@ def main(argv: list[str] | None = None) -> int:
     )
     from path_gene_multimodal_tpu.pipeline.nuclei_wsi import run_hovernext_wsi
 
-    wsi = Path(args.input)
-    if not wsi.exists():
-        logger.error("input not found: %s", wsi)
-        return 2
     from dataclasses import replace as _dc_replace
 
     out_dir = Path(args.output)
@@ -156,22 +191,29 @@ def main(argv: list[str] | None = None) -> int:
             max_instances=cfg.hovernext.max_instances_per_tile,
         )
 
-    slide = open_slide(wsi)
-    t0 = time.perf_counter()
-    if args.mode == "wsi":
-        map_path, nuclei = run_hovernext_wsi(
-            slide, out_dir, wsi.stem, model, cfg,
-            batch_size=args.batch_size,
-            write_artifacts=not args.only_inference,
-        )
-    else:
-        nuclei = run_hovernet_pipeline_on_wsi_tiles(
-            slide, args.annotations_csv, out_dir, wsi.stem, model, cfg,
-            batch_size=args.batch_size,
-            write_artifacts=not args.only_inference,
-        )
-    dt = time.perf_counter() - t0
-    logger.info("inference+postproc: %d nuclei in %.1fs", len(nuclei), dt)
+    # ONE model for the whole input list (the reference rebuilt the model
+    # per input — the per-tile-reload anti-pattern, SURVEY.md §7); multiple
+    # inputs write into per-stem subdirectories
+    for wsi in inputs:
+        dest = out_dir if len(inputs) == 1 else out_dir / wsi.stem
+        dest.mkdir(parents=True, exist_ok=True)
+        slide = open_slide(wsi)
+        t0 = time.perf_counter()
+        if args.mode == "wsi":
+            map_path, nuclei = run_hovernext_wsi(
+                slide, dest, wsi.stem, model, cfg,
+                batch_size=args.batch_size,
+                write_artifacts=not args.only_inference,
+            )
+        else:
+            nuclei = run_hovernet_pipeline_on_wsi_tiles(
+                slide, args.annotations_csv, dest, wsi.stem, model, cfg,
+                batch_size=args.batch_size,
+                write_artifacts=not args.only_inference,
+            )
+        dt = time.perf_counter() - t0
+        logger.info("%s: inference+postproc: %d nuclei in %.1fs",
+                    wsi.stem, len(nuclei), dt)
     return 0
 
 

@@ -220,6 +220,15 @@ def open_slide(path: str | Path) -> SlideReader:
     suffix = path.suffix.lower()
     if suffix == ".npz":
         return ArraySlide.load(path)
+    if suffix == ".npy":
+        # the reference's "npy" input type (hovernet_inference.py:72-74):
+        # a raw (H, W, 3) uint8 image array (grayscale broadcasts to RGB)
+        arr = np.load(path)
+        if arr.ndim == 2:
+            arr = np.stack([arr] * 3, axis=-1)
+        if arr.ndim != 3 or arr.shape[-1] != 3:
+            raise ValueError(f"{path}: expected (H, W, 3) image array, got {arr.shape}")
+        return ArraySlide(np.ascontiguousarray(arr, dtype=np.uint8), path=path)
     if suffix in {".svs", ".tif", ".tiff", ".ndpi"}:
         from path_gene_multimodal_tpu.io.tiff import TiffTileSlide
 

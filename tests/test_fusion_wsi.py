@@ -243,6 +243,44 @@ def test_hovernext_infer_cli(tmp_path, monkeypatch):
     # tiles mode without csv → exit 2
     assert hn.main(["--input", str(p), "--output", str(tmp_path), "--mode", "tiles"]) == 2
 
+    # reference prepare_input surface: a .txt list of inputs, one model
+    # build, per-stem output subdirectories; .npy raw-array input type
+    import numpy as np
+
+    np.save(tmp_path / "raw.npy", slide._levels[0])
+    lst = tmp_path / "inputs.txt"
+    lst.write_text(f"{p}\n{tmp_path / 'raw.npy'}\n")
+    rc = hn.main(["--input", str(lst), "--output", str(tmp_path / "multi"),
+                  "--mode", "wsi", "--batch-size", "4"])
+    assert rc == 0
+    assert (tmp_path / "multi" / "cli" / "cli_hovernet_nuclei_wsi.csv").exists()
+    assert (tmp_path / "multi" / "raw" / "raw_hovernet_nuclei_wsi.csv").exists()
+    # unmatched glob / empty txt / tiles mode with several inputs → exit 2
+    assert hn.main(["--input", str(tmp_path / "*.nothere"),
+                    "--output", str(tmp_path)]) == 2
+    empty = tmp_path / "empty.txt"
+    empty.write_text("\n")
+    assert hn.main(["--input", str(empty), "--output", str(tmp_path)]) == 2
+    assert hn.main(["--input", str(lst), "--output", str(tmp_path),
+                    "--mode", "tiles", "--annotations-csv", "x.csv"]) == 2
+
+
+def test_resolve_inputs_glob(tmp_path):
+    from path_gene_multimodal_tpu.cli.hovernext_infer import resolve_inputs
+
+    (tmp_path / "a.svs").write_bytes(b"x")
+    (tmp_path / "b.svs").write_bytes(b"x")
+    got = resolve_inputs(str(tmp_path / "*.svs"))
+    assert [g.name for g in got] == ["a.svs", "b.svs"]
+    # a plain existing path matches itself
+    assert resolve_inputs(str(tmp_path / "a.svs")) == [tmp_path / "a.svs"]
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        resolve_inputs(str(tmp_path / "nope.txt"))
+    with pytest.raises(ValueError):
+        resolve_inputs(str(tmp_path / "*.tif"))
+
 
 def test_run_hovernext_wsi_seam_straddler(tmp_path):
     """A nucleus wider than the 8-px window overlap straddling a seam:

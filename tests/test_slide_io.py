@@ -722,3 +722,28 @@ def test_array_slide_save_returns_real_path(tmp_path, small_slide):
     assert p.exists() and p.name == "fixture.npz"
     loaded = open_slide(p)
     assert loaded.level_dimensions[0] == small_slide.level_dimensions[0]
+
+
+def test_open_slide_npy_input(tmp_path):
+    """The reference's 'npy' input type (hovernet_inference.py:72-74):
+    raw (H, W, 3) arrays open as slides; grayscale broadcasts to RGB;
+    non-image shapes are rejected."""
+    import numpy as np
+    import pytest
+
+    rgb = np.random.default_rng(0).integers(0, 255, (64, 48, 3), np.uint8)
+    p = tmp_path / "img.npy"
+    np.save(p, rgb)
+    s = open_slide(p)
+    np.testing.assert_array_equal(s.read_region((0, 0), 0, (48, 64)), rgb)
+
+    gray = rgb[..., 0]
+    np.save(tmp_path / "gray.npy", gray)
+    g = open_slide(tmp_path / "gray.npy")
+    np.testing.assert_array_equal(
+        g.read_region((0, 0), 0, (48, 64)), np.stack([gray] * 3, axis=-1)
+    )
+
+    np.save(tmp_path / "bad.npy", np.zeros((4, 4, 4, 4), np.uint8))
+    with pytest.raises(ValueError, match="expected"):
+        open_slide(tmp_path / "bad.npy")
