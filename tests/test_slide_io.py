@@ -747,3 +747,37 @@ def test_open_slide_npy_input(tmp_path):
     np.save(tmp_path / "bad.npy", np.zeros((4, 4, 4, 4), np.uint8))
     with pytest.raises(ValueError, match="expected"):
         open_slide(tmp_path / "bad.npy")
+
+
+def test_slide_info_cli(tmp_path, capsys):
+    """pgm-tpu-slide-info: pyramid/codec metadata without touching JAX."""
+    import json as _json
+
+    import numpy as np
+
+    from path_gene_multimodal_tpu.cli.slide_info import main as info_main
+    from path_gene_multimodal_tpu.io.tiff_write import write_tiled_tiff
+
+    rng = np.random.default_rng(5)
+    lv0 = rng.integers(0, 255, (512, 768, 3), np.uint8)
+    lv1 = lv0[::2, ::2]
+    p = tmp_path / "s.svs"
+    write_tiled_tiff(p, [lv0, lv1], tile_size=256, compression=7,
+                     description="Aperio |MPP = 0.2500|")
+
+    assert info_main([str(p), "--json"]) == 0
+    out = capsys.readouterr().out.strip()
+    info = _json.loads(out)
+    assert info["level_dimensions"] == [[768, 512], [384, 256]]
+    assert abs(info["mpp"] - 0.25) < 1e-9
+    assert info["pages"][0]["codec"] == "JPEG"
+    assert info["pages"][0]["tiles"] == [3, 2]
+    assert isinstance(info["planar_feed_supported"], bool)
+
+    # human output mentions the codec; unreadable file → rc 2
+    assert info_main([str(p)]) == 0
+    human = capsys.readouterr().out
+    assert "JPEG" in human and "768x512" in human
+    bad = tmp_path / "bad.svs"
+    bad.write_bytes(b"not a tiff")
+    assert info_main([str(bad)]) == 2
