@@ -199,18 +199,24 @@ def main(argv: list[str] | None = None) -> int:
         dest.mkdir(parents=True, exist_ok=True)
         slide = open_slide(wsi)
         t0 = time.perf_counter()
-        if args.mode == "wsi":
-            map_path, nuclei = run_hovernext_wsi(
-                slide, dest, wsi.stem, model, cfg,
-                batch_size=args.batch_size,
-                write_artifacts=not args.only_inference,
-            )
-        else:
-            nuclei = run_hovernet_pipeline_on_wsi_tiles(
-                slide, args.annotations_csv, dest, wsi.stem, model, cfg,
-                batch_size=args.batch_size,
-                write_artifacts=not args.only_inference,
-            )
+        try:
+            if args.mode == "wsi":
+                map_path, nuclei = run_hovernext_wsi(
+                    slide, dest, wsi.stem, model, cfg,
+                    batch_size=args.batch_size,
+                    write_artifacts=not args.only_inference,
+                )
+            else:
+                nuclei = run_hovernet_pipeline_on_wsi_tiles(
+                    slide, args.annotations_csv, dest, wsi.stem, model, cfg,
+                    batch_size=args.batch_size,
+                    write_artifacts=not args.only_inference,
+                )
+        finally:
+            # a .txt list can name hundreds of slides — one leaked fd each
+            close = getattr(slide, "close", None)
+            if close is not None:
+                close()
         dt = time.perf_counter() - t0
         logger.info("%s: inference+postproc: %d nuclei in %.1fs",
                     wsi.stem, len(nuclei), dt)
