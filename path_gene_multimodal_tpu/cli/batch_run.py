@@ -54,14 +54,15 @@ def main(argv: list[str] | None = None) -> int:
 
     mesh = None
     if args.dp:
-        from path_gene_multimodal_tpu.parallel.mesh import make_mesh
+        from path_gene_multimodal_tpu.parallel.mesh import dp_mesh_for_batch
 
-        mesh = make_mesh()
-        if cfg.embedding.batch_size % mesh.devices.size:
-            logger.error("embedding batch %d does not divide the %d-device mesh",
-                         cfg.embedding.batch_size, mesh.devices.size)
+        try:
+            mesh = dp_mesh_for_batch(
+                cfg.embedding.batch_size, logger=logger, label="embedding batch"
+            )
+        except ValueError as e:
+            logger.error("%s", e)
             return 2
-        logger.info("data-parallel embedding over %d devices", mesh.devices.size)
     models = PipelineModels.build(cfg, mesh=mesh)  # once for the whole batch
     outroot.mkdir(parents=True, exist_ok=True)
     counts = {"done": 0, "already_done": 0, "locked": 0, "error": 0}

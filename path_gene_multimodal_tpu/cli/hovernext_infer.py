@@ -77,8 +77,8 @@ def main(argv: list[str] | None = None) -> int:
         "--dp", action="store_true",
         help="data-parallel over all local devices: replicate the model "
              "weights and shard each window batch over a tile-axis mesh "
-             "(--batch-size must divide the device count; the WSI loop's "
-             "static batches already pad to the full size)",
+             "(--batch-size must be a multiple of the device count; the WSI "
+             "loop's static batches already pad to the full size)",
     )
     args = ap.parse_args(argv)
     logger = get_logger()
@@ -170,14 +170,15 @@ def main(argv: list[str] | None = None) -> int:
                        "(plumbing/benchmark mode, not biology)")
     mesh = None
     if args.dp:
-        from path_gene_multimodal_tpu.parallel.mesh import make_mesh
+        from path_gene_multimodal_tpu.parallel.mesh import dp_mesh_for_batch
 
-        mesh = make_mesh()  # all local devices, tile axis
-        if args.batch_size % mesh.devices.size:
-            logger.error("--batch-size %d does not divide the %d-device mesh",
-                         args.batch_size, mesh.devices.size)
+        try:
+            mesh = dp_mesh_for_batch(
+                args.batch_size, logger=logger, label="--batch-size"
+            )
+        except ValueError as e:
+            logger.error("%s", e)
             return 2
-        logger.info("data-parallel over %d devices", mesh.devices.size)
     if real:
         from path_gene_multimodal_tpu.pipeline.nuclei import RealNucleiModel
 
@@ -193,33 +194,64 @@ def main(argv: list[str] | None = None) -> int:
 
     # ONE model for the whole input list (the reference rebuilt the model
     # per input — the per-tile-reload anti-pattern, SURVEY.md §7); multiple
-    # inputs write into per-stem subdirectories
+    # inputs write into per-stem subdirectories. Duplicate stems across
+    # directories (cohortA/case7.svs + cohortB/case7.svs) get a numeric
+    # suffix so one slide's artifacts never overwrite another's.
+    stems: list[str] = []
+    seen: dict[str, int] = {}
     for wsi in inputs:
-        dest = out_dir if len(inputs) == 1 else out_dir / wsi.stem
+        n = seen.get(wsi.stem, 0)
+        seen[wsi.stem] = n + 1
+        stem = wsi.stem if n == 0 else f"{wsi.stem}_{n + 1}"
+        if n == 1:
+            logger.warning(
+                "duplicate input stem %r: later inputs write under %s_2, "
+                "%s_3, ...", wsi.stem, wsi.stem, wsi.stem,
+            )
+        stems.append(stem)
+
+    failed = 0
+    for wsi, stem in zip(inputs, stems):
+        dest = out_dir if len(inputs) == 1 else out_dir / stem
         dest.mkdir(parents=True, exist_ok=True)
-        slide = open_slide(wsi)
         t0 = time.perf_counter()
         try:
-            if args.mode == "wsi":
-                map_path, nuclei = run_hovernext_wsi(
-                    slide, dest, wsi.stem, model, cfg,
-                    batch_size=args.batch_size,
-                    write_artifacts=not args.only_inference,
-                )
-            else:
-                nuclei = run_hovernet_pipeline_on_wsi_tiles(
-                    slide, args.annotations_csv, dest, wsi.stem, model, cfg,
-                    batch_size=args.batch_size,
-                    write_artifacts=not args.only_inference,
-                )
-        finally:
-            # a .txt list can name hundreds of slides — one leaked fd each
-            close = getattr(slide, "close", None)
-            if close is not None:
-                close()
+            slide = open_slide(wsi)
+            try:
+                if args.mode == "wsi":
+                    map_path, nuclei = run_hovernext_wsi(
+                        slide, dest, stem, model, cfg,
+                        batch_size=args.batch_size,
+                        write_artifacts=not args.only_inference,
+                    )
+                else:
+                    nuclei = run_hovernet_pipeline_on_wsi_tiles(
+                        slide, args.annotations_csv, dest, stem, model, cfg,
+                        batch_size=args.batch_size,
+                        write_artifacts=not args.only_inference,
+                    )
+            finally:
+                # a .txt list can name hundreds of slides — one leaked fd each
+                close = getattr(slide, "close", None)
+                if close is not None:
+                    close()
+        except Exception as e:
+            # one corrupt slide must not abort a 300-slide list (the
+            # reference's batch loops fail soft the same way,
+            # run_molecular_loop.py:147-153); single-input runs re-raise
+            # so the user sees the full traceback
+            if len(inputs) == 1:
+                raise
+            failed += 1
+            logger.error("%s: FAILED (%s: %s) — continuing",
+                         wsi, type(e).__name__, e)
+            continue
         dt = time.perf_counter() - t0
         logger.info("%s: inference+postproc: %d nuclei in %.1fs",
-                    wsi.stem, len(nuclei), dt)
+                    stem, len(nuclei), dt)
+    if failed:
+        logger.error("%d/%d inputs failed", failed, len(inputs))
+        return 1
     return 0
 
 

@@ -52,7 +52,7 @@ def main(argv: list[str] | None = None) -> int:
         "--dp", action="store_true",
         help="data-parallel embedding: replicate the image tower and shard "
              "each tile batch over a tile-axis mesh of all local devices "
-             "(the embedding batch size must divide the device count)",
+             "(the embedding batch size must be a multiple of the device count)",
     )
     args = ap.parse_args(argv)
 
@@ -95,14 +95,15 @@ def main(argv: list[str] | None = None) -> int:
         logger.info("loaded %s image tower from %s", kind, args.weights)
     mesh = None
     if args.dp:
-        from path_gene_multimodal_tpu.parallel.mesh import make_mesh
+        from path_gene_multimodal_tpu.parallel.mesh import dp_mesh_for_batch
 
-        mesh = make_mesh()  # all local devices, tile axis
-        if cfg.embedding.batch_size % mesh.devices.size:
-            logger.error("embedding batch %d does not divide the %d-device mesh",
-                         cfg.embedding.batch_size, mesh.devices.size)
+        try:
+            mesh = dp_mesh_for_batch(
+                cfg.embedding.batch_size, logger=logger, label="embedding batch"
+            )
+        except ValueError as e:
+            logger.error("%s", e)
             return 2
-        logger.info("data-parallel embedding over %d devices", mesh.devices.size)
     models = PipelineModels.build(
         cfg, vision_params=vision_params, vision_cfg=vision_cfg,
         text_cfg=text_cfg, text_params=text_params,

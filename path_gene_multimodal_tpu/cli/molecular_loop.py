@@ -110,14 +110,15 @@ def main(argv: list[str] | None = None) -> int:
                 ))
     mesh = None
     if args.dp:
-        from path_gene_multimodal_tpu.parallel.mesh import make_mesh
+        from path_gene_multimodal_tpu.parallel.mesh import dp_mesh_for_batch
 
-        mesh = make_mesh()  # all local devices, tile axis
-        if cfg.molecular.batch_size % mesh.devices.size:
-            logger.error("molecular batch %d does not divide the %d-device mesh",
-                         cfg.molecular.batch_size, mesh.devices.size)
+        try:
+            mesh = dp_mesh_for_batch(
+                cfg.molecular.batch_size, logger=logger, label="molecular batch"
+            )
+        except ValueError as e:
+            logger.error("%s", e)
             return 2
-        logger.info("data-parallel over %d devices", mesh.devices.size)
     # built ONCE for the loop (positional only when weights were loaded, so
     # duck-typed test ensembles keep their 1-arg constructor surface)
     ensemble = (IDaRSEnsemble(tasks, params_per_task, mesh=mesh)

@@ -70,15 +70,42 @@ def write_tessellation_h5(
     return path
 
 
+def _coord_column_names(arr: np.ndarray, attrs: Mapping[str, Any]) -> list[str]:
+    """Column names for a 2-D coords array — the reference's rule
+    (tiling_info.py:10-27): an explicit ``columns`` attr wins; otherwise
+    width-based defaults (2→x,y; 3→x,y,level; 4→x,y,w,h; else col{i})."""
+    raw_cols = attrs.get("columns")
+    if raw_cols is not None:
+        cols = [
+            c.decode() if isinstance(c, bytes) else str(c)
+            for c in np.asarray(raw_cols).reshape(-1)
+        ]
+        if len(cols) == arr.shape[1]:
+            return cols
+    n = arr.shape[1]
+    if n == 2:
+        return ["x", "y"]
+    if n == 3:
+        return ["x", "y", "level"]
+    if n == 4:
+        return ["x", "y", "w", "h"]
+    return [f"col{i}" for i in range(n)]
+
+
 def read_tessellation_h5(path: str | Path) -> dict[str, Any]:
     """Read tile coordinates from any of the five schema variants the
     reference accepts. Returns ``{"coords": (N,2) int64, "level": array|None,
-    "attrs": dict}``.
+    "attrs": dict, "raw_coords": (N,C) array, "columns": list[str]}``.
 
     Probe order (load_annotation_with_coordinates.py:122-165):
     1. ``coords`` / ``locations`` / ``tiles/coords`` datasets of shape (N, 2);
     2. paired 1-D ``x``,``y`` or ``tiles/x``,``tiles/y`` datasets;
     3. any dataset whose name ends in ``coords`` with shape (N, 2).
+
+    Wider datasets follow the reference's column semantics
+    (tiling_info.py:10-27): width 3 carries a per-tile pyramid ``level``
+    column, width 4 is ``x,y,w,h`` (NOT level), and an explicit ``columns``
+    dataset attr overrides both.
     """
     path = Path(path)
     with h5py.File(path, "r") as f:
@@ -119,26 +146,35 @@ def read_tessellation_h5(path: str | Path) -> dict[str, Any]:
             )
 
         coords = np.asarray(coords)
+        if coords.ndim == 1 and coords.size % 2 == 0:
+            # 1-D flattened pairs (tiling_info.py:19 fallback)
+            coords = coords.reshape(-1, 2)
         if coords.ndim != 2 or coords.shape[1] < 2:
             raise ValueError(f"{path}: coords has shape {coords.shape}, expected (N, 2)")
 
+        columns = _coord_column_names(coords, src_attrs)
+        xi = columns.index("x") if "x" in columns else 0
+        yi = columns.index("y") if "y" in columns else 1
+        xy = np.stack([coords[:, xi], coords[:, yi]], axis=1)
+
         level = None
-        if coords.shape[1] >= 3:  # optional third column = pyramid level
-            level = coords[:, 2].astype(np.int64)
-            coords = coords[:, :2]
+        if "level" in columns:
+            level = coords[:, columns.index("level")].astype(np.int64)
         elif "level" in f:
             level = np.asarray(f["level"][...]).reshape(-1).astype(np.int64)
 
         return {
-            "coords": coords.astype(np.int64),
+            "coords": xy.astype(np.int64),
             "level": level,
             "attrs": src_attrs,
+            "raw_coords": coords,
+            "columns": columns,
         }
 
 
 def infer_tile_size_from_attrs(attrs: Mapping[str, Any]) -> int | None:
-    """``tile_size``/``patch_size`` attr probe (tiling_info.py:39-54)."""
-    for key in ("tile_size", "patch_size"):
+    """``tile_size``/``patch_size``/``size`` attr probe (tiling_info.py:39)."""
+    for key in ("tile_size", "patch_size", "size"):
         if key in attrs:
             try:
                 return int(np.asarray(attrs[key]).reshape(-1)[0])
@@ -152,25 +188,29 @@ def tiles_table(path: str | Path) -> tuple[pd.DataFrame, dict[str, Any]]:
     ``tiling_info.py:1-58`` ``read_tiles`` surface over this module's
     5-variant coord reader:
 
-    - ``x``/``y`` columns (+ ``level`` when present);
-    - ``w``/``h`` derived from the ``tile_size``/``patch_size`` attr;
-    - box corners ``x1,y1,x2,y2`` when w/h are known;
+    - all coord columns under their interpreted names (explicit ``columns``
+      attr, else width defaults: 2→x,y; 3→x,y,level; 4→x,y,w,h);
+    - ``w``/``h`` derived from the ``tile_size``/``patch_size``/``size``
+      attr when the dataset itself carries none;
+    - box corners ``x1,y1,x2,y2`` when x/y/w/h are all known;
     - useful global attrs (level, mpp, stride, downsample, slide_id)
       tacked on as constant columns (tiling_info.py:52-54).
     """
     data = read_tessellation_h5(path)
     attrs = data["attrs"]
-    df = pd.DataFrame(data["coords"], columns=["x", "y"])
-    if data["level"] is not None:
+    df = pd.DataFrame(data["raw_coords"], columns=data["columns"])
+    if "level" not in df.columns and data["level"] is not None:
         df["level"] = data["level"]
-    ts = infer_tile_size_from_attrs(attrs)
-    if ts is not None:
-        df["w"] = ts
-        df["h"] = ts
+    if "w" not in df.columns and "h" not in df.columns:
+        ts = infer_tile_size_from_attrs(attrs)
+        if ts is not None:
+            df["w"] = ts
+            df["h"] = ts
+    if {"x", "y", "w", "h"}.issubset(df.columns):
         df["x1"] = df["x"]
         df["y1"] = df["y"]
-        df["x2"] = df["x"] + ts
-        df["y2"] = df["y"] + ts
+        df["x2"] = df["x"] + df["w"]
+        df["y2"] = df["y"] + df["h"]
     for k in ("level", "mpp", "stride", "downsample", "slide_id"):
         if k in attrs and k not in df.columns:
             v = attrs[k]

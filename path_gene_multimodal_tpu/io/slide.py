@@ -222,13 +222,28 @@ def open_slide(path: str | Path) -> SlideReader:
         return ArraySlide.load(path)
     if suffix == ".npy":
         # the reference's "npy" input type (hovernet_inference.py:72-74):
-        # a raw (H, W, 3) uint8 image array (grayscale broadcasts to RGB)
+        # a raw (H, W, 3) image array (grayscale broadcasts to RGB).
+        # Unit-range float images scale to [0,255]; values outside [0,255]
+        # are rejected rather than silently truncated/wrapped by a uint8
+        # cast (a skimage-style float [0,1] image would otherwise become
+        # all-black 0/1 pixels and yield garbage with no error).
         arr = np.load(path)
         if arr.ndim == 2:
             arr = np.stack([arr] * 3, axis=-1)
-        if arr.ndim != 3 or arr.shape[-1] != 3:
-            raise ValueError(f"{path}: expected (H, W, 3) image array, got {arr.shape}")
-        return ArraySlide(np.ascontiguousarray(arr, dtype=np.uint8), path=path)
+        if arr.dtype != np.uint8 and arr.size:
+            lo, hi = float(arr.min()), float(arr.max())
+            if np.issubdtype(arr.dtype, np.floating) and 0.0 <= lo and hi <= 1.0:
+                arr = arr * 255.0
+            elif lo < 0.0 or hi > 255.0:
+                raise ValueError(
+                    f"{path}: {arr.dtype} image values span [{lo:g}, {hi:g}] "
+                    f"— expected uint8, [0,255], or unit-range float"
+                )
+            arr = np.rint(arr)
+        try:
+            return ArraySlide(arr, path=path)  # casts + validates (H, W, 3)
+        except ValueError as e:
+            raise ValueError(f"{path}: {e}") from None
     if suffix in {".svs", ".tif", ".tiff", ".ndpi"}:
         from path_gene_multimodal_tpu.io.tiff import TiffTileSlide
 

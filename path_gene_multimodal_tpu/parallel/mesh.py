@@ -37,6 +37,25 @@ def make_mesh(num_devices: int | None = None, axis: str = TILE_AXIS) -> Mesh:
     return Mesh(np.asarray(devices[:n]), (axis,))
 
 
+def dp_mesh_for_batch(
+    batch_size: int, *, logger: Any | None = None, label: str = "batch"
+) -> Mesh:
+    """The shared ``--dp`` CLI bring-up: build the all-local-devices
+    tile-axis mesh and verify ``batch_size`` splits evenly across it
+    (``shard_batch`` needs even splits on the leading axis). Raises
+    ``ValueError`` with a user-facing message otherwise."""
+    mesh = make_mesh()
+    n = mesh.devices.size
+    if batch_size % n:
+        raise ValueError(
+            f"{label} {batch_size} is not a multiple of the {n}-device mesh "
+            f"(pick a batch size divisible by {n})"
+        )
+    if logger is not None:
+        logger.info("data-parallel over %d devices (%s %d)", n, label, batch_size)
+    return mesh
+
+
 def batch_sharding(mesh: Mesh, ndim: int, axis: str = TILE_AXIS) -> NamedSharding:
     """Shard the leading (batch/tile) dimension, replicate the rest."""
     return NamedSharding(mesh, P(axis, *([None] * (ndim - 1))))

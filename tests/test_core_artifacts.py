@@ -92,6 +92,62 @@ def test_tiles_table_and_csv_export(tmp_path):
     assert list(df2.columns) == ["x", "y"]
 
 
+def test_tiles_table_xywh_coords(tmp_path):
+    """Width-4 coords = x,y,w,h (tiling_info.py:24-25) — NOT a per-tile
+    level column; corners derive from the dataset's own w/h."""
+    from path_gene_multimodal_tpu.core.artifacts import tiles_table
+
+    c4 = np.concatenate(
+        [COORDS, np.full((4, 1), 128, np.int64), np.full((4, 1), 96, np.int64)],
+        axis=1,
+    )
+    p = tmp_path / "xywh.h5"
+    with h5py.File(p, "w") as f:
+        f.create_dataset("coords", data=c4)
+    df, _ = tiles_table(p)
+    assert list(df.columns) == ["x", "y", "w", "h", "x1", "y1", "x2", "y2"]
+    assert (df["w"] == 128).all() and (df["h"] == 96).all()
+    np.testing.assert_array_equal(df["x2"], COORDS[:, 0] + 128)
+    np.testing.assert_array_equal(df["y2"], COORDS[:, 1] + 96)
+    assert "level" not in df.columns
+    # the plain reader still yields (N,2) x/y with no bogus level
+    out = read_tessellation_h5(p)
+    np.testing.assert_array_equal(out["coords"], COORDS)
+    assert out["level"] is None
+
+
+def test_tiles_table_explicit_columns_attr(tmp_path):
+    """An explicit ``columns`` dataset attr overrides the width defaults
+    (tiling_info.py:11-14), including a non-standard column order."""
+    from path_gene_multimodal_tpu.core.artifacts import tiles_table
+
+    c3 = np.concatenate([np.full((4, 1), 2, np.int64), COORDS], axis=1)
+    p = tmp_path / "cols.h5"
+    with h5py.File(p, "w") as f:
+        d = f.create_dataset("coords", data=c3)
+        d.attrs["columns"] = ["level", "x", "y"]
+    df, _ = tiles_table(p)
+    assert list(df.columns)[:3] == ["level", "x", "y"]
+    np.testing.assert_array_equal(df["x"], COORDS[:, 0])
+    out = read_tessellation_h5(p)
+    np.testing.assert_array_equal(out["coords"], COORDS)  # x/y by name
+    np.testing.assert_array_equal(out["level"], np.full(4, 2))
+
+
+def test_tiles_table_size_attr_fallback(tmp_path):
+    """`size` attr supplies w/h when tile_size/patch_size are absent
+    (tiling_info.py:39)."""
+    from path_gene_multimodal_tpu.core.artifacts import tiles_table
+
+    p = tmp_path / "size.h5"
+    with h5py.File(p, "w") as f:
+        f.create_dataset("coords", data=COORDS)
+        f.attrs["size"] = 256
+    df, _ = tiles_table(p)
+    assert (df["w"] == 256).all()
+    np.testing.assert_array_equal(df["x2"], COORDS[:, 0] + 256)
+
+
 def test_h5_missing_raises(tmp_path):
     p = tmp_path / "bad.h5"
     with h5py.File(p, "w") as f:

@@ -264,6 +264,36 @@ def test_hovernext_infer_cli(tmp_path, monkeypatch):
     assert hn.main(["--input", str(lst), "--output", str(tmp_path),
                     "--mode", "tiles", "--annotations-csv", "x.csv"]) == 2
 
+    # duplicate stems across directories: per-stem dirs uniquified with a
+    # numeric suffix, never silently overwritten
+    sub = tmp_path / "sub"
+    sub.mkdir()
+    slide.save(sub / "cli.npz")
+    dups = tmp_path / "dups.txt"
+    dups.write_text(f"{p}\n{sub / 'cli.npz'}\n")
+    rc = hn.main(["--input", str(dups), "--output", str(tmp_path / "dup"),
+                  "--mode", "wsi", "--batch-size", "4"])
+    assert rc == 0
+    assert (tmp_path / "dup" / "cli" / "cli_hovernet_nuclei_wsi.csv").exists()
+    assert (tmp_path / "dup" / "cli_2" / "cli_2_hovernet_nuclei_wsi.csv").exists()
+
+    # one corrupt slide fails soft in multi-input mode: the rest complete,
+    # exit code 1 (batch_run.py convention); single-input re-raises
+    bad = tmp_path / "corrupt.npz"
+    bad.write_bytes(b"not a zip archive")
+    withbad = tmp_path / "withbad.txt"
+    withbad.write_text(f"{p}\n{bad}\n{sub / 'cli.npz'}\n")
+    rc = hn.main(["--input", str(withbad), "--output", str(tmp_path / "soft"),
+                  "--mode", "wsi", "--batch-size", "4"])
+    assert rc == 1
+    assert (tmp_path / "soft" / "cli" / "cli_hovernet_nuclei_wsi.csv").exists()
+    assert (tmp_path / "soft" / "cli_2" / "cli_2_hovernet_nuclei_wsi.csv").exists()
+    import pytest
+
+    with pytest.raises(Exception):
+        hn.main(["--input", str(bad), "--output", str(tmp_path / "single"),
+                 "--mode", "wsi", "--batch-size", "4"])
+
 
 def test_resolve_inputs_glob(tmp_path):
     from path_gene_multimodal_tpu.cli.hovernext_infer import resolve_inputs

@@ -745,8 +745,38 @@ def test_open_slide_npy_input(tmp_path):
     )
 
     np.save(tmp_path / "bad.npy", np.zeros((4, 4, 4, 4), np.uint8))
-    with pytest.raises(ValueError, match="expected"):
+    with pytest.raises(ValueError, match=r"bad.npy.*\(H, W, 3\)"):
         open_slide(tmp_path / "bad.npy")
+
+
+def test_open_slide_npy_dtypes(tmp_path):
+    """Non-uint8 arrays must not be silently truncated by a uint8 cast:
+    unit-range floats scale to [0,255]; [0,255] floats/ints round/cast;
+    out-of-range values are rejected with a clear error."""
+    import numpy as np
+    import pytest
+
+    rgb = np.random.default_rng(1).integers(0, 255, (32, 32, 3), np.uint8)
+
+    np.save(tmp_path / "unit.npy", rgb.astype(np.float64) / 255.0)
+    s = open_slide(tmp_path / "unit.npy")
+    got = s.read_region((0, 0), 0, (32, 32))
+    assert np.abs(got.astype(int) - rgb.astype(int)).max() <= 1  # rint error
+
+    np.save(tmp_path / "f255.npy", rgb.astype(np.float32))
+    s = open_slide(tmp_path / "f255.npy")
+    np.testing.assert_array_equal(s.read_region((0, 0), 0, (32, 32)), rgb)
+
+    np.save(tmp_path / "i16.npy", rgb.astype(np.int16))
+    s = open_slide(tmp_path / "i16.npy")
+    np.testing.assert_array_equal(s.read_region((0, 0), 0, (32, 32)), rgb)
+
+    np.save(tmp_path / "neg.npy", rgb.astype(np.float32) - 300.0)
+    with pytest.raises(ValueError, match="expected uint8"):
+        open_slide(tmp_path / "neg.npy")
+    np.save(tmp_path / "big.npy", rgb.astype(np.uint16) + 300)
+    with pytest.raises(ValueError, match="expected uint8"):
+        open_slide(tmp_path / "big.npy")
 
 
 def test_slide_info_cli(tmp_path, capsys):
