@@ -138,7 +138,9 @@ def main() -> None:
         assert n == len(grid)
 
     decode_rate = _median_rate(run_decode, len(grid))
-    native_on = TiffTileSlide(svs_path)._native is not None
+    probe_reader = TiffTileSlide(svs_path)  # capability probes only — one
+    # parse of the IFDs instead of a fresh reader per probe
+    native_on = probe_reader._native is not None
 
     # planar host decode (no chroma upsample / color conversion on host —
     # the device finishes those): the host-side cost of the planar feed
@@ -155,7 +157,7 @@ def main() -> None:
 
     decode_planar_rate = (
         _median_rate(run_decode_planar, len(grid))
-        if TiffTileSlide(svs_path).supports_planar(0)
+        if probe_reader.supports_planar(0)
         else 0.0
     )
 
@@ -265,7 +267,7 @@ def main() -> None:
         ycbcr420_to_rgb_jit as _planes_to_rgb,  # shared program with the
     )  # pipeline feeds — one compile per plane shape across all consumers
 
-    planar_feed = TiffTileSlide(svs_path).supports_planar(0)
+    planar_feed = probe_reader.supports_planar(0)
 
     @jax.jit
     def _pad224_to_256(tiles_u8):
@@ -295,7 +297,7 @@ def main() -> None:
              feats["centroid_y"] * 128.0], axis=-1,
         ).astype(jnp.uint16)
 
-    def run_streamed(time_it: bool) -> tuple[float, int]:
+    def run_streamed() -> tuple[float, int]:
         reader = TiffTileSlide(svs_path, cache_tiles=512)
         t0 = time.perf_counter()
         embs, feats = [], []
@@ -336,10 +338,10 @@ def main() -> None:
         combined_graphs(pts_s, k=5, radius=radius_px)
         return time.perf_counter() - t0, n_tiles
 
-    run_streamed(False)  # warmup: compile every per-batch program
+    run_streamed()  # warmup: compile every per-batch program
     # best-of-3: the dev tunnel's H2D/D2H bandwidth swings minute-to-minute
     # (measured 7-67 MB/s); min is the least weather-contaminated sample
-    runs = [run_streamed(True) for _ in range(3)]
+    runs = [run_streamed() for _ in range(3)]
     wsi_sec = min(sec for sec, _ in runs)
     wsi_tiles = runs[0][1]
     wsi_rate = wsi_tiles / wsi_sec

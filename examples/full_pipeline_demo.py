@@ -56,14 +56,19 @@ def main() -> int:
     )
 
     print("[2] running the 8-step pipeline ...")
-    cfg = default_config().replace(
-        tme_classes=default_config().classes,  # random weights: any class seeds ROI
-        polygon=default_config().polygon.__class__(min_polygon_area_px=0, area_min_tiles=0),
+    from dataclasses import replace as dc_replace
+
+    cfg = default_config()
+    cfg = cfg.replace(
+        tme_classes=cfg.classes,  # random weights: any class seeds ROI
+        # dc_replace, NOT __class__(...): reconstructing would silently
+        # reset every other field of the sub-config to class defaults
+        polygon=dc_replace(cfg.polygon, min_polygon_area_px=0, area_min_tiles=0),
     )
     if on_cpu:
         cfg = cfg.replace(
-            embedding=cfg.embedding.__class__(batch_size=64),
-            hovernext=cfg.hovernext.__class__(batch_size=8),
+            embedding=dc_replace(cfg.embedding, batch_size=64),
+            hovernext=dc_replace(cfg.hovernext, batch_size=8),
         )
     models = PipelineModels.build(cfg)
     # fresh demo each run: clear any previous done flag so the pipeline
@@ -146,8 +151,8 @@ def main() -> int:
             {
                 "nuc_id": [f"n{i}" for i in range(500)],
                 "type": rng.integers(1, 6, 500),
-                "wsi_centroid_x": rng.uniform(0, 4096, 500),
-                "wsi_centroid_y": rng.uniform(0, 3072, 500),
+                "wsi_centroid_x": rng.uniform(0, slide_wh[0], 500),
+                "wsi_centroid_y": rng.uniform(0, slide_wh[1], 500),
                 "area": rng.uniform(40, 200, 500),
                 "perimeter": rng.uniform(20, 70, 500),
                 "eccentricity": rng.uniform(0, 0.9, 500),

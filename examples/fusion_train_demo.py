@@ -86,10 +86,12 @@ def main() -> int:
     state, step, predict = make_fusion_trainer(model, emb_dim, genes.shape[1], 3e-3)
     h_tr, g_tr, y_tr = (jnp.asarray(a[:n_train]) for a in (slide_vecs, genes, labels))
     ckpt = None
+    ckpt_state = None
     for epoch in range(120):
         state, loss = step(state, h_tr, g_tr, y_tr)
         if epoch == 60:
             ckpt = save_params(state, out_dir / "fusion_train_state")
+            ckpt_state = state  # kept to prove the restore is bit-exact
             print(f"    epoch {epoch}: loss {float(loss):.3f} "
                   f"(checkpoint → {ckpt.name})")
         elif epoch % 40 == 0:
@@ -104,12 +106,23 @@ def main() -> int:
     print(f"    held-out accuracy: {acc:.2f} "
           f"(hist-only oracle: {acc_hist:.2f} — fusion must beat it)")
 
-    # resume from the mid-run checkpoint and confirm it trains on
-    restored = load_params(
-        ckpt, like=make_fusion_trainer(model, emb_dim, genes.shape[1], 3e-3)[0]
+    # resume from the mid-run checkpoint: the restore must be BIT-EXACT
+    # vs the live epoch-60 state (params + opt state), then train on.
+    # `like=state` reuses the in-scope tree structure — no second
+    # model/optimizer init whose hyperparameters could silently drift.
+    import jax
+
+    restored = load_params(ckpt, like=state)
+    bad = sum(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(restored), jax.tree.leaves(ckpt_state))
     )
+    if bad:
+        print(f"FUSION DEMO FAILED: restore not bit-exact ({bad} leaves differ)")
+        return 1
     restored, loss = step(restored, h_tr, g_tr, y_tr)
-    print(f"[4] resumed from checkpoint, next-step loss {float(loss):.3f}")
+    print(f"[4] resumed from checkpoint (bit-exact restore verified), "
+          f"next-step loss {float(loss):.3f}")
 
     if acc <= acc_hist:  # the stated success criterion: beat the oracle
         print("FUSION DEMO WEAK (no gain over the single-modality oracle)")

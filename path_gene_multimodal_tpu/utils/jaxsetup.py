@@ -16,20 +16,31 @@ _DONE = False
 
 
 def _host_cpu_key() -> str:
-    """Short identity hash of this host's CPU feature set. XLA:CPU AOT
-    executables bind to the compile host's features — the loader only
-    WARNS on mismatch ("could lead to execution errors such as SIGILL")
-    and loads anyway — so cached CPU programs must never be reused after
-    a container migrates hosts."""
+    """Short identity hash of this host's CPU identity. XLA:CPU AOT
+    executables bind to the compile host's microarchitecture — the loader
+    only WARNS on mismatch ("could lead to execution errors such as
+    SIGILL") and loads anyway — so cached CPU programs must never be
+    reused after a container migrates hosts.
+
+    The flags line alone is NOT enough: two VM hosts can expose identical
+    (masked) flags while XLA's model-based tuning differs (observed: a
+    migration where only the ``prefer-no-scatter/gather`` pseudo-features
+    changed). vendor/family/model/stepping pin the actual microarch."""
     import hashlib
     import platform as _plat
 
     ident = _plat.machine()
     try:
         with open("/proc/cpuinfo") as fh:
+            wanted = ("vendor_id", "cpu family", "model", "model name",
+                      "stepping", "flags", "Features")
+            seen: set[str] = set()
             for line in fh:
-                if line.startswith(("flags", "Features")):
+                key = line.split(":")[0].strip()
+                if key in wanted and key not in seen:
+                    seen.add(key)
                     ident += line
+                if len(seen) == len(wanted):
                     break
     except OSError:
         ident += _plat.processor()
