@@ -62,6 +62,7 @@ def slide_info(path: str | Path) -> dict:
                 "size": [p.width, p.height],
                 "tile": [p.tile_width, p.tile_height],
                 "tiles": [p.tiles_across, p.tiles_down],
+                "strips": p.is_strips,
                 "codec": _CODEC_NAMES.get(p.compression, f"unknown({p.compression})"),
                 "photometric": _PHOTOMETRIC.get(p.photometric, str(p.photometric)),
                 "bits_per_sample": p.bits_per_sample,
@@ -87,7 +88,10 @@ def _print_human(info: dict) -> None:
     for pg in info.get("pages", []):
         print(
             f"  level {pg['level']}: {pg['size'][0]}x{pg['size'][1]} "
-            f"tile {pg['tile'][0]}x{pg['tile'][1]} ({pg['tiles'][0]}x{pg['tiles'][1]} tiles) "
+            + (f"strips of {pg['tile'][1]} rows ({pg['tiles'][1]} strips) "
+               if pg.get("strips") else
+               f"tile {pg['tile'][0]}x{pg['tile'][1]} ({pg['tiles'][0]}x{pg['tiles'][1]} tiles) ")
+            +
             f"{pg['codec']} {pg['photometric']} {pg['bits_per_sample']}-bit"
             + (" +JPEGTables" if pg["jpeg_tables"] else "")
         )

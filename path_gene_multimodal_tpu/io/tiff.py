@@ -68,6 +68,11 @@ class TiffPage:
     x_resolution: float | None = None
     resolution_unit: int | None = None
     bits_per_sample: int = 8  # TIFF tag 258 (first sample)
+    # striped page modeled as full-width degenerate tiles (tile_width =
+    # image width, tile_height = RowsPerStrip, tiles_across = 1) so the
+    # read_region/LRU machinery applies unchanged; the last strip decodes
+    # short (real writers emit only the remaining rows)
+    is_strips: bool = False
 
     @property
     def is_tiled(self) -> bool:
@@ -188,6 +193,7 @@ def _page_from_ifd(ifd: dict) -> TiffPage | None:
     if not (0 < int(width) < 2**32 and 0 < int(height) < 2**32):
         return None  # corrupt dims — drop the page (fail-closed)
     tiled = _TAG_TILE_OFFSETS in ifd
+    strip_tw = strip_th = None
     if tiled:
         tw, th = _scalar(ifd, _TAG_TILE_WIDTH), _scalar(ifd, _TAG_TILE_LENGTH)
         # sane tile bounds: TIFF tiles are small fixed blocks (SVS 240-512,
@@ -200,6 +206,17 @@ def _page_from_ifd(ifd: dict) -> TiffPage | None:
             return None
         if int(tw) * int(th) > 4096 * 4096:
             return None
+    elif _TAG_STRIP_OFFSETS in ifd:
+        # striped page → full-width degenerate tiles. Bound the per-strip
+        # decode the same way tiles are bounded (≤4096² px ≈ 50 MB RGB);
+        # a missing RowsPerStrip means one whole-image strip, which only
+        # passes the bound for small pages (labels/thumbnails).
+        rps = _scalar(ifd, _TAG_ROWS_PER_STRIP)
+        rps = int(rps) if rps else int(height)
+        rps = min(rps, int(height))
+        if rps < 1 or int(width) * rps > 4096 * 4096:
+            return None
+        strip_tw, strip_th = int(width), rps
     offsets = np.asarray(
         ifd.get(_TAG_TILE_OFFSETS if tiled else _TAG_STRIP_OFFSETS, []), dtype=np.int64
     )
@@ -211,14 +228,15 @@ def _page_from_ifd(ifd: dict) -> TiffPage | None:
     return TiffPage(
         width=int(width),
         height=int(height),
-        tile_width=int(_scalar(ifd, _TAG_TILE_WIDTH)) if tiled else None,
-        tile_height=int(_scalar(ifd, _TAG_TILE_LENGTH)) if tiled else None,
+        tile_width=int(_scalar(ifd, _TAG_TILE_WIDTH)) if tiled else strip_tw,
+        tile_height=int(_scalar(ifd, _TAG_TILE_LENGTH)) if tiled else strip_th,
         compression=int(_scalar(ifd, _TAG_COMPRESSION, 1)),
         photometric=int(_scalar(ifd, _TAG_PHOTOMETRIC, 2)),
         samples=int(_scalar(ifd, _TAG_SAMPLES_PER_PIXEL, 3)),
         offsets=offsets,
         byte_counts=counts,
         rows_per_strip=int(_scalar(ifd, _TAG_ROWS_PER_STRIP)) if _TAG_ROWS_PER_STRIP in ifd else None,
+        is_strips=strip_tw is not None,
         jpeg_tables=bytes(jt) if isinstance(jt, (bytes, bytearray)) else None,
         predictor=int(_scalar(ifd, _TAG_PREDICTOR, 1)),
         description=str(ifd.get(_TAG_IMAGE_DESCRIPTION, "")),
@@ -304,10 +322,15 @@ class TiffTileSlide:
         ifds, self._endian = _read_ifds(self._f)
         pages = [p for p in (_page_from_ifd(i) for i in ifds) if p is not None]
         # pyramid = tiled pages sorted by width desc (SVS: page 0 base, then
-        # thumbnail (stripped), then pyramid levels, label, macro)
-        tiled = [p for p in pages if p.is_tiled]
+        # thumbnail (stripped), then pyramid levels, label, macro). Striped
+        # pages back the pyramid ONLY when the file has no truly tiled
+        # pages (libvips/CAMELYON-style striped pyramids, plain tifffile
+        # saves) — in an SVS they are associated images, never levels.
+        tiled = [p for p in pages if p.is_tiled and not p.is_strips]
         if not tiled:
-            raise ValueError(f"{path}: no tiled pages")
+            tiled = [p for p in pages if p.is_tiled]  # strip-backed pages
+        if not tiled:
+            raise ValueError(f"{path}: no tiled or striped pages")
         base = max(tiled, key=lambda p: p.width)
         self._pages = sorted(
             (p for p in tiled if _is_pyramid_level(p, base.width, base.height)),
@@ -392,7 +415,10 @@ class TiffTileSlide:
             or page.byte_counts[int(t)] == 0 or page.offsets[int(t)] == 0
             for t in tile_ids
         )
-        if self._native is not None and page.compression == 7 and not has_sparse:
+        if (self._native is not None and page.compression == 7
+                and not has_sparse and not page.is_strips):
+            # strips excluded: the native batch decoder assumes one fixed
+            # tile geometry, but the last strip is shorter
             blobs = [self._tile_bytes(page, int(tid)) for tid in tile_ids]
             arr = self._native.decode_jpeg_batch(
                 blobs, page.tile_height, page.tile_width, page.jpeg_tables
@@ -427,6 +453,7 @@ class TiffTileSlide:
             or self._cache_cap <= 0  # nowhere to keep the decoded tiles
             or page.compression != 7
             or not page.is_tiled
+            or page.is_strips
         ):
             return 0
         ids = self._region_tile_ids(page, level, locations, size)
@@ -465,6 +492,7 @@ class TiffTileSlide:
             self._native is None
             or page.compression != 7
             or not page.is_tiled
+            or page.is_strips
             or page.tile_width % 2
             or page.tile_height % 2
         ):
@@ -488,6 +516,7 @@ class TiffTileSlide:
             or self._cache_cap <= 0
             or page.compression != 7
             or not page.is_tiled
+            or page.is_strips
         ):
             return 0
         ids = self._region_tile_ids(page, level, locations, size)
@@ -533,6 +562,7 @@ class TiffTileSlide:
             self._native is None
             or page.compression != 7
             or not page.is_tiled
+            or page.is_strips
             or (x0 % 2) or (y0 % 2) or (w % 2) or (h % 2)
             or page.tile_width % 2
             or page.tile_height % 2
@@ -646,6 +676,10 @@ class TiffTileSlide:
             return None  # sparse-tile convention: blank (background) tile
         data = self._tile_bytes(page, idx)
         tw, th = page.tile_width, page.tile_height
+        if page.is_strips:
+            # the LAST strip carries only the remaining rows — decode the
+            # actual height so raw codecs don't mis-reshape it
+            th = min(th, page.height - idx * page.tile_height)
         comp = page.compression
         if comp == 7:  # new-style JPEG
             return _decode_jpeg(data, page.jpeg_tables, th, tw)
