@@ -789,6 +789,67 @@ def test_tiff_header_fuzz_fails_closed(tmp_path):
         signal.signal(signal.SIGALRM, old_handler)
 
 
+def test_striped_tiff_header_fuzz_fails_closed(tmp_path):
+    """Same fail-closed contract over the STRIPED parsing path (tags
+    273/278/279 → degenerate-tile pages): corrupt RowsPerStrip/offsets/
+    counts must never hang, exhaust memory, or crash."""
+    import signal
+
+    from path_gene_multimodal_tpu.io.tiff import TiffTileSlide
+    from path_gene_multimodal_tpu.io.tiff_write import write_striped_tiff
+
+    rng = np.random.default_rng(4321)
+    img = np.kron(
+        rng.integers(40, 220, (4, 4, 3), np.uint8), np.ones((64, 64, 1), np.uint8)
+    )
+    src = tmp_path / "base.tif"
+    write_striped_tiff(src, [img], rows_per_strip=48, compression=8)
+    data = bytearray(src.read_bytes())
+    n = len(data)
+
+    def exercise(path):
+        slide = TiffTileSlide(path)
+        slide.read_region((0, 0), 0, (96, 96))
+
+    cases = []
+    for _ in range(80):
+        k = int(rng.integers(1, 5))
+        zone = rng.integers(0, 3)
+        lo, hi = [(0, min(2048, n)), (max(0, n - 2048), n), (0, n)][zone]
+        cases.append(("flip", rng.integers(lo, hi, size=k).tolist()))
+    for _ in range(15):
+        cases.append(("trunc", int(rng.integers(0, n))))
+    for _ in range(15):
+        cases.append(("zero", int(rng.integers(0, max(1, n - 16)))))
+
+    def _timed_out(signum, frame):
+        raise TimeoutError("striped fuzz sweep exceeded its 300 s bound")
+
+    old_handler = signal.signal(signal.SIGALRM, _timed_out)
+    old = signal.alarm(300)
+    try:
+        for i, (kind, arg) in enumerate(cases):
+            buf = bytearray(data)
+            if kind == "flip":
+                for pos in arg:
+                    buf[pos] ^= int(rng.integers(1, 256))
+            elif kind == "trunc":
+                buf = buf[:arg]
+            else:
+                buf[arg : arg + 16] = b"\x00" * 16
+            p = tmp_path / "fuzz.tif"
+            p.write_bytes(bytes(buf))
+            try:
+                exercise(p)
+            except Exception as e:
+                assert not isinstance(
+                    e, (MemoryError, RecursionError, SystemError)
+                ), f"case {i} ({kind}, {arg}): {type(e).__name__}: {e}"
+    finally:
+        signal.alarm(old)
+        signal.signal(signal.SIGALRM, old_handler)
+
+
 def test_write_tiled_tiff_unsupported_compression(tmp_path):
     img = np.zeros((64, 64, 3), np.uint8)
     with pytest.raises(ValueError, match="unsupported write compression"):
