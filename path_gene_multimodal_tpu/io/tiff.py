@@ -38,6 +38,7 @@ _TAG_SAMPLES_PER_PIXEL = 277
 _TAG_ROWS_PER_STRIP = 278
 _TAG_STRIP_BYTE_COUNTS = 279
 _TAG_X_RESOLUTION = 282
+_TAG_PLANAR_CONFIG = 284
 _TAG_RESOLUTION_UNIT = 296
 _TAG_TILE_WIDTH = 322
 _TAG_TILE_LENGTH = 323
@@ -68,6 +69,7 @@ class TiffPage:
     x_resolution: float | None = None
     resolution_unit: int | None = None
     bits_per_sample: int = 8  # TIFF tag 258 (first sample)
+    planar_config: int = 1  # TIFF tag 284: 2 = separate sample planes
     # striped page modeled as full-width degenerate tiles (tile_width =
     # image width, tile_height = RowsPerStrip, tiles_across = 1) so the
     # read_region/LRU machinery applies unchanged; the last strip decodes
@@ -237,6 +239,7 @@ def _page_from_ifd(ifd: dict) -> TiffPage | None:
         byte_counts=counts,
         rows_per_strip=int(_scalar(ifd, _TAG_ROWS_PER_STRIP)) if _TAG_ROWS_PER_STRIP in ifd else None,
         is_strips=strip_tw is not None,
+        planar_config=int(_scalar(ifd, _TAG_PLANAR_CONFIG, 1)),
         jpeg_tables=bytes(jt) if isinstance(jt, (bytes, bytearray)) else None,
         predictor=int(_scalar(ifd, _TAG_PREDICTOR, 1)),
         description=str(ifd.get(_TAG_IMAGE_DESCRIPTION, "")),
@@ -683,6 +686,20 @@ class TiffTileSlide:
         comp = page.compression
         if comp == 7:  # new-style JPEG
             return _decode_jpeg(data, page.jpeg_tables, th, tw)
+        if comp in (8, 32946, 5, 32773, 1):
+            # raw-codec paths assume chunky RGB/grayscale rows; decoding a
+            # separate-planes or palette/YCbCr page here would silently
+            # emit scrambled pixels — fail closed instead
+            if page.planar_config == 2 and page.samples > 1:
+                raise ValueError(
+                    "PlanarConfiguration=2 (separate sample planes) is not "
+                    "supported for raw/deflate/LZW/PackBits pages"
+                )
+            if page.photometric not in (1, 2):
+                raise ValueError(
+                    f"unsupported photometric {page.photometric} for "
+                    f"compression {comp} (only grayscale/RGB)"
+                )
         if comp in (8, 32946):  # deflate
             raw = zlib.decompress(data)
             return _raw_to_rgb(raw, th, tw, page.samples, page.predictor,

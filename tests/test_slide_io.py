@@ -850,6 +850,39 @@ def test_striped_tiff_header_fuzz_fails_closed(tmp_path):
         signal.signal(signal.SIGALRM, old_handler)
 
 
+def test_raw_codec_rejects_exotic_layouts(tmp_path):
+    """Raw/deflate pages with separate sample planes (PlanarConfiguration=2)
+    or palette/YCbCr photometrics would decode as scrambled pixels if
+    reshaped chunky — the reader must fail closed, not emit garbage."""
+    import dataclasses
+    import struct as _struct
+
+    from path_gene_multimodal_tpu.io.tiff import TiffTileSlide
+    from path_gene_multimodal_tpu.io.tiff_write import write_striped_tiff
+
+    img = np.full((128, 128, 3), 77, np.uint8)
+    p = write_striped_tiff(tmp_path / "pc.tif", [img], rows_per_strip=64,
+                           compression=8)
+    # photometric gate: patch tag 262's inline value 2 (RGB) → 3 (palette)
+    data = bytearray(p.read_bytes())
+    needle = _struct.pack("<HHII", 262, 3, 1, 2)
+    pos = bytes(data).find(needle)
+    assert pos > 0
+    data[pos:pos + 12] = _struct.pack("<HHII", 262, 3, 1, 3)
+    bad = tmp_path / "pal.tif"
+    bad.write_bytes(bytes(data))
+    slide = TiffTileSlide(bad)
+    with pytest.raises(ValueError, match="photometric"):
+        slide.read_region((0, 0), 0, (64, 64))
+    slide.close()
+    # planar-config gate (tag 284=2): exercised at the page level
+    slide = TiffTileSlide(p)
+    slide._pages[0] = dataclasses.replace(slide._pages[0], planar_config=2)
+    with pytest.raises(ValueError, match="PlanarConfiguration"):
+        slide.read_region((0, 0), 0, (64, 64))
+    slide.close()
+
+
 def test_write_tiled_tiff_unsupported_compression(tmp_path):
     img = np.zeros((64, 64, 3), np.uint8)
     with pytest.raises(ValueError, match="unsupported write compression"):
