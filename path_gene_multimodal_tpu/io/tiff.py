@@ -210,13 +210,22 @@ def _page_from_ifd(ifd: dict) -> TiffPage | None:
             return None
     elif _TAG_STRIP_OFFSETS in ifd:
         # striped page → full-width degenerate tiles. Bound the per-strip
-        # decode the same way tiles are bounded (≤4096² px ≈ 50 MB RGB);
-        # a missing RowsPerStrip means one whole-image strip, which only
-        # passes the bound for small pages (labels/thumbnails).
+        # decode at 2²⁶ px (≈ 200 MB RGB — generous enough for a 140k-px-
+        # wide libvips base level at RowsPerStrip≈128, but a missing
+        # RowsPerStrip on a gigapixel page means one whole-image strip and
+        # is rejected). Warn rather than drop silently: losing a BASE page
+        # would serve a downsampled level as level 0.
         rps = _scalar(ifd, _TAG_ROWS_PER_STRIP)
         rps = int(rps) if rps else int(height)
         rps = min(rps, int(height))
-        if rps < 1 or int(width) * rps > 4096 * 4096:
+        if rps < 1 or int(width) * rps > 1 << 26:
+            from path_gene_multimodal_tpu.utils.log import get_logger
+
+            get_logger().warning(
+                "dropping striped TIFF page %dx%d: strip of %d rows = %d px "
+                "exceeds the %d-px decode bound", width, height, rps,
+                int(width) * max(rps, 0), 1 << 26,
+            )
             return None
         strip_tw, strip_th = int(width), rps
     offsets = np.asarray(
@@ -308,19 +317,24 @@ class TiffTileSlide:
     def __init__(self, path: str | Path, use_native: bool = True, cache_tiles: int = 512):
         self.path = Path(path)
         self._f = open(self.path, "rb")
+        self._fsize = self.path.stat().st_size
         # decoded-tile LRU: a 224-px grid read touches up to four 256-px
         # TIFF tiles, so neighboring reads re-decode the same tiles ~4×
-        # without it. 512 RGB 256² tiles ≈ 100 MB.
+        # without it. Budgeted in BYTES (cache_tiles × one 256² RGB tile ≈
+        # 100 MB at the default) as well as entries: striped pages decode
+        # full-width strips that can be tens of MB each, so an entry-only
+        # cap would balloon to multi-GB.
         from collections import OrderedDict
         from threading import Lock
 
         # one LRU for both entry kinds — ("rgb", level, idx) → HxWx3 array,
         # ("p", level, idx) → (Y, CbCr) planes for the half-bandwidth device
-        # feed — sharing a single entry budget so mixed RGB/planar use stays
-        # under the same ~cap×tile_bytes memory ceiling (planar entries are
-        # half the bytes of RGB ones)
+        # feed — sharing a single budget so mixed RGB/planar use stays
+        # under the same ceiling (planar entries are half the bytes)
         self._cache: OrderedDict[tuple[str, int, int], Any] = OrderedDict()
         self._cache_cap = cache_tiles
+        self._cache_bytes_cap = cache_tiles * 256 * 256 * 3
+        self._cache_bytes = 0
         self._cache_lock = Lock()
         ifds, self._endian = _read_ifds(self._f)
         pages = [p for p in (_page_from_ifd(i) for i in ifds) if p is not None]
@@ -330,6 +344,7 @@ class TiffTileSlide:
         # pages (libvips/CAMELYON-style striped pyramids, plain tifffile
         # saves) — in an SVS they are associated images, never levels.
         tiled = [p for p in pages if p.is_tiled and not p.is_strips]
+        strip_backed = not tiled
         if not tiled:
             tiled = [p for p in pages if p.is_tiled]  # strip-backed pages
         if not tiled:
@@ -339,6 +354,17 @@ class TiffTileSlide:
             (p for p in tiled if _is_pyramid_level(p, base.width, base.height)),
             key=lambda p: -p.width,
         )
+        if strip_backed:
+            # validate decodability UP FRONT: open_slide's cv2 whole-image
+            # fallback only triggers on constructor failure, and striped
+            # files with layouts this reader rejects (16-bit, palette,
+            # separate planes, unknown codecs) previously reached that
+            # fallback via the old "no tiled pages" error — raising here
+            # preserves it instead of crashing at first read_region
+            for p in self._pages:
+                err = _page_decode_unsupported(p)
+                if err:
+                    raise ValueError(f"{path}: striped page unsupported: {err}")
         self._mpp = _parse_mpp(self._pages[0])
         self._native = None
         if use_native:
@@ -435,6 +461,14 @@ class TiffTileSlide:
                 tile = np.full(
                     (page.tile_height, page.tile_width, 3), 255, np.uint8
                 )
+            elif tile.shape[:2] != (page.tile_height, page.tile_width):
+                # short last strip (or undersized edge tile): white-pad to
+                # the declared geometry so the batch stacks
+                pad = np.full((page.tile_height, page.tile_width, 3), 255, np.uint8)
+                pad[: tile.shape[0], : tile.shape[1]] = tile[
+                    : page.tile_height, : page.tile_width, :3
+                ]
+                tile = pad
             tiles.append(tile)
         return np.stack(tiles)
 
@@ -476,9 +510,7 @@ class TiffTileSlide:
             return 0
         with self._cache_lock:
             for j, i in enumerate(missing):
-                self._cache[("rgb", level, i)] = arr[j]
-            while len(self._cache) > self._cache_cap:
-                self._cache.popitem(last=False)
+                self._cache_put_locked(("rgb", level, i), arr[j])
         return len(missing)
 
     # -- planar (4:2:0) fast path --------------------------------------------
@@ -541,11 +573,9 @@ class TiffTileSlide:
                 # failures are memoized as a None sentinel so later
                 # read_region_planar calls short-circuit to the RGB
                 # fallback instead of re-decoding the bad tile every chunk
-                self._cache[("p", level, i)] = (
-                    (ys[j], cbcrs[j]) if ok[j] else None
+                self._cache_put_locked(
+                    ("p", level, i), (ys[j], cbcrs[j]) if ok[j] else None
                 )
-            while len(self._cache) > self._cache_cap:
-                self._cache.popitem(last=False)
         return int(ok.sum())
 
     def read_region_planar(
@@ -626,6 +656,30 @@ class TiffTileSlide:
         n_tiles = len(page.offsets)
         return sorted(i for i in id_set if i < n_tiles)[: self._cache_cap]
 
+    @staticmethod
+    def _entry_nbytes(v: Any) -> int:
+        if v is None:
+            return 0
+        if isinstance(v, tuple):
+            return sum(int(a.nbytes) for a in v)
+        return int(v.nbytes)
+
+    def _cache_put_locked(self, key: tuple[str, int, int], value: Any) -> None:
+        """Insert + evict under BOTH budgets (entries and bytes). Caller
+        holds ``self._cache_lock``. An entry larger than the whole byte
+        budget (a huge strip) is immediately evicted again — it simply
+        never caches, which is the correct degradation."""
+        if key in self._cache:
+            self._cache_bytes -= self._entry_nbytes(self._cache.pop(key))
+        self._cache[key] = value
+        self._cache_bytes += self._entry_nbytes(value)
+        while self._cache and (
+            len(self._cache) > self._cache_cap
+            or self._cache_bytes > self._cache_bytes_cap
+        ):
+            _, v = self._cache.popitem(last=False)
+            self._cache_bytes -= self._entry_nbytes(v)
+
     def _decode_tile_planar_cached(
         self, level: int, page: TiffPage, idx: int
     ) -> tuple[np.ndarray, np.ndarray] | None:
@@ -643,9 +697,7 @@ class TiffTileSlide:
             with self._cache_lock:
                 # cache failures too (None sentinel) — a non-4:2:0/odd tile
                 # would otherwise be re-decoded on every chunk touching it
-                self._cache[key] = planes
-                while len(self._cache) > self._cache_cap:
-                    self._cache.popitem(last=False)
+                self._cache_put_locked(key, planes)
         return planes
 
     def _decode_tile_cached(
@@ -659,13 +711,17 @@ class TiffTileSlide:
         tile = self._decode_tile(page, idx)
         if tile is not None and self._cache_cap > 0:
             with self._cache_lock:
-                self._cache[key] = tile
-                while len(self._cache) > self._cache_cap:
-                    self._cache.popitem(last=False)
+                self._cache_put_locked(key, tile)
         return tile
 
     def _tile_bytes(self, page: TiffPage, idx: int) -> bytes:
         off, cnt = int(page.offsets[idx]), int(page.byte_counts[idx])
+        # clamp to the file: os.pread pre-allocates `cnt` bytes, so a
+        # corrupt 32-bit byte count (~4 GB) would trigger a multi-GB
+        # allocation before the read even fails — fail closed instead
+        if off <= 0 or cnt <= 0 or off >= self._fsize:
+            return b""
+        cnt = min(cnt, self._fsize - off)
         # positional read: stateless, so concurrent prefetch threads can
         # decode batches without racing a shared seek cursor
         import os
@@ -683,23 +739,15 @@ class TiffTileSlide:
             # the LAST strip carries only the remaining rows — decode the
             # actual height so raw codecs don't mis-reshape it
             th = min(th, page.height - idx * page.tile_height)
+        err = _page_decode_unsupported(page)
+        if err:
+            # decoding anyway would silently emit scrambled pixels
+            # (separate planes misread as spatial chunks, palette indices
+            # reshaped as RGB, 16-bit reinterpreted as uint8)
+            raise ValueError(f"unsupported page layout: {err}")
         comp = page.compression
         if comp == 7:  # new-style JPEG
             return _decode_jpeg(data, page.jpeg_tables, th, tw)
-        if comp in (8, 32946, 5, 32773, 1):
-            # raw-codec paths assume chunky RGB/grayscale rows; decoding a
-            # separate-planes or palette/YCbCr page here would silently
-            # emit scrambled pixels — fail closed instead
-            if page.planar_config == 2 and page.samples > 1:
-                raise ValueError(
-                    "PlanarConfiguration=2 (separate sample planes) is not "
-                    "supported for raw/deflate/LZW/PackBits pages"
-                )
-            if page.photometric not in (1, 2):
-                raise ValueError(
-                    f"unsupported photometric {page.photometric} for "
-                    f"compression {comp} (only grayscale/RGB)"
-                )
         if comp in (8, 32946):  # deflate
             raw = zlib.decompress(data)
             return _raw_to_rgb(raw, th, tw, page.samples, page.predictor,
@@ -738,6 +786,29 @@ def _tile_cover(
     ty0 = max(y0 // th, 0)
     ty1 = min((y0 + h - 1) // th, page.tiles_down - 1)
     return tx0, tx1, ty0, ty1
+
+
+_SUPPORTED_COMPRESSIONS = {1, 5, 7, 8, 32946, 32773, 33003, 33005, 34712}
+
+
+def _page_decode_unsupported(page: TiffPage) -> str | None:
+    """Reason this page cannot be decoded correctly, or None. ONE
+    definition shared by the constructor preflight (strip-backed pyramids
+    must fail early so open_slide's cv2 fallback can rescue the file) and
+    _decode_tile (fail closed instead of emitting scrambled pixels)."""
+    if page.compression not in _SUPPORTED_COMPRESSIONS:
+        return f"compression {page.compression}"
+    if page.planar_config == 2 and page.samples > 1:
+        # applies to JPEG too: each plane blob would decode as an
+        # independent grayscale image and read back monochrome/garbled
+        return "PlanarConfiguration=2 (separate sample planes)"
+    if page.compression in (1, 5, 8, 32946, 32773):
+        if page.bits_per_sample != 8:
+            return f"BitsPerSample {page.bits_per_sample} (only 8)"
+        if page.photometric not in (1, 2):
+            return (f"photometric {page.photometric} with raw codec "
+                    f"(only grayscale/RGB)")
+    return None
 
 
 def _is_pyramid_level(page: TiffPage, base_w: int, base_h: int) -> bool:

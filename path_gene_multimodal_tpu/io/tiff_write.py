@@ -1,11 +1,21 @@
-"""Minimal tiled-TIFF pyramid writer (classic little-endian TIFF).
+"""Minimal TIFF pyramid writer (classic little-endian TIFF).
 
-Used to materialize synthetic slides as real ``.svs``-style tiled files so
-the ``TiffTileSlide`` reader (and the native C++ decoder) are exercised
+Used to materialize synthetic slides as real ``.svs``-style files so the
+``TiffTileSlide`` reader (and the native C++ decoder) are exercised
 end-to-end in tests — the reference has no fixtures at all (SURVEY.md §4).
 
-Supports compression: 8 (deflate via zlib), 7 (JPEG via cv2.imencode) and
-33003/33005 (Aperio JPEG2000: lossless raw J2K codestreams via cv2 —
+Two page layouts through one IFD emitter:
+
+- tiled (tags 322-325) — the Aperio/SVS layout (``write_tiled_tiff``);
+- striped (tags 273/278/279) — libvips/CAMELYON-style exports and plain
+  ``tifffile`` saves (``write_striped_tiff``); the last strip carries only
+  the remaining rows, matching real writers.
+
+``write_tiff_pages`` mixes both in one file (an SVS holds a tiled pyramid
+plus striped thumbnail/label/macro pages).
+
+Compression: 8 (deflate via zlib), 7 (JPEG via cv2.imencode), 1 (raw) and
+— tiled only — 33003/33005 (Aperio JPEG2000: lossless raw J2K codestreams,
 the tile payload convention of TCGA SVS slides, where each tile is a bare
 ``FF4F FF51`` codestream rather than a JP2 container).
 """
@@ -15,6 +25,7 @@ from __future__ import annotations
 import struct
 import zlib
 from pathlib import Path
+from typing import Any
 
 import numpy as np
 
@@ -25,81 +36,105 @@ def _entry(tag: int, typ: int, count: int, value: int) -> bytes:
     return struct.pack("<HHII", tag, typ, count, value)
 
 
-def write_tiled_tiff(
-    path: str | Path,
-    levels: list[np.ndarray],
-    tile_size: int = 256,
-    compression: int = 8,
-    jpeg_quality: int = 90,
-    description: str = "",
-) -> Path:
-    """Write an RGB pyramid as a multi-page tiled TIFF."""
+def _encode_chunk(chunk: np.ndarray, compression: int, jpeg_quality: int) -> bytes:
+    """Compress one tile/strip of RGB uint8 pixels."""
+    if compression == 8:
+        return zlib.compress(chunk.tobytes(), 6)
+    if compression == 7:
+        import cv2
+
+        ok, enc = cv2.imencode(
+            ".jpg", chunk[:, :, ::-1], [cv2.IMWRITE_JPEG_QUALITY, jpeg_quality]
+        )
+        if not ok:
+            raise ValueError("jpeg encode failed")
+        return enc.tobytes()
+    if compression in (33003, 33005):
+        import cv2
+
+        ok, enc = cv2.imencode(
+            ".jp2", chunk[:, :, ::-1],
+            [cv2.IMWRITE_JPEG2000_COMPRESSION_X1000, 1000],  # lossless
+        )
+        if not ok:
+            raise ValueError("jpeg2000 encode failed")
+        b = enc.tobytes()
+        # Aperio stores bare J2K codestreams, not JP2 containers — strip
+        # to the SOC marker
+        soc = b.find(b"\xff\x4f\xff\x51")
+        if soc < 0:
+            raise ValueError("no J2K codestream in jp2 output")
+        return b[soc:]
+    if compression == 1:
+        return chunk.tobytes()
+    # writing raw bytes while tag 259 advertises another codec would
+    # produce a corrupt TIFF — fail loudly
+    raise ValueError(
+        f"unsupported write compression {compression} "
+        "(supported: 1 raw, 7 JPEG, 8 deflate, 33003/33005 J2K tiled)"
+    )
+
+
+def write_tiff_pages(path: str | Path, pages: list[dict[str, Any]]) -> Path:
+    """Write a multi-page TIFF from page specs. Each spec:
+
+    ``{"img": HxWx3 uint8, "layout": "tiled"|"striped",
+       "tile_size": int (tiled), "rows_per_strip": int (striped),
+       "compression": int, "jpeg_quality": int, "description": str}``
+
+    Only ``img`` is required; defaults: tiled, tile_size 256,
+    rows_per_strip 64, deflate, quality 90, no description.
+    """
     path = Path(path)
-    pages = []
     blob = bytearray(b"II*\x00\x00\x00\x00\x00")  # header; IFD0 offset patched later
 
     def _align() -> None:
         while len(blob) % 2:
             blob.append(0)
 
-    for img in levels:
-        img = np.ascontiguousarray(img, dtype=np.uint8)
+    emitted = []  # (spec, w, h, offsets, counts)
+    for spec in pages:
+        img = np.ascontiguousarray(spec["img"], dtype=np.uint8)
         h, w = img.shape[:2]
-        ta = (w + tile_size - 1) // tile_size
-        td = (h + tile_size - 1) // tile_size
+        layout = spec.get("layout", "tiled")
+        compression = spec.get("compression", 8)
+        quality = spec.get("jpeg_quality", 90)
         offsets, counts = [], []
-        for ty in range(td):
-            for tx in range(ta):
-                tile = np.full((tile_size, tile_size, 3), 255, np.uint8)
-                ys, xs = ty * tile_size, tx * tile_size
-                sub = img[ys : ys + tile_size, xs : xs + tile_size]
-                tile[: sub.shape[0], : sub.shape[1]] = sub
-                if compression == 8:
-                    data = zlib.compress(tile.tobytes(), 6)
-                elif compression == 7:
-                    import cv2
-
-                    ok, enc = cv2.imencode(
-                        ".jpg", tile[:, :, ::-1], [cv2.IMWRITE_JPEG_QUALITY, jpeg_quality]
-                    )
-                    if not ok:
-                        raise ValueError("jpeg encode failed")
-                    data = enc.tobytes()
-                elif compression in (33003, 33005):
-                    import cv2
-
-                    ok, enc = cv2.imencode(
-                        ".jp2", tile[:, :, ::-1],
-                        [cv2.IMWRITE_JPEG2000_COMPRESSION_X1000, 1000],  # lossless
-                    )
-                    if not ok:
-                        raise ValueError("jpeg2000 encode failed")
-                    b = enc.tobytes()
-                    # Aperio stores bare J2K codestreams, not JP2 containers —
-                    # strip to the SOC marker
-                    soc = b.find(b"\xff\x4f\xff\x51")
-                    if soc < 0:
-                        raise ValueError("no J2K codestream in jp2 output")
-                    data = b[soc:]
-                elif compression == 1:
-                    data = tile.tobytes()
-                else:
-                    # writing raw bytes while tag 259 advertises another
-                    # codec would produce a corrupt TIFF — fail loudly
-                    raise ValueError(
-                        f"unsupported write compression {compression} "
-                        "(supported: 1 raw, 7 JPEG, 8 deflate, 33003/33005 J2K)"
-                    )
+        if layout == "tiled":
+            ts = spec.get("tile_size", 256)
+            for ty in range((h + ts - 1) // ts):
+                for tx in range((w + ts - 1) // ts):
+                    tile = np.full((ts, ts, 3), 255, np.uint8)
+                    sub = img[ty * ts : (ty + 1) * ts, tx * ts : (tx + 1) * ts]
+                    tile[: sub.shape[0], : sub.shape[1]] = sub
+                    data = _encode_chunk(tile, compression, quality)
+                    _align()
+                    offsets.append(len(blob))
+                    counts.append(len(data))
+                    blob.extend(data)
+        elif layout == "striped":
+            if compression not in (1, 7, 8):
+                raise ValueError(
+                    f"unsupported write compression {compression} for "
+                    "striped pages (supported: 1 raw, 7 JPEG, 8 deflate)"
+                )
+            rps = spec.get("rows_per_strip", 64)
+            for ys in range(0, h, rps):
+                data = _encode_chunk(img[ys : ys + rps], compression, quality)
                 _align()
                 offsets.append(len(blob))
                 counts.append(len(data))
                 blob.extend(data)
-        pages.append((w, h, offsets, counts))
+        else:
+            raise ValueError(f"unknown page layout {layout!r}")
+        emitted.append((spec, w, h, offsets, counts))
 
-    desc_bytes = description.encode("latin-1") + b"\x00"
-    ifd_offsets = []
     prev_next_ptr = 4  # header's IFD0 pointer
-    for page_i, (w, h, offsets, counts) in enumerate(pages):
+    for spec, w, h, offsets, counts in emitted:
+        layout = spec.get("layout", "tiled")
+        compression = spec.get("compression", 8)
+        description = spec.get("description", "")
+        desc_bytes = description.encode("latin-1") + b"\x00"
         # out-of-line arrays
         _align()
         off_arr_pos = len(blob)
@@ -109,11 +144,10 @@ def write_tiled_tiff(
         bps_pos = len(blob)
         blob.extend(struct.pack("<3H", 8, 8, 8))
         desc_pos = len(blob)
-        if page_i == 0 and description:
+        if description:
             blob.extend(desc_bytes)
         _align()
         ifd_pos = len(blob)
-        ifd_offsets.append(ifd_pos)
         entries = [
             _entry(256, _T_LONG, 1, w),
             _entry(257, _T_LONG, 1, h),
@@ -121,13 +155,23 @@ def write_tiled_tiff(
             _entry(259, _T_SHORT, 1, compression),
             _entry(262, _T_SHORT, 1, 6 if compression == 7 else 2),  # YCbCr for JPEG
             _entry(277, _T_SHORT, 1, 3),
-            _entry(322, _T_LONG, 1, tile_size),
-            _entry(323, _T_LONG, 1, tile_size),
-            _entry(324, _T_LONG, len(offsets), off_arr_pos if len(offsets) > 1 else offsets[0]),
-            _entry(325, _T_LONG, len(counts), cnt_arr_pos if len(counts) > 1 else counts[0]),
         ]
-        if page_i == 0 and description:
-            entries.insert(4, _entry(270, _T_ASCII, len(desc_bytes), desc_pos))
+        if layout == "tiled":
+            ts = spec.get("tile_size", 256)
+            entries += [
+                _entry(322, _T_LONG, 1, ts),
+                _entry(323, _T_LONG, 1, ts),
+                _entry(324, _T_LONG, len(offsets), off_arr_pos if len(offsets) > 1 else offsets[0]),
+                _entry(325, _T_LONG, len(counts), cnt_arr_pos if len(counts) > 1 else counts[0]),
+            ]
+        else:
+            entries += [
+                _entry(273, _T_LONG, len(offsets), off_arr_pos if len(offsets) > 1 else offsets[0]),
+                _entry(278, _T_LONG, 1, spec.get("rows_per_strip", 64)),
+                _entry(279, _T_LONG, len(counts), cnt_arr_pos if len(counts) > 1 else counts[0]),
+            ]
+        if description:
+            entries.append(_entry(270, _T_ASCII, len(desc_bytes), desc_pos))
         entries.sort(key=lambda e: struct.unpack("<H", e[:2])[0])
         # patch previous IFD's next pointer → this IFD
         struct.pack_into("<I", blob, prev_next_ptr, ifd_pos)
@@ -142,6 +186,31 @@ def write_tiled_tiff(
     return path
 
 
+def write_tiled_tiff(
+    path: str | Path,
+    levels: list[np.ndarray],
+    tile_size: int = 256,
+    compression: int = 8,
+    jpeg_quality: int = 90,
+    description: str = "",
+) -> Path:
+    """Write an RGB pyramid as a multi-page tiled TIFF."""
+    return write_tiff_pages(
+        path,
+        [
+            {
+                "img": img,
+                "layout": "tiled",
+                "tile_size": tile_size,
+                "compression": compression,
+                "jpeg_quality": jpeg_quality,
+                "description": description if i == 0 else "",
+            }
+            for i, img in enumerate(levels)
+        ],
+    )
+
+
 def write_striped_tiff(
     path: str | Path,
     levels: list[np.ndarray],
@@ -150,85 +219,20 @@ def write_striped_tiff(
     jpeg_quality: int = 90,
     description: str = "",
 ) -> Path:
-    """Write an RGB pyramid as a multi-page STRIPED TIFF (tags 273/278/279
-    instead of 322-325) — the layout of non-Aperio exports (libvips/
-    CAMELYON-style pyramids, plain ``tifffile`` saves). The last strip of
-    each page carries only the remaining rows (no padding), matching real
-    writers. Compression: 8 (deflate) or 7 (JPEG)."""
-    path = Path(path)
-    pages = []
-    blob = bytearray(b"II*\x00\x00\x00\x00\x00")
-
-    def _align() -> None:
-        while len(blob) % 2:
-            blob.append(0)
-
-    for img in levels:
-        img = np.ascontiguousarray(img, dtype=np.uint8)
-        h, w = img.shape[:2]
-        offsets, counts = [], []
-        for ys in range(0, h, rows_per_strip):
-            strip = img[ys : ys + rows_per_strip]
-            if compression == 8:
-                data = zlib.compress(strip.tobytes(), 6)
-            elif compression == 7:
-                import cv2
-
-                ok, enc = cv2.imencode(
-                    ".jpg", strip[:, :, ::-1], [cv2.IMWRITE_JPEG_QUALITY, jpeg_quality]
-                )
-                if not ok:
-                    raise ValueError("jpeg encode failed")
-                data = enc.tobytes()
-            elif compression == 1:
-                data = strip.tobytes()
-            else:
-                raise ValueError(
-                    f"unsupported write compression {compression} "
-                    "(supported: 1 raw, 7 JPEG, 8 deflate)"
-                )
-            _align()
-            offsets.append(len(blob))
-            counts.append(len(data))
-            blob.extend(data)
-        pages.append((w, h, offsets, counts))
-
-    desc_bytes = description.encode("latin-1") + b"\x00"
-    prev_next_ptr = 4
-    for page_i, (w, h, offsets, counts) in enumerate(pages):
-        _align()
-        off_arr_pos = len(blob)
-        blob.extend(struct.pack(f"<{len(offsets)}I", *offsets))
-        cnt_arr_pos = len(blob)
-        blob.extend(struct.pack(f"<{len(counts)}I", *counts))
-        bps_pos = len(blob)
-        blob.extend(struct.pack("<3H", 8, 8, 8))
-        desc_pos = len(blob)
-        if page_i == 0 and description:
-            blob.extend(desc_bytes)
-        _align()
-        ifd_pos = len(blob)
-        entries = [
-            _entry(256, _T_LONG, 1, w),
-            _entry(257, _T_LONG, 1, h),
-            _entry(258, _T_SHORT, 3, bps_pos),
-            _entry(259, _T_SHORT, 1, compression),
-            _entry(262, _T_SHORT, 1, 6 if compression == 7 else 2),
-            _entry(273, _T_LONG, len(offsets), off_arr_pos if len(offsets) > 1 else offsets[0]),
-            _entry(277, _T_SHORT, 1, 3),
-            _entry(278, _T_LONG, 1, rows_per_strip),
-            _entry(279, _T_LONG, len(counts), cnt_arr_pos if len(counts) > 1 else counts[0]),
-        ]
-        if page_i == 0 and description:
-            entries.insert(4, _entry(270, _T_ASCII, len(desc_bytes), desc_pos))
-        entries.sort(key=lambda e: struct.unpack("<H", e[:2])[0])
-        struct.pack_into("<I", blob, prev_next_ptr, ifd_pos)
-        blob.extend(struct.pack("<H", len(entries)))
-        for e in entries:
-            blob.extend(e)
-        next_ptr_pos = len(blob)
-        blob.extend(struct.pack("<I", 0))
-        prev_next_ptr = next_ptr_pos
-
-    path.write_bytes(bytes(blob))
-    return path
+    """Write an RGB pyramid as a multi-page STRIPED TIFF — the layout of
+    non-Aperio exports (libvips/CAMELYON-style pyramids, plain ``tifffile``
+    saves)."""
+    return write_tiff_pages(
+        path,
+        [
+            {
+                "img": img,
+                "layout": "striped",
+                "rows_per_strip": rows_per_strip,
+                "compression": compression,
+                "jpeg_quality": jpeg_quality,
+                "description": description if i == 0 else "",
+            }
+            for i, img in enumerate(levels)
+        ],
+    )

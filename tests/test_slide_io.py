@@ -189,20 +189,37 @@ def test_striped_tiff_jpeg_roundtrip(tmp_path):
 
 
 def test_striped_pages_never_preempt_tiled_pyramid(tmp_path):
-    """A file holding BOTH a tiled pyramid and striped pages (the SVS
-    layout: striped thumbnail/label/macro): the striped pages must stay
-    associated images, never levels."""
-    from path_gene_multimodal_tpu.io.tiff_write import write_striped_tiff
+    """ONE file holding BOTH a tiled pyramid and striped pages (the SVS
+    layout: base + levels tiled, thumbnail/label/macro striped): the
+    striped pages must stay associated images, never levels — even when a
+    striped page is an exact power-of-two downsample of the base (the
+    thumbnail here is base/4, which would pass the pyramid-factor test)."""
+    from path_gene_multimodal_tpu.io.tiff_write import write_tiff_pages, write_striped_tiff
 
-    img = np.full((300, 300, 3), 99, np.uint8)
-    # build a combined file by writing tiled then appending a striped IFD
-    # is complex; instead verify the selection rule directly on a tiled
-    # file (all levels tiled) and a striped file (all levels strips)
-    pt = write_tiled_tiff(tmp_path / "t.tif", [img], tile_size=256)
-    st = TiffTileSlide(pt)
-    assert all(not pg.is_strips for pg in st._pages)
-    st.close()
-    ps = write_striped_tiff(tmp_path / "s.tif", [img], rows_per_strip=100)
+    rng = np.random.default_rng(17)
+    base = rng.integers(0, 255, (512, 768, 3), np.uint8)
+    lvl1 = base[::2, ::2]
+    thumb = base[::4, ::4]  # striped, exact 4× downsample — the trap
+    label = np.full((96, 200, 3), 40, np.uint8)
+    p = write_tiff_pages(
+        tmp_path / "mixed.svs",
+        [
+            {"img": base, "layout": "tiled", "tile_size": 256,
+             "description": "Aperio mixed |MPP = 0.25|"},
+            {"img": thumb, "layout": "striped", "rows_per_strip": 32},
+            {"img": lvl1, "layout": "tiled", "tile_size": 256},
+            {"img": label, "layout": "striped", "rows_per_strip": 96},
+        ],
+    )
+    slide = TiffTileSlide(p)
+    assert slide.level_dimensions == [(768, 512), (384, 256)]
+    assert all(not pg.is_strips for pg in slide._pages)
+    np.testing.assert_array_equal(
+        slide.read_region((100, 100), 0, (200, 150)), base[100:250, 100:300]
+    )
+    slide.close()
+    # and an all-striped file really does use strips as levels
+    ps = write_striped_tiff(tmp_path / "s.tif", [base], rows_per_strip=100)
     ss = TiffTileSlide(ps)
     assert all(pg.is_strips for pg in ss._pages)
     assert not ss.supports_planar(0)  # planar fast path gated off
@@ -871,15 +888,58 @@ def test_raw_codec_rejects_exotic_layouts(tmp_path):
     data[pos:pos + 12] = _struct.pack("<HHII", 262, 3, 1, 3)
     bad = tmp_path / "pal.tif"
     bad.write_bytes(bytes(data))
-    slide = TiffTileSlide(bad)
+    # strip-backed pyramid → the constructor preflights decodability, so
+    # open_slide's cv2 whole-image fallback can still rescue such files
     with pytest.raises(ValueError, match="photometric"):
-        slide.read_region((0, 0), 0, (64, 64))
-    slide.close()
+        TiffTileSlide(bad)
     # planar-config gate (tag 284=2): exercised at the page level
     slide = TiffTileSlide(p)
     slide._pages[0] = dataclasses.replace(slide._pages[0], planar_config=2)
     with pytest.raises(ValueError, match="PlanarConfiguration"):
         slide.read_region((0, 0), 0, (64, 64))
+    slide.close()
+
+
+def test_strip_cache_byte_budget(tmp_path):
+    """The decoded-tile LRU is budgeted in bytes as well as entries:
+    full-width strips (hundreds of KB to tens of MB each) must not ride
+    an entry-count cap into multi-GB residency."""
+    from path_gene_multimodal_tpu.io.tiff import TiffTileSlide
+    from path_gene_multimodal_tpu.io.tiff_write import write_striped_tiff
+
+    img = np.random.default_rng(2).integers(0, 255, (384, 1024, 3), np.uint8)
+    p = write_striped_tiff(tmp_path / "b.tif", [img], rows_per_strip=128)
+    # each strip decodes to 1024*128*3 = 393,216 B; cache_tiles=3 → byte
+    # cap 3*196,608 = 589,824 B → at most ONE strip stays cached
+    slide = TiffTileSlide(p, cache_tiles=3)
+    np.testing.assert_array_equal(
+        slide.read_region((0, 0), 0, (1024, 384)), img
+    )
+    assert slide._cache_bytes <= slide._cache_bytes_cap
+    assert len(slide._cache) <= 1
+    slide.close()
+    # normal tiled slides keep the old behavior: 256² tiles fill the
+    # entry cap exactly at the byte cap
+    pt = write_tiled_tiff(tmp_path / "t.tif", [img], tile_size=256)
+    st = TiffTileSlide(pt, cache_tiles=8)
+    st.read_region((0, 0), 0, (1024, 384))
+    assert len(st._cache) == 8 and st._cache_bytes <= st._cache_bytes_cap
+    st.close()
+
+
+def test_read_tiles_batch_strips_pad_to_geometry(tmp_path):
+    """read_tiles_batch stacks fixed-size arrays; a short last strip must
+    white-pad to the declared strip geometry instead of crashing."""
+    from path_gene_multimodal_tpu.io.tiff import TiffTileSlide
+    from path_gene_multimodal_tpu.io.tiff_write import write_striped_tiff
+
+    img = np.random.default_rng(3).integers(0, 255, (150, 300, 3), np.uint8)
+    p = write_striped_tiff(tmp_path / "p.tif", [img], rows_per_strip=64)
+    slide = TiffTileSlide(p)
+    batch = slide.read_tiles_batch(0, np.array([0, 2]))  # last strip = 22 rows
+    assert batch.shape == (2, 64, 300, 3)
+    np.testing.assert_array_equal(batch[1, :22], img[128:150])
+    assert (batch[1, 22:] == 255).all()
     slide.close()
 
 
