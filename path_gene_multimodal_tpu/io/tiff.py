@@ -311,6 +311,9 @@ def _packbits_decode(data: bytes) -> bytes:
     return bytes(out)
 
 
+_THUMB_ONESHOT_BYTES = 1 << 28  # 256 MB: above this, thumbnail in bands
+
+
 class TiffTileSlide:
     """Pyramidal reader over a tiled TIFF/SVS file."""
 
@@ -424,9 +427,28 @@ class TiffTileSlide:
         scale = min(tw_max / w0, th_max / h0, 1.0)
         level = self.get_best_level_for_downsample(1.0 / scale if scale < 1 else 1.0)
         pw, ph = self.level_dimensions[level]
-        full = self.read_region((0, 0), level, (pw, ph))
         out_w, out_h = max(int(w0 * scale), 1), max(int(h0 * scale), 1)
-        return cv2.resize(full, (out_w, out_h), interpolation=cv2.INTER_AREA)
+        ds = self.level_downsamples[level]
+        if pw * ph * 3 <= _THUMB_ONESHOT_BYTES:  # small: one read + resize
+            full = self.read_region((0, 0), level, (pw, ph))
+            return cv2.resize(full, (out_w, out_h), interpolation=cv2.INTER_AREA)
+        # band-wise: a single-level WSI (no pyramid to downsample from)
+        # would otherwise materialize the whole multi-GB base image here.
+        # Read horizontal bands, resize each to its slice of the output —
+        # memory stays bounded by one band regardless of slide size.
+        band_rows = max(_THUMB_ONESHOT_BYTES // (pw * 3), 256)
+        out = np.empty((out_h, out_w, 3), np.uint8)
+        for y in range(0, ph, band_rows):
+            rows = min(band_rows, ph - y)
+            band = self.read_region((0, int(round(y * ds))), level, (pw, rows))
+            oy0 = int(round(y * out_h / ph))
+            oy1 = int(round((y + rows) * out_h / ph))
+            if oy1 <= oy0:
+                continue
+            out[oy0:oy1] = cv2.resize(
+                band, (out_w, oy1 - oy0), interpolation=cv2.INTER_AREA
+            )
+        return out
 
     def get_best_level_for_downsample(self, downsample: float) -> int:
         from path_gene_multimodal_tpu.io.slide import best_level_for_downsample

@@ -943,6 +943,24 @@ def test_read_tiles_batch_strips_pad_to_geometry(tmp_path):
     slide.close()
 
 
+def test_thumbnail_bandwise_matches_oneshot(tmp_path, monkeypatch):
+    """Above the one-shot byte budget get_thumbnail reads in bands; the
+    banded result must match the one-shot resize (single-level WSIs would
+    otherwise materialize the whole base image for a 2000-px thumbnail)."""
+    import path_gene_multimodal_tpu.io.tiff as tiffmod
+
+    img = np.random.default_rng(4).integers(0, 255, (600, 800, 3), np.uint8)
+    p = write_tiled_tiff(tmp_path / "one.tif", [img], tile_size=256)  # 1 level
+    slide = tiffmod.TiffTileSlide(p)
+    ref = slide.get_thumbnail((200, 200))
+    monkeypatch.setattr(tiffmod, "_THUMB_ONESHOT_BYTES", 1 << 18)  # force bands
+    banded = slide.get_thumbnail((200, 200))
+    assert banded.shape == ref.shape
+    # band-boundary resampling differs by at most a hair from one-shot
+    assert np.abs(banded.astype(int) - ref.astype(int)).mean() < 2.0
+    slide.close()
+
+
 def test_write_tiled_tiff_unsupported_compression(tmp_path):
     img = np.zeros((64, 64, 3), np.uint8)
     with pytest.raises(ValueError, match="unsupported write compression"):
