@@ -64,14 +64,18 @@ def make_linear_probe_step(
 
 
 def shard_step_over_mesh(step, mesh, state):
-    """Place state replicated + batch sharded; returns a wrapped step that
-    accepts host arrays and keeps everything on-mesh."""
+    """Place state replicated + batches sharded; returns a wrapped step
+    that accepts host arrays and keeps everything on-mesh. Works for any
+    step arity — (pixels, labels) for the linear probe, (hist, genes,
+    labels) for the fusion trainer — every batch arg shards on its
+    leading axis."""
     rep = replicate(mesh)
     state = jax.device_put(state, rep)
 
-    def run(state, pixels, labels):
-        px = jax.device_put(pixels, batch_sharding(mesh, pixels.ndim))
-        lb = jax.device_put(labels, batch_sharding(mesh, labels.ndim))
-        return step(state, px, lb)
+    def run(state, *batches):
+        placed = (
+            jax.device_put(b, batch_sharding(mesh, jnp.ndim(b))) for b in batches
+        )
+        return step(state, *placed)
 
     return run, state

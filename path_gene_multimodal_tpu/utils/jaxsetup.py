@@ -23,9 +23,17 @@ def _host_cpu_key() -> str:
     reused after a container migrates hosts.
 
     The flags line alone is NOT enough: two VM hosts can expose identical
-    (masked) flags while XLA's model-based tuning differs (observed: a
-    migration where only the ``prefer-no-scatter/gather`` pseudo-features
-    changed). vendor/family/model/stepping pin the actual microarch."""
+    (masked) flags while differing in microarch, so vendor/family/model/
+    stepping pin the actual CPU.
+
+    Known benign quirk (measured, NOT a migration): this XLA version's
+    CPU AOT entries embed ``+prefer-no-scatter/+prefer-no-gather`` tuning
+    pseudo-features in their compile-machine list, and the load-time host
+    probe never reports them — so reloading a cache entry written by the
+    SAME process config on the SAME host still logs the scary
+    "could lead to execution errors such as SIGILL" error. Those flags
+    are scheduling preferences, not ISA bits; the executables run fine.
+    Ignore that specific warning."""
     import hashlib
     import platform as _plat
 

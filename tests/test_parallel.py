@@ -124,6 +124,37 @@ def test_linear_probe_training_step_sharded(rng):
     assert float(loss1) == pytest.approx(float(loss2), rel=1e-5)
 
 
+def test_fusion_trainer_sharded_matches_single(rng):
+    """Multimodal fusion (the repo's namesake head) trains data-parallel
+    over the slide axis through the SAME shard_step_over_mesh helper —
+    loss trajectory identical to the single-device run (replicated rng →
+    identical dropout masks)."""
+    from path_gene_multimodal_tpu.models.fusion import FusionHead, make_fusion_trainer
+
+    model = FusionHead(num_outputs=2, proj_dim=8, hidden=8, dropout=0.1)
+    hist = rng.normal(size=(16, 12)).astype(np.float32)
+    genes = rng.normal(size=(16, 6)).astype(np.float32)
+    labels = rng.integers(0, 2, 16).astype(np.int32)
+
+    state, step, _ = make_fusion_trainer(model, 12, 6, 1e-2, seed=3)
+    single_losses = []
+    s1 = state
+    for _ in range(4):
+        s1, loss = step(s1, jnp.asarray(hist), jnp.asarray(genes), jnp.asarray(labels))
+        single_losses.append(float(loss))
+
+    mesh = make_mesh(8)
+    state2, step2, _ = make_fusion_trainer(model, 12, 6, 1e-2, seed=3)
+    run, s2 = shard_step_over_mesh(step2, mesh, state2)
+    sharded_losses = []
+    for _ in range(4):
+        s2, loss = run(s2, hist, genes, labels)
+        sharded_losses.append(float(loss))
+
+    np.testing.assert_allclose(sharded_losses, single_losses, rtol=1e-5)
+    assert sharded_losses[-1] < sharded_losses[0]
+
+
 def test_graft_entry_and_dryrun():
     import importlib.util
     from pathlib import Path
