@@ -69,6 +69,10 @@ def slide_info(path: str | Path) -> dict:
                 "jpeg_tables": p.jpeg_tables is not None,
             })
         info["pages"] = pages
+        info["associated_images"] = {
+            n: [p.width, p.height]
+            for n, p in slide._associated_pages.items()
+        }
         info["description"] = (slide._pages[0].description or "").splitlines()[:2]
         info["native_decoder"] = slide._native is not None
         info["planar_feed_supported"] = bool(slide.supports_planar(0))
@@ -95,6 +99,10 @@ def _print_human(info: dict) -> None:
             f"{pg['codec']} {pg['photometric']} {pg['bits_per_sample']}-bit"
             + (" +JPEGTables" if pg["jpeg_tables"] else "")
         )
+    if info.get("associated_images"):
+        assoc = ", ".join(f"{n} {w}x{h}"
+                          for n, (w, h) in info["associated_images"].items())
+        print(f"  associated: {assoc}")
     if "native_decoder" in info:
         print(f"  native decoder: {info['native_decoder']}   "
               f"planar feed: {info['planar_feed_supported']}")

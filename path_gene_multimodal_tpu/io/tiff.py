@@ -368,6 +368,33 @@ class TiffTileSlide:
                 err = _page_decode_unsupported(p)
                 if err:
                     raise ValueError(f"{path}: striped page unsupported: {err}")
+        # non-pyramid pages = associated images (openslide/tiffslide
+        # surface: SVS thumbnail/label/macro). Named from the Aperio page
+        # description when it says so, else positionally.
+        in_pyramid = {id(p) for p in self._pages}
+        self._associated_pages: dict[str, TiffPage] = {}
+        n_anon = 0
+        for p in pages:
+            if (
+                id(p) in in_pyramid
+                or not p.is_tiled  # no readable chunk geometry
+                or _page_decode_unsupported(p)
+                or p.width * p.height > 1 << 26  # decoded whole; bound it
+            ):
+                continue
+            desc = (p.description or "").lower()
+            if "label" in desc:
+                name = "label"
+            elif "macro" in desc:
+                name = "macro"
+            elif n_anon == 0:
+                name = "thumbnail"  # Aperio: first associated page
+            else:
+                name = f"associated_{n_anon}"
+            if name in self._associated_pages:
+                name = f"{name}_{n_anon}"
+            n_anon += 1
+            self._associated_pages[name] = p
         self._mpp = _parse_mpp(self._pages[0])
         self._native = None
         if use_native:
@@ -454,6 +481,35 @@ class TiffTileSlide:
         from path_gene_multimodal_tpu.io.slide import best_level_for_downsample
 
         return best_level_for_downsample(self.level_downsamples, downsample)
+
+    @property
+    def associated_image_names(self) -> list[str]:
+        """Names of the non-pyramid pages (openslide/tiffslide surface:
+        SVS ``thumbnail``/``label``/``macro``)."""
+        return list(self._associated_pages)
+
+    def read_associated_image(self, name: str) -> np.ndarray:
+        """Decode one associated image in full (they are small — pages
+        over 2²⁶ px are never classified as associated). Uncached: these
+        are one-shot reads, not tile-loop traffic."""
+        page = self._associated_pages[name]
+        out = np.full((page.height, page.width, 3), 255, np.uint8)
+        tw, th = page.tile_width, page.tile_height
+        for ty in range(page.tiles_down):
+            for tx in range(page.tiles_across):
+                tile = self._decode_tile(page, ty * page.tiles_across + tx)
+                if tile is None:
+                    continue
+                gy, gx = ty * th, tx * tw
+                sh = min(tile.shape[0], page.height - gy)
+                sw = min(tile.shape[1], page.width - gx)
+                out[gy : gy + sh, gx : gx + sw] = tile[:sh, :sw, :3]
+        return out
+
+    @property
+    def associated_images(self) -> dict[str, np.ndarray]:
+        """All associated images decoded — openslide-style mapping."""
+        return {n: self.read_associated_image(n) for n in self._associated_pages}
 
     # -- decoding -------------------------------------------------------------
 

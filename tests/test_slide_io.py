@@ -208,7 +208,8 @@ def test_striped_pages_never_preempt_tiled_pyramid(tmp_path):
              "description": "Aperio mixed |MPP = 0.25|"},
             {"img": thumb, "layout": "striped", "rows_per_strip": 32},
             {"img": lvl1, "layout": "tiled", "tile_size": 256},
-            {"img": label, "layout": "striped", "rows_per_strip": 96},
+            {"img": label, "layout": "striped", "rows_per_strip": 96,
+             "description": "Aperio label 200x96"},
         ],
     )
     slide = TiffTileSlide(p)
@@ -217,6 +218,12 @@ def test_striped_pages_never_preempt_tiled_pyramid(tmp_path):
     np.testing.assert_array_equal(
         slide.read_region((100, 100), 0, (200, 150)), base[100:250, 100:300]
     )
+    # the excluded striped pages surface as associated images (openslide/
+    # tiffslide surface): first anonymous page = thumbnail, described page
+    # by its Aperio name
+    assert slide.associated_image_names == ["thumbnail", "label"]
+    np.testing.assert_array_equal(slide.read_associated_image("thumbnail"), thumb)
+    np.testing.assert_array_equal(slide.associated_images["label"], label)
     slide.close()
     # and an all-striped file really does use strips as levels
     ps = write_striped_tiff(tmp_path / "s.tif", [base], rows_per_strip=100)
