@@ -41,15 +41,17 @@ _BIG = np.float32(1e30)
 DEVICE_RADIUS_CAP = 256
 
 # below this point count the host cKDTree beats the device path outright:
-# the chunked dense scan is dominated by top_k over the db lanes plus the
-# device round-trip (the (N, cap+1) index download alone is ~1 MB per 1k
-# points), while tree queries are cheap on host — measured at WSI-tile
-# density (40 nuclei / 256 px cell): 54k points = 0.15 s build+kNN+ball
-# on ONE host core vs ~2 s of device-path D2H over the dev tunnel. The
-# host path is also the one with the reference's exact uncapped ball-query
-# semantics, so the threshold doubles as the exact-semantics range; the
-# device path exists for full-WSI graphs (10⁵-10⁶ nuclei).
-HOST_TREE_MAX_N = 131072
+# the chunked dense scan is O(N²) distance pairs + top_k over the db lanes
+# plus the device round-trip, while tree queries are O(N log N) on host —
+# measured: 54k points = 0.15 s build+kNN+ball on ONE host core vs ~2 s of
+# device-path D2H over the dev tunnel; 200k points = ~3 s host vs 454 s
+# dense scan on the CPU backend; 1M points ≈ 30 s host (query_pairs ball).
+# The host path is also the one with the reference's exact uncapped
+# ball-query semantics, so the threshold doubles as the exact-semantics
+# range — it now covers the full stated production scale (10⁶ nuclei per
+# WSI); the device dense scan remains only as the scipy-absent fallback
+# and for beyond-production point counts.
+HOST_TREE_MAX_N = 2_097_152
 
 
 def _host_tree(points: np.ndarray):
@@ -264,23 +266,22 @@ def knn(
 def _host_ball_edges(
     tree, pts_np: np.ndarray, radius: float
 ) -> tuple[np.ndarray, np.ndarray]:
-    """UNCAPPED radius edges via cKDTree ball query — the reference's exact
-    semantics (``cKDTree.query_ball_tree(r)``, notebook cells 23-27). Used
-    when ``max_degree=None`` on the host path; the device path must cap
-    (static shapes)."""
-    import itertools
-
-    lists = tree.query_ball_point(pts_np, r=radius, workers=-1)
-    counts = np.fromiter(map(len, lists), np.int64, count=len(lists))
-    src = np.repeat(np.arange(len(lists), dtype=np.int64), counts)
-    dst = np.fromiter(
-        itertools.chain.from_iterable(lists), np.int64, count=int(counts.sum())
-    )
-    keep = src != dst
-    src, dst = src[keep], dst[keep]
-    diff = pts_np[src] - pts_np[dst]
-    d = np.sqrt(np.sum(diff * diff, axis=-1, dtype=np.float32))
-    return np.stack([src, dst], axis=0), d.astype(np.float32)
+    """UNCAPPED radius edges — the reference's exact ball-query semantics
+    (``cKDTree.query_ball_tree(r)``, notebook cells 23-27; both use ≤ r
+    and exclude self). ``query_pairs`` returns the unique i<j pairs as ONE
+    ndarray — measured 8× faster than ``query_ball_point`` + densifying
+    100k Python lists (0.13 s vs 1.0 s at 100k points / 5M edges) —
+    then both directions are emitted to match the ball-query edge set.
+    Used when ``max_degree=None`` on the host path; the device path must
+    cap (static shapes)."""
+    pairs = tree.query_pairs(r=radius, output_type="ndarray")
+    if len(pairs) == 0:
+        return np.zeros((2, 0), np.int64), np.zeros((0,), np.float32)
+    diff = pts_np[pairs[:, 0]] - pts_np[pairs[:, 1]]
+    d = np.sqrt(np.sum(diff * diff, axis=-1, dtype=np.float32)).astype(np.float32)
+    src = np.concatenate([pairs[:, 0], pairs[:, 1]]).astype(np.int64)
+    dst = np.concatenate([pairs[:, 1], pairs[:, 0]]).astype(np.int64)
+    return np.stack([src, dst], axis=0), np.concatenate([d, d])
 
 
 def combined_graphs(
