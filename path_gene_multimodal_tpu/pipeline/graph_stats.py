@@ -88,14 +88,21 @@ def clustering_coefficients(
 
 
 def eigenvector_centrality(
-    a, iters: int = 200, tol: float = 1e-10
+    a, iters: int = 200, tol: float = 1e-9
 ) -> np.ndarray:
     """Power iteration on ``A + I`` (networkx's shift): plain ``A`` has
     ±λ eigenvalue pairs on bipartite components (a hub-and-spokes star is
     the common WSI case), putting the iterate in a period-2 limit cycle;
     the +I shift breaks the symmetry without changing eigenvectors.
     Nodes in smaller components get ~0 weight, the standard convention.
-    Normalized to unit L2 norm."""
+    Normalized to unit L2 norm.
+
+    Convergence uses networkx's criterion SHAPE — L1 iterate change
+    < n·tol (networkx eigenvector_centrality) — with a tighter default
+    (1e-9 vs networkx's 1e-6) to hold this module's dense-eig goldens.
+    The previous absolute 1e-10 L2 test never fired at WSI scale, so
+    every call paid all 200 matvecs (measured: 12.9 s of a 44.6 s
+    analyze_graph at 300k nodes)."""
     n = a.shape[0]
     if n == 0:
         return np.zeros(0, np.float64)
@@ -108,7 +115,7 @@ def eigenvector_centrality(
         if norm == 0:
             return x
         y = y / norm
-        if np.linalg.norm(y - x) < tol:
+        if np.abs(y - x).sum() < n * tol:
             return y
         x = y
     return x
