@@ -75,7 +75,9 @@ def _encode_chunk(chunk: np.ndarray, compression: int, jpeg_quality: int) -> byt
     )
 
 
-def write_tiff_pages(path: str | Path, pages: list[dict[str, Any]]) -> Path:
+def write_tiff_pages(
+    path: str | Path, pages: list[dict[str, Any]], bigtiff: bool = False
+) -> Path:
     """Write a multi-page TIFF from page specs. Each spec:
 
     ``{"img": HxWx3 uint8, "layout": "tiled"|"striped",
@@ -84,9 +86,35 @@ def write_tiff_pages(path: str | Path, pages: list[dict[str, Any]]) -> Path:
 
     Only ``img`` is required; defaults: tiled, tile_size 256,
     rows_per_strip 64, deflate, quality 90, no description.
+
+    ``bigtiff=True`` emits the BigTIFF container (magic 43, 64-bit
+    offsets, 20-byte IFD entries) — the layout of Ventana/Philips WSIs —
+    so the reader's BigTIFF branch has a real fixture.
     """
     path = Path(path)
-    blob = bytearray(b"II*\x00\x00\x00\x00\x00")  # header; IFD0 offset patched later
+    if bigtiff:
+        # II, magic 43, offset-size 8, pad 0, IFD0 pointer (Q, patched)
+        blob = bytearray(b"II+\x00\x08\x00\x00\x00" + b"\x00" * 8)
+        ifd0_ptr, ptr_fmt = 8, "<Q"
+        ent = lambda tag, typ, count, value: struct.pack(  # noqa: E731
+            "<HHQQ", tag, typ, count, value
+        )
+    else:
+        blob = bytearray(b"II*\x00\x00\x00\x00\x00")
+        ifd0_ptr, ptr_fmt = 4, "<I"
+        ent = _entry
+
+    inline_size = 8 if bigtiff else 4
+
+    def arr_ent(tag: int, typ: int, count: int, raw: bytes, arr_pos: int) -> bytes:
+        """Array-valued entry: TIFF stores values ≤ the inline field size
+        IN the value field, larger arrays behind a pointer — and the
+        inline capacity differs (4 classic vs 8 BigTIFF), so e.g. a
+        3×SHORT BitsPerSample is out-of-line classic but inline BigTIFF."""
+        if len(raw) <= inline_size:
+            return ent(tag, typ, count,
+                       int.from_bytes(raw.ljust(inline_size, b"\x00"), "little"))
+        return ent(tag, typ, count, arr_pos)
 
     def _align() -> None:
         while len(blob) % 2:
@@ -129,57 +157,60 @@ def write_tiff_pages(path: str | Path, pages: list[dict[str, Any]]) -> Path:
             raise ValueError(f"unknown page layout {layout!r}")
         emitted.append((spec, w, h, offsets, counts))
 
-    prev_next_ptr = 4  # header's IFD0 pointer
+    prev_next_ptr = ifd0_ptr  # header's IFD0 pointer
     for spec, w, h, offsets, counts in emitted:
         layout = spec.get("layout", "tiled")
         compression = spec.get("compression", 8)
         description = spec.get("description", "")
         desc_bytes = description.encode("latin-1") + b"\x00"
-        # out-of-line arrays
+        # out-of-line arrays (dead bytes when the entry inlines instead)
         _align()
+        off_raw = struct.pack(f"<{len(offsets)}I", *offsets)
         off_arr_pos = len(blob)
-        blob.extend(struct.pack(f"<{len(offsets)}I", *offsets))
+        blob.extend(off_raw)
+        cnt_raw = struct.pack(f"<{len(counts)}I", *counts)
         cnt_arr_pos = len(blob)
-        blob.extend(struct.pack(f"<{len(counts)}I", *counts))
+        blob.extend(cnt_raw)
+        bps_raw = struct.pack("<3H", 8, 8, 8)
         bps_pos = len(blob)
-        blob.extend(struct.pack("<3H", 8, 8, 8))
+        blob.extend(bps_raw)
         desc_pos = len(blob)
         if description:
             blob.extend(desc_bytes)
         _align()
         ifd_pos = len(blob)
         entries = [
-            _entry(256, _T_LONG, 1, w),
-            _entry(257, _T_LONG, 1, h),
-            _entry(258, _T_SHORT, 3, bps_pos),
-            _entry(259, _T_SHORT, 1, compression),
-            _entry(262, _T_SHORT, 1, 6 if compression == 7 else 2),  # YCbCr for JPEG
-            _entry(277, _T_SHORT, 1, 3),
+            ent(256, _T_LONG, 1, w),
+            ent(257, _T_LONG, 1, h),
+            arr_ent(258, _T_SHORT, 3, bps_raw, bps_pos),
+            ent(259, _T_SHORT, 1, compression),
+            ent(262, _T_SHORT, 1, 6 if compression == 7 else 2),  # YCbCr for JPEG
+            ent(277, _T_SHORT, 1, 3),
         ]
         if layout == "tiled":
             ts = spec.get("tile_size", 256)
             entries += [
-                _entry(322, _T_LONG, 1, ts),
-                _entry(323, _T_LONG, 1, ts),
-                _entry(324, _T_LONG, len(offsets), off_arr_pos if len(offsets) > 1 else offsets[0]),
-                _entry(325, _T_LONG, len(counts), cnt_arr_pos if len(counts) > 1 else counts[0]),
+                ent(322, _T_LONG, 1, ts),
+                ent(323, _T_LONG, 1, ts),
+                arr_ent(324, _T_LONG, len(offsets), off_raw, off_arr_pos),
+                arr_ent(325, _T_LONG, len(counts), cnt_raw, cnt_arr_pos),
             ]
         else:
             entries += [
-                _entry(273, _T_LONG, len(offsets), off_arr_pos if len(offsets) > 1 else offsets[0]),
-                _entry(278, _T_LONG, 1, spec.get("rows_per_strip", 64)),
-                _entry(279, _T_LONG, len(counts), cnt_arr_pos if len(counts) > 1 else counts[0]),
+                arr_ent(273, _T_LONG, len(offsets), off_raw, off_arr_pos),
+                ent(278, _T_LONG, 1, spec.get("rows_per_strip", 64)),
+                arr_ent(279, _T_LONG, len(counts), cnt_raw, cnt_arr_pos),
             ]
         if description:
-            entries.append(_entry(270, _T_ASCII, len(desc_bytes), desc_pos))
+            entries.append(arr_ent(270, _T_ASCII, len(desc_bytes), desc_bytes, desc_pos))
         entries.sort(key=lambda e: struct.unpack("<H", e[:2])[0])
         # patch previous IFD's next pointer → this IFD
-        struct.pack_into("<I", blob, prev_next_ptr, ifd_pos)
-        blob.extend(struct.pack("<H", len(entries)))
+        struct.pack_into(ptr_fmt, blob, prev_next_ptr, ifd_pos)
+        blob.extend(struct.pack("<Q" if bigtiff else "<H", len(entries)))
         for e in entries:
             blob.extend(e)
         next_ptr_pos = len(blob)
-        blob.extend(struct.pack("<I", 0))
+        blob.extend(struct.pack(ptr_fmt, 0))
         prev_next_ptr = next_ptr_pos
 
     path.write_bytes(bytes(blob))

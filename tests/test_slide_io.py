@@ -950,6 +950,51 @@ def test_read_tiles_batch_strips_pad_to_geometry(tmp_path):
     slide.close()
 
 
+def test_bigtiff_roundtrip(tmp_path):
+    """BigTIFF (magic 43, 64-bit offsets, 20-byte entries — the Ventana/
+    Philips WSI container) parses through the same reader: the branch was
+    previously implemented but had zero fixtures. Covers inline-capacity
+    deltas (3xSHORT BitsPerSample inlines in BigTIFF, 2xLONG offsets
+    inline, bigger arrays go out-of-line) in tiled and striped layouts."""
+    from path_gene_multimodal_tpu.io.tiff import TiffTileSlide
+    from path_gene_multimodal_tpu.io.tiff_write import write_tiff_pages
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 255, (512, 768, 3), np.uint8)
+    p = write_tiff_pages(
+        tmp_path / "big.tif",
+        [
+            {"img": base, "layout": "tiled", "tile_size": 256,
+             "description": "BigTIFF fixture |MPP = 0.3|"},
+            {"img": base[::2, ::2], "layout": "tiled", "tile_size": 256},
+        ],
+        bigtiff=True,
+    )
+    assert p.read_bytes()[2:4] == b"+\x00"  # really BigTIFF magic 43
+    slide = TiffTileSlide(p)
+    assert slide.level_dimensions == [(768, 512), (384, 256)]
+    assert slide.mpp == 0.3
+    np.testing.assert_array_equal(
+        slide.read_region((100, 100), 0, (300, 200)), base[100:300, 100:400]
+    )
+    np.testing.assert_array_equal(
+        slide.read_region((0, 0), 1, (384, 256)), base[::2, ::2]
+    )
+    slide.close()
+
+    # striped BigTIFF: single-strip page → 1xLONG offsets inline; plus a
+    # multi-strip page with a short last strip
+    img = rng.integers(0, 255, (150, 200, 3), np.uint8)
+    ps = write_tiff_pages(
+        tmp_path / "bigs.tif",
+        [{"img": img, "layout": "striped", "rows_per_strip": 64}],
+        bigtiff=True,
+    )
+    ss = TiffTileSlide(ps)
+    np.testing.assert_array_equal(ss.read_region((0, 0), 0, (200, 150)), img)
+    ss.close()
+
+
 def test_thumbnail_bandwise_matches_oneshot(tmp_path, monkeypatch):
     """Above the one-shot byte budget get_thumbnail reads in bands; the
     banded result must match the one-shot resize (single-level WSIs would
