@@ -16,8 +16,11 @@ f32; the ‖a‖²+‖b‖²-2a·b matmul trick loses ~1% relative accuracy on
 far-from-origin slide coordinates).
 
 Radius queries default to the reference's exact UNBOUNDED ball-query
-semantics (host cKDTree below ``HOST_TREE_MAX_N``); the static-shape
-device path used at WSI scale caps degree at 256 nearest-first, and an
+semantics, served by the host cKDTree up to ``HOST_TREE_MAX_N`` — which
+covers the full stated production scale (10⁶ nuclei per WSI). The
+static-shape device dense scan remains for the scipy-absent fallback,
+beyond-production point counts, and wide explicitly-capped queries
+(``HOST_TREE_CELL_BUDGET``); it caps degree at 256 nearest-first, and an
 explicit ``max_degree`` opts into capping everywhere.
 """
 
@@ -52,6 +55,15 @@ DEVICE_RADIUS_CAP = 256
 # WSI); the device dense scan remains only as the scipy-absent fallback
 # and for beyond-production point counts.
 HOST_TREE_MAX_N = 2_097_152
+
+# ...but host-tree cost and transients scale with n·kk, and the numbers
+# above were measured at small k (kNN k=6) plus the query_pairs ball. An
+# explicitly-capped query (max_degree=256 → kk=257) at 2M points would
+# allocate >10 GB of (n, kk) float64/int64 transients and run a far
+# slower k=257 tree query — so wide queries keep the device path beyond
+# this n·kk budget (2²⁵ cells ≈ the old 131072-point threshold at kk=257,
+# preserving the previously-measured capped behavior exactly).
+HOST_TREE_CELL_BUDGET = 1 << 25
 
 
 def _host_tree(points: np.ndarray):
@@ -141,7 +153,11 @@ def _host_or_device_indices(
     """(N, kk) neighbor indices, nearest-first, -1 invalid (self dropped
     when ``drop_self``, out-of-radius dropped when ``radius``) — host
     cKDTree for small n, chunked device scan otherwise (same contract)."""
-    if n <= HOST_TREE_MAX_N and (tree := _host_tree(pts_np)) is not None:
+    if (
+        n <= HOST_TREE_MAX_N
+        and n * kk <= HOST_TREE_CELL_BUDGET
+        and (tree := _host_tree(pts_np)) is not None
+    ):
         d, i = tree.query(pts_np, k=kk, workers=-1)
         d = np.asarray(d, np.float32).reshape(n, -1)
         i = np.asarray(i).reshape(n, -1).astype(np.int32)

@@ -184,8 +184,9 @@ def interaction_enrichment(
             lut[ti * (k + 2) + tj] = (min(ti, tj) - 1) * k + (max(ti, tj) - 1)
 
     def _counts(lbl: np.ndarray) -> np.ndarray:
-        l = np.clip(lbl, 0, k + 1).astype(np.int16)
-        codes = lut[l[src32] * np.int16(k + 2) + l[dst32]]
+        # int32 code arithmetic: (k+1)*(k+3) overflows int16 from k≈180
+        l = np.clip(lbl, 0, k + 1).astype(np.int32)
+        codes = lut[l[src32] * np.int32(k + 2) + l[dst32]]
         flat = np.bincount(codes, minlength=kk + 1)[:kk].reshape(k, k)
         return flat + np.triu(flat, 1).T  # symmetrize
 

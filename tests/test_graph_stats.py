@@ -113,6 +113,22 @@ def test_interaction_counts_brute_force(rng):
     assert np.triu(res["expected"]).sum() == pytest.approx(dense.sum(), rel=1e-9)
 
 
+def test_interaction_counts_many_types(rng):
+    """n_types=200: the pair-code arithmetic must not overflow narrow int
+    dtypes ((k+1)*(k+3) ≈ 40k exceeds int16 from k≈180)."""
+    n, k = 80, 200
+    a = adjacency(_random_edge_index(rng, n, 260), n)
+    types = rng.integers(1, k + 1, size=n).astype(np.int32)
+    res = interaction_enrichment(a, types, n_types=k, n_perms=0)
+    want = np.zeros((k, k))
+    dense = np.triu(a.toarray(), 1)
+    for i, j in zip(*np.nonzero(dense)):
+        ti, tj = sorted((types[i], types[j]))
+        want[ti - 1, tj - 1] += 1
+    want = want + np.triu(want, 1).T
+    np.testing.assert_array_equal(res["observed"], want)
+
+
 def test_interaction_zscores_detect_assortativity(rng):
     """Two spatial clusters of distinct types: on-diagonal enrichment must
     be strongly positive, cross-type strongly negative."""

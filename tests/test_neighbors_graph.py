@@ -93,6 +93,20 @@ def test_device_path_matches_host_tree(rng, monkeypatch):
     assert set(map(tuple, ei_d.T.tolist())) == set(map(tuple, ei_h.T.tolist()))
 
 
+def test_cell_budget_routes_wide_queries_to_device(rng, monkeypatch):
+    """Explicitly-capped WIDE queries (n·kk over HOST_TREE_CELL_BUDGET)
+    take the device path — the host tree's (n, kk) transients scale with
+    the cap, not the point count — with identical results."""
+    import path_gene_multimodal_tpu.ops.neighbors as nb
+
+    pts = rng.uniform(0, 500, size=(300, 2)).astype(np.float32)
+    ei_h, ed_h = radius_graph(pts, radius=50.0, max_degree=32)
+    monkeypatch.setattr(nb, "HOST_TREE_CELL_BUDGET", 1)  # every query "wide"
+    ei_d, ed_d = radius_graph(pts, radius=50.0, max_degree=32)
+    assert set(map(tuple, ei_d.T.tolist())) == set(map(tuple, ei_h.T.tolist()))
+    np.testing.assert_allclose(sorted(ed_d), sorted(ed_h), rtol=1e-5, atol=1e-3)
+
+
 def test_uncapped_radius_matches_ball_query(rng):
     """max_degree=None (the default) returns EVERY within-radius edge —
     the reference's unbounded cKDTree ball query — even where local

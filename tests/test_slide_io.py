@@ -982,16 +982,24 @@ def test_bigtiff_roundtrip(tmp_path):
     )
     slide.close()
 
-    # striped BigTIFF: single-strip page → 1xLONG offsets inline; plus a
-    # multi-strip page with a short last strip
+    # striped BigTIFF, both inline regimes: a single-strip page (1xLONG
+    # offsets INLINE in the 8-byte field) and a multi-strip page with a
+    # short last strip (3xLONG = 12 B, out-of-line)
     img = rng.integers(0, 255, (150, 200, 3), np.uint8)
     ps = write_tiff_pages(
         tmp_path / "bigs.tif",
-        [{"img": img, "layout": "striped", "rows_per_strip": 64}],
+        [
+            {"img": img, "layout": "striped", "rows_per_strip": 192},
+            {"img": img[::2, ::2], "layout": "striped", "rows_per_strip": 32},
+        ],
         bigtiff=True,
     )
     ss = TiffTileSlide(ps)
+    assert ss._pages[0].tiles_down == 1  # really ONE strip → inline offsets
     np.testing.assert_array_equal(ss.read_region((0, 0), 0, (200, 150)), img)
+    np.testing.assert_array_equal(
+        ss.read_region((0, 0), 1, (100, 75)), img[::2, ::2]
+    )
     ss.close()
 
 
