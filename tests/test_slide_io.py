@@ -813,21 +813,28 @@ def test_tiff_header_fuzz_fails_closed(tmp_path):
         signal.signal(signal.SIGALRM, old_handler)
 
 
-def test_striped_tiff_header_fuzz_fails_closed(tmp_path):
+@pytest.mark.parametrize("bigtiff", [False, True])
+def test_striped_tiff_header_fuzz_fails_closed(tmp_path, bigtiff):
     """Same fail-closed contract over the STRIPED parsing path (tags
-    273/278/279 → degenerate-tile pages): corrupt RowsPerStrip/offsets/
-    counts must never hang, exhaust memory, or crash."""
+    273/278/279 → degenerate-tile pages), in BOTH containers (classic and
+    BigTIFF 64-bit IFDs): corrupt RowsPerStrip/offsets/counts must never
+    hang, exhaust memory, or crash."""
     import signal
 
     from path_gene_multimodal_tpu.io.tiff import TiffTileSlide
-    from path_gene_multimodal_tpu.io.tiff_write import write_striped_tiff
+    from path_gene_multimodal_tpu.io.tiff_write import write_tiff_pages
 
     rng = np.random.default_rng(4321)
     img = np.kron(
         rng.integers(40, 220, (4, 4, 3), np.uint8), np.ones((64, 64, 1), np.uint8)
     )
     src = tmp_path / "base.tif"
-    write_striped_tiff(src, [img], rows_per_strip=48, compression=8)
+    write_tiff_pages(
+        src,
+        [{"img": img, "layout": "striped", "rows_per_strip": 48,
+          "compression": 8}],
+        bigtiff=bigtiff,
+    )
     data = bytearray(src.read_bytes())
     n = len(data)
 
