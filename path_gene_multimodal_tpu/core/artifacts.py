@@ -172,6 +172,29 @@ def read_tessellation_h5(path: str | Path) -> dict[str, Any]:
         }
 
 
+def savez_fast(path: str | Path, compresslevel: int = 1, **arrays: Any) -> Path:
+    """``np.load``-compatible ``.npz`` writer with fast deflate.
+
+    ``np.savez_compressed`` pins zlib level 6 with no override; at WSI
+    scale the gigabyte-class arrays (50M-edge cell graphs, slide-size
+    instance maps) spend longer in the compressor than in the maths that
+    produced them (measured: 25.5 s of a 52.7 s 1M-nuclei graph build).
+    Level 1 cuts that ~3× for a ~10-15% larger file. Streams each array
+    straight into the zip member (no BytesIO staging)."""
+    import zipfile
+
+    from numpy.lib import format as npformat
+
+    path = Path(path)
+    with zipfile.ZipFile(
+        path, "w", zipfile.ZIP_DEFLATED, compresslevel=compresslevel
+    ) as zf:
+        for name, arr in arrays.items():
+            with zf.open(f"{name}.npy", "w", force_zip64=True) as fh:
+                npformat.write_array(fh, np.ascontiguousarray(np.asarray(arr)))
+    return path
+
+
 def infer_tile_size_from_attrs(attrs: Mapping[str, Any]) -> int | None:
     """``tile_size``/``patch_size``/``size`` attr probe (tiling_info.py:39)."""
     for key in ("tile_size", "patch_size", "size"):

@@ -115,7 +115,9 @@ def build_cell_graph(
         out_dir = Path(out_dir)
         out_dir.mkdir(parents=True, exist_ok=True)
         npz = out_dir / f"{stem}_cell_graph.npz"
-        np.savez_compressed(
+        from path_gene_multimodal_tpu.core.artifacts import savez_fast
+
+        savez_fast(
             npz, pos_um=pos_um, types=types, x=x,
             knn_index=knn_i, knn_dist_um=knn_d,
             edge_index=edge_index, edge_attr=edge_dist[:, None],

@@ -326,7 +326,9 @@ def analyze_graph(
         # (inf/NaN would serialize as bare Infinity/NaN literals)
         jp.write_text(json.dumps(summary, indent=2, allow_nan=False))
         npz = out_dir / f"{stem}_graph_node_stats.npz"
-        np.savez_compressed(
+        from path_gene_multimodal_tpu.core.artifacts import savez_fast
+
+        savez_fast(
             npz,
             node_ids=graph.node_ids,
             degree=deg,

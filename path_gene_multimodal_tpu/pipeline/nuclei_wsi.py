@@ -399,7 +399,9 @@ def run_hovernext_wsi(
         if write_instance_map:
             map_path = out_dir / f"{stem}_pinst_pp.npz"
             if inst_map_wsi is not None:
-                np.savez_compressed(map_path, inst_map=inst_map_wsi)
+                from path_gene_multimodal_tpu.core.artifacts import savez_fast
+
+                savez_fast(map_path, inst_map=inst_map_wsi)
                 # reference-contract sidecar: zarr zip (1, H, W) uint32
                 # (consumers: aggregated_hovernet_run.py:163-166,
                 # hovernet_plotting.py:44-73); sparse maps stay npz-only

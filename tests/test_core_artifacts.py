@@ -156,6 +156,26 @@ def test_h5_missing_raises(tmp_path):
         read_tessellation_h5(p)
 
 
+def test_savez_fast_np_load_compatible(tmp_path):
+    """savez_fast output must be a plain npz np.load reads, bit-identical
+    arrays, including >2 GB-safe zip64 members and 0-d/empty arrays."""
+    from path_gene_multimodal_tpu.core.artifacts import savez_fast
+
+    rng = np.random.default_rng(0)
+    arrays = {
+        "edge_index": rng.integers(0, 1_000_000, (2, 50_000)).astype(np.int64),
+        "dists": rng.normal(size=(50_000,)).astype(np.float32),
+        "names": np.asarray(["a", "b"]),
+        "empty": np.zeros((0, 3), np.int32),
+        "scalar": np.asarray(7),
+    }
+    p = savez_fast(tmp_path / "g.npz", **arrays)
+    with np.load(p, allow_pickle=False) as z:
+        assert set(z.files) == set(arrays)
+        for k, v in arrays.items():
+            np.testing.assert_array_equal(z[k], v)
+
+
 def test_features_roundtrip(tmp_path):
     feats = np.random.default_rng(0).normal(size=(10, 512)).astype(np.float32)
     p = write_features_h5(tmp_path / "f.h5", feats, model_type="CLIP")
