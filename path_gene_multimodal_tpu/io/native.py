@@ -23,17 +23,36 @@ _NATIVE_DIR = Path(__file__).resolve().parents[2] / "native"
 _LIB_PATH = _NATIVE_DIR / "libtiledecode.so"
 
 
+def _host_cpu_key() -> str:
+    """Same microarch identity as utils.jaxsetup: the .so is compiled
+    ``-march=native``, so one built on a previous host can SIGILL after a
+    container migration even though the source mtime says it is fresh."""
+    from path_gene_multimodal_tpu.utils.jaxsetup import _host_cpu_key as key
+
+    return key()
+
+
 def build_native(force: bool = False) -> Path:
-    """Compile the decoder shared library with g++ (links libjpeg + zlib)."""
+    """Compile the decoder shared library with g++ (links libjpeg + zlib).
+    Rebuilds when the source is newer OR the build host's CPU changed
+    (``.buildhost`` sidecar records the microarch key)."""
     src = _NATIVE_DIR / "tiledecode.cpp"
-    if _LIB_PATH.exists() and not force:
-        if _LIB_PATH.stat().st_mtime >= src.stat().st_mtime:
-            return _LIB_PATH
+    hostfile = _NATIVE_DIR / ".buildhost"
+    key = _host_cpu_key()
+    if (
+        _LIB_PATH.exists()
+        and not force
+        and _LIB_PATH.stat().st_mtime >= src.stat().st_mtime
+        and hostfile.exists()
+        and hostfile.read_text().strip() == key
+    ):
+        return _LIB_PATH
     cmd = [
         "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
         str(src), "-o", str(_LIB_PATH), "-ljpeg", "-lz", "-lpthread",
     ]
     subprocess.run(cmd, check=True, capture_output=True)
+    hostfile.write_text(key + "\n")
     return _LIB_PATH
 
 

@@ -286,6 +286,34 @@ def test_native_decoder_stale_so_degrades_to_base_path():
     assert not okf.any() and y.shape == (1, 64, 64) and c.shape == (1, 32, 32, 2)
 
 
+def test_native_rebuilds_on_host_change(tmp_path):
+    """-march=native binaries from a PREVIOUS host can SIGILL after a
+    container migration even when the source mtime says fresh — a
+    .buildhost sidecar records the build CPU and forces a rebuild on
+    mismatch (same microarch key as the jaxsetup compile cache)."""
+    from path_gene_multimodal_tpu.io import native as nat
+
+    try:
+        nat.build_native()
+    except Exception:
+        pytest.skip("native toolchain unavailable")
+    hostfile = nat._NATIVE_DIR / ".buildhost"
+    assert hostfile.exists()
+    before = nat._LIB_PATH.stat().st_mtime_ns
+    # same host, fresh .so → no rebuild
+    nat.build_native()
+    assert nat._LIB_PATH.stat().st_mtime_ns == before
+    # simulate a migrated container: key mismatch → rebuild
+    original = hostfile.read_text()
+    try:
+        hostfile.write_text("someoldhost\n")
+        nat.build_native()
+        assert nat._LIB_PATH.stat().st_mtime_ns > before
+        assert hostfile.read_text().strip() == original.strip()
+    finally:
+        hostfile.write_text(original)
+
+
 def test_native_decoder_deflate():
     import zlib
 
