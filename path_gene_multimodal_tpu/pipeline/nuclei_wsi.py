@@ -411,7 +411,12 @@ def run_hovernext_wsi(
                     out_dir / f"{stem}_pinst_pp.zip", inst_map_wsi[None]
                 )
             else:
-                np.savez_compressed(
+                from path_gene_multimodal_tpu.core.artifacts import savez_fast
+
+                # the sparse path IS the huge-map case (dense map too big
+                # to materialize) — its coordinate arrays are the largest
+                # npz this stage writes
+                savez_fast(
                     map_path,
                     ys=np.concatenate(sparse_ys) if sparse_ys else np.zeros(0, np.int32),
                     xs=np.concatenate(sparse_xs) if sparse_xs else np.zeros(0, np.int32),
