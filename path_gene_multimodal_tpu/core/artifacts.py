@@ -172,7 +172,7 @@ def read_tessellation_h5(path: str | Path) -> dict[str, Any]:
         }
 
 
-def savez_fast(path: str | Path, compresslevel: int = 1, **arrays: Any) -> Path:
+def savez_fast(path: str | Path, /, compresslevel: int = 1, **arrays: Any) -> Path:
     """``np.load``-compatible ``.npz`` writer with fast deflate.
 
     ``np.savez_compressed`` pins zlib level 6 with no override; at WSI
@@ -185,6 +185,14 @@ def savez_fast(path: str | Path, compresslevel: int = 1, **arrays: Any) -> Path:
 
     from numpy.lib import format as npformat
 
+    if not isinstance(compresslevel, int):
+        # an array keyword literally named "compresslevel" binds to this
+        # parameter (np.savez has the same hazard for "file") — fail loudly
+        # instead of silently dropping the member from the npz
+        raise TypeError(
+            "'compresslevel' is a reserved keyword of savez_fast (int zip "
+            "level); an array may not use that name"
+        )
     path = Path(path)
     with zipfile.ZipFile(
         path, "w", zipfile.ZIP_DEFLATED, compresslevel=compresslevel

@@ -35,24 +35,51 @@ def _host_cpu_key() -> str:
 def build_native(force: bool = False) -> Path:
     """Compile the decoder shared library with g++ (links libjpeg + zlib).
     Rebuilds when the source is newer OR the build host's CPU changed
-    (``.buildhost`` sidecar records the microarch key)."""
+    (``.buildhost`` sidecar records the microarch key).
+
+    Safe under fleet-wide concurrency: host-change rebuilds fire in every
+    worker at startup after a migration, so the compile goes to a temp
+    path and is ``os.replace``d into place (a sibling's CDLL can never
+    see a half-written .so), and an advisory flock dedupes the g++ runs
+    when the filesystem supports it."""
+    import fcntl
+    import os
+    import tempfile
+
     src = _NATIVE_DIR / "tiledecode.cpp"
     hostfile = _NATIVE_DIR / ".buildhost"
     key = _host_cpu_key()
-    if (
-        _LIB_PATH.exists()
-        and not force
-        and _LIB_PATH.stat().st_mtime >= src.stat().st_mtime
-        and hostfile.exists()
-        and hostfile.read_text().strip() == key
-    ):
+
+    def _fresh() -> bool:
+        return (
+            _LIB_PATH.exists()
+            and _LIB_PATH.stat().st_mtime >= src.stat().st_mtime
+            and hostfile.exists()
+            and hostfile.read_text().strip() == key
+        )
+
+    if _fresh() and not force:
         return _LIB_PATH
-    cmd = [
-        "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-        str(src), "-o", str(_LIB_PATH), "-ljpeg", "-lz", "-lpthread",
-    ]
-    subprocess.run(cmd, check=True, capture_output=True)
-    hostfile.write_text(key + "\n")
+    with open(_NATIVE_DIR / ".buildlock", "w") as lf:
+        try:
+            fcntl.flock(lf, fcntl.LOCK_EX)
+        except OSError:
+            pass  # advisory only — temp+replace keeps losers correct
+        if _fresh() and not force:  # a sibling built while we waited
+            return _LIB_PATH
+        fd, tmp = tempfile.mkstemp(dir=_NATIVE_DIR, suffix=".so.tmp")
+        os.close(fd)
+        try:
+            cmd = [
+                "g++", "-O3", "-march=native", "-shared", "-fPIC",
+                "-std=c++17", str(src), "-o", tmp,
+                "-ljpeg", "-lz", "-lpthread",
+            ]
+            subprocess.run(cmd, check=True, capture_output=True)
+            os.replace(tmp, _LIB_PATH)
+        finally:
+            Path(tmp).unlink(missing_ok=True)
+        hostfile.write_text(key + "\n")
     return _LIB_PATH
 
 
@@ -69,6 +96,18 @@ class NativeTileDecoder:
         except Exception:
             if not _LIB_PATH.exists():
                 raise
+            # a prebuilt .so may still serve — but NOT one from a different
+            # CPU: -march=native code from the old host would SIGILL (an
+            # uncatchable process death, not an exception the callers'
+            # cv2 fallback could absorb). Raising here routes callers to
+            # the pure-Python path instead.
+            hostfile = _NATIVE_DIR / ".buildhost"
+            if hostfile.exists() and hostfile.read_text().strip() != _host_cpu_key():
+                raise RuntimeError(
+                    "native decoder rebuild failed and the existing "
+                    "libtiledecode.so was built on a different CPU "
+                    "(-march=native would SIGILL); using the Python fallback"
+                )
         self._lib = ctypes.CDLL(str(_LIB_PATH))
         self._lib.decode_jpeg_batch.restype = ctypes.c_int
         self._lib.decode_jpeg_batch.argtypes = [

@@ -397,10 +397,10 @@ def run_hovernext_wsi(
         else:
             write_nuclei_table(out_dir / f"{stem}_hovernet_nuclei_wsi", nuclei)
         if write_instance_map:
+            from path_gene_multimodal_tpu.core.artifacts import savez_fast
+
             map_path = out_dir / f"{stem}_pinst_pp.npz"
             if inst_map_wsi is not None:
-                from path_gene_multimodal_tpu.core.artifacts import savez_fast
-
                 savez_fast(map_path, inst_map=inst_map_wsi)
                 # reference-contract sidecar: zarr zip (1, H, W) uint32
                 # (consumers: aggregated_hovernet_run.py:163-166,
@@ -411,8 +411,6 @@ def run_hovernext_wsi(
                     out_dir / f"{stem}_pinst_pp.zip", inst_map_wsi[None]
                 )
             else:
-                from path_gene_multimodal_tpu.core.artifacts import savez_fast
-
                 # the sparse path IS the huge-map case (dense map too big
                 # to materialize) — its coordinate arrays are the largest
                 # npz this stage writes

@@ -6,10 +6,14 @@ SURVEY.md §7 "module-level execution")."""
 
 import subprocess
 import sys
-import tomllib
 from pathlib import Path
 
 import pytest
+
+try:  # tomllib is 3.11+; pyproject declares requires-python >=3.10
+    import tomllib
+except ModuleNotFoundError:  # pragma: no cover - py3.10 fallback
+    import tomli as tomllib  # type: ignore[no-redef]
 
 ROOT = Path(__file__).resolve().parents[1]
 SCRIPTS = tomllib.loads((ROOT / "pyproject.toml").read_text())["project"]["scripts"]
@@ -19,8 +23,19 @@ SCRIPTS = tomllib.loads((ROOT / "pyproject.toml").read_text())["project"]["scrip
 def test_cli_help(name):
     target = SCRIPTS[name]
     module = target.split(":")[0]
+    # launch through a shim that pins the CPU backend via jax.config BEFORE
+    # the CLI runs: the axon sitecustomize re-pins "axon,cpu" at interpreter
+    # start, so JAX_PLATFORMS=cpu alone cannot stop a regressed CLI from
+    # camping on (or silently exercising) the real TPU tunnel (CLAUDE.md)
+    shim = (
+        "import sys, runpy\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        f"sys.argv = [{module!r}, '--help']\n"
+        f"runpy.run_module({module!r}, run_name='__main__')\n"
+    )
     proc = subprocess.run(
-        [sys.executable, "-m", module, "--help"],
+        [sys.executable, "-c", shim],
         capture_output=True, text=True, timeout=120,
         cwd=ROOT, env={"JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin",
                        "HOME": "/root"},

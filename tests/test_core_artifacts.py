@@ -176,6 +176,19 @@ def test_savez_fast_np_load_compatible(tmp_path):
             np.testing.assert_array_equal(z[k], v)
 
 
+def test_savez_fast_rejects_reserved_array_name(tmp_path):
+    """An array keyword named 'compresslevel' binds to the zip-level
+    parameter — it must fail loudly, not silently vanish from the npz."""
+    from path_gene_multimodal_tpu.core.artifacts import savez_fast
+
+    with pytest.raises(TypeError, match="reserved"):
+        savez_fast(tmp_path / "bad.npz", compresslevel=np.zeros(4))
+    # and 'path' cannot collide at all: it is positional-only
+    p = savez_fast(tmp_path / "ok.npz", path=np.arange(3))
+    with np.load(p) as z:
+        np.testing.assert_array_equal(z["path"], np.arange(3))
+
+
 def test_features_roundtrip(tmp_path):
     feats = np.random.default_rng(0).normal(size=(10, 512)).astype(np.float32)
     p = write_features_h5(tmp_path / "f.h5", feats, model_type="CLIP")

@@ -286,6 +286,65 @@ def test_native_decoder_stale_so_degrades_to_base_path():
     assert not okf.any() and y.shape == (1, 64, 64) and c.shape == (1, 32, 32, 2)
 
 
+def test_native_refuses_foreign_so_when_rebuild_fails(monkeypatch):
+    """A failed host-change rebuild must NOT fall back to loading the old
+    host's -march=native .so: that path dies by uncatchable SIGILL at first
+    decode, while raising here routes callers to the cv2 fallback."""
+    from path_gene_multimodal_tpu.io import native as nat
+
+    try:
+        nat.build_native()
+    except Exception:
+        pytest.skip("native toolchain unavailable")
+    hostfile = nat._NATIVE_DIR / ".buildhost"
+    original = hostfile.read_text()
+
+    def boom(force=False):
+        raise RuntimeError("compiler unavailable")
+
+    monkeypatch.setattr(nat, "build_native", boom)
+    try:
+        # matching sidecar: the existing .so is from THIS host → usable
+        assert nat.NativeTileDecoder() is not None
+        # mismatched sidecar: refuse the foreign binary
+        hostfile.write_text("someoldhost\n")
+        with pytest.raises(RuntimeError, match="different CPU"):
+            nat.NativeTileDecoder()
+    finally:
+        hostfile.write_text(original)
+
+
+def test_build_native_compiles_via_temp_then_replace(monkeypatch):
+    """Fleet-startup rebuilds run concurrently in every worker (the host-key
+    check fails in all of them after a migration): g++ must never write the
+    final .so path directly, or a sibling's CDLL can map a half-written
+    file."""
+    import subprocess as sp
+    from pathlib import Path
+
+    from path_gene_multimodal_tpu.io import native as nat
+
+    try:
+        nat.build_native()
+    except Exception:
+        pytest.skip("native toolchain unavailable")
+    seen = {}
+    real_so = nat._LIB_PATH.read_bytes()
+
+    def fake_run(cmd, check, capture_output):
+        out = cmd[cmd.index("-o") + 1]
+        seen["out"] = out
+        Path(out).write_bytes(real_so)  # a "compile" that produces the lib
+        return sp.CompletedProcess(cmd, 0)
+
+    monkeypatch.setattr(nat.subprocess, "run", fake_run)
+    nat.build_native(force=True)
+    assert seen["out"] != str(nat._LIB_PATH)
+    assert seen["out"].endswith(".so.tmp")
+    assert not Path(seen["out"]).exists()  # temp cleaned up after replace
+    assert nat._LIB_PATH.read_bytes() == real_so
+
+
 def test_native_rebuilds_on_host_change(tmp_path):
     """-march=native binaries from a PREVIOUS host can SIGILL after a
     container migration even when the source mtime says fresh — a
