@@ -251,6 +251,19 @@ def infer_timm_vit_config(sd: Mapping[str, np.ndarray]):
         mlp_type = "gelu"
     else:
         raise ValueError(f"unrecognized MLP shapes fc1={fc1_out}, fc2_in={fc2_in}")
+    if int(width) not in _HEADS_BY_WIDTH:
+        # heads is the one hyperparameter a state dict's shapes cannot
+        # determine (qkv fuses all heads into one matrix). The width//64
+        # convention holds for every published timm ViT we know of, but a
+        # wrong guess silently corrupts attention math — make it loud and
+        # overridable (pass an explicit TimmViTConfig to convert_timm_vit).
+        get_logger().warning(
+            "infer_timm_vit_config: width %d not in the known-heads table "
+            "%s; ASSUMING heads=%d (width//64). If the checkpoint uses a "
+            "different head count, pass an explicit TimmViTConfig(heads=...) "
+            "to convert_timm_vit.",
+            int(width), sorted(_HEADS_BY_WIDTH), max(int(width) // 64, 1),
+        )
     return TimmViTConfig(
         image_size=grid * int(patch),
         patch_size=int(patch),

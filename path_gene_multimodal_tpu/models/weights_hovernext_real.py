@@ -248,6 +248,85 @@ def infer_real_config(
     )
 
 
+def synthesize_real_state_dict(
+    depths: tuple[int, ...] = (1, 1, 1, 1),
+    dims: tuple[int, ...] = (8, 16, 32, 64),
+    decoder_channels: tuple[int, ...] = (16, 8, 8, 8),
+    branch_channels: Mapping[str, int] | None = None,
+    seed: int = 0,
+    scale: float = 0.1,
+) -> dict[str, np.ndarray]:
+    """Random state dict in the EXACT published smp/timm key naming
+    (``encoder.model.stem.0`` / ``decoder_X.blocks.N.convM.{0,1}`` /
+    ``head_X.0``) — numpy only, no torch. Lets the driver dryrun, docs and
+    tests exercise the real-checkpoint conversion path
+    (``convert_real_hovernext`` → ``RealNucleiModel``) end-to-end without a
+    torch mirror; shape logic matches the parity mirror in
+    ``tests/test_hovernext_real_parity.py`` (reference consumer:
+    ``hovernet_inference.py:82-131``)."""
+    if branch_channels is None:
+        branch_channels = {"inst": 5, "ct": 6}
+    rng = np.random.default_rng(seed)
+    sd: dict[str, np.ndarray] = {}
+
+    def w(key: str, *shape: int) -> None:
+        sd[key] = (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    e = "encoder.model."
+    w(e + "stem.0.weight", dims[0], 3, 4, 4)
+    w(e + "stem.0.bias", dims[0])
+    w(e + "stem.1.weight", dims[0])
+    w(e + "stem.1.bias", dims[0])
+    for s, (depth, dim) in enumerate(zip(depths, dims)):
+        if s > 0:
+            w(e + f"stages.{s}.downsample.0.weight", dims[s - 1])
+            w(e + f"stages.{s}.downsample.0.bias", dims[s - 1])
+            w(e + f"stages.{s}.downsample.1.weight", dim, dims[s - 1], 2, 2)
+            w(e + f"stages.{s}.downsample.1.bias", dim)
+        for b in range(depth):
+            t = e + f"stages.{s}.blocks.{b}."
+            w(t + "conv_dw.weight", dim, 1, 7, 7)
+            w(t + "conv_dw.bias", dim)
+            w(t + "norm.weight", dim)
+            w(t + "norm.bias", dim)
+            w(t + "mlp.fc1.weight", 4 * dim, dim)
+            w(t + "mlp.fc1.bias", 4 * dim)
+            w(t + "mlp.grn.weight", 4 * dim)
+            w(t + "mlp.grn.bias", 4 * dim)
+            w(t + "mlp.fc2.weight", dim, 4 * dim)
+            w(t + "mlp.fc2.bias", dim)
+
+    # smp UnetDecoder shape flow (one decoder per branch)
+    in_chs = [dims[-1]] + list(decoder_channels[:-1])
+    skip_chs = [dims[2], dims[1], dims[0]] + [0] * (len(decoder_channels) - 3)
+    for name, out_ch in branch_channels.items():
+        d = f"decoder_{name}.blocks."
+        for i, (ic, sc, oc) in enumerate(zip(in_chs, skip_chs, decoder_channels)):
+            w(d + f"{i}.conv1.0.weight", oc, ic + sc, 3, 3)  # no bias (BN next)
+            w(d + f"{i}.conv1.1.weight", oc)
+            w(d + f"{i}.conv1.1.bias", oc)
+            sd[d + f"{i}.conv1.1.running_mean"] = (
+                rng.standard_normal(oc) * 0.3
+            ).astype(np.float32)
+            sd[d + f"{i}.conv1.1.running_var"] = (
+                rng.random(oc) * 2 + 0.2
+            ).astype(np.float32)
+            sd[d + f"{i}.conv1.1.num_batches_tracked"] = np.asarray(0, np.int64)
+            w(d + f"{i}.conv2.0.weight", oc, oc, 3, 3)
+            w(d + f"{i}.conv2.1.weight", oc)
+            w(d + f"{i}.conv2.1.bias", oc)
+            sd[d + f"{i}.conv2.1.running_mean"] = (
+                rng.standard_normal(oc) * 0.3
+            ).astype(np.float32)
+            sd[d + f"{i}.conv2.1.running_var"] = (
+                rng.random(oc) * 2 + 0.2
+            ).astype(np.float32)
+            sd[d + f"{i}.conv2.1.num_batches_tracked"] = np.asarray(0, np.int64)
+        w(f"head_{name}.0.weight", out_ch, decoder_channels[-1], 3, 3)
+        w(f"head_{name}.0.bias", out_ch)
+    return sd
+
+
 def convert_real_hovernext(
     sd: Mapping[str, np.ndarray], cfg: RealHoverNeXtConfig | None = None
 ) -> tuple[RealHoverNeXtConfig, dict, dict]:

@@ -395,3 +395,33 @@ def test_real_5ch_inst_branch(tmp_path):
     lbl, tp = model.segment(tiles)
     assert lbl.shape == (2, 256, 256) and tp.shape == (2, 256, 256)
     assert tp.max() <= 5
+
+
+def test_synthesized_state_dict_matches_torch_mirror_keys():
+    """synthesize_real_state_dict (numpy-only, used by the driver dryrun)
+    emits EXACTLY the torch mirror's key set and every shape matches — so
+    whatever the mirror proves about the converter extends to the
+    synthesized path."""
+    from path_gene_multimodal_tpu.models.weights_hovernext_real import (
+        synthesize_real_state_dict,
+    )
+
+    branch_chs = {"inst": 5, "ct": 6}
+    tmodel = _real_hovernext_torch(torch, DEPTHS, DIMS, DEC_CHS, branch_chs)
+    tsd = tmodel.state_dict()
+    ssd = synthesize_real_state_dict(DEPTHS, DIMS, DEC_CHS, branch_chs)
+    assert set(ssd) == set(tsd.keys())
+    for k, v in ssd.items():
+        assert tuple(v.shape) == tuple(tsd[k].shape), k
+
+    cfg, variables, leftover = convert_real_hovernext(ssd)
+    assert leftover == {}
+    assert cfg.encoder.depths == DEPTHS and cfg.encoder.dims == DIMS
+    assert cfg.decoder_channels == DEC_CHS
+    model = RealHoverNeXt(cfg, dtype=jnp.float32)
+    x = jnp.asarray(
+        np.random.default_rng(0).random((1, 64, 64, 3)), jnp.float32
+    )
+    out = model.apply(variables, x)
+    assert out["head_inst"].shape == (1, 64, 64, 5)
+    assert out["head_ct"].shape == (1, 64, 64, 6)

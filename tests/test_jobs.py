@@ -2,9 +2,15 @@
 acquisition from two processes."""
 
 import json
-import multiprocessing as mp
+import multiprocessing
 import os
 import time
+
+# fork() under the multithreaded JAX runtime is the classic rare-CI-hang
+# source (CPython RuntimeWarning in multiprocessing/popen_fork.py); these
+# workers are self-contained top-level functions, so spawn is safe and race
+# semantics are unchanged.
+mp = multiprocessing.get_context("spawn")
 
 import pytest
 
