@@ -271,6 +271,7 @@ def hovernext_forward(
     fused_final: bool | None = None,
     lowres_decoder: bool = False,
     interpret: bool = False,
+    return_features: bool = False,
 ) -> dict[str, jnp.ndarray]:
     """Full HoverNeXt forward (hovernext.py:74-96 parity): pixels
     (B, H, W, 3) in [0, 1] → {"np", "hv", "tp"} logits at input res, f32.
@@ -304,6 +305,13 @@ def hovernext_forward(
         # upsample+conv kernel without the head fold (285 vs 303 t/s,
         # opt-in); False = the plain resize path.
         fused_final = "lowres"
+    if return_features:
+        # feature-extraction mode (e.g. utils.headfit's closed-form head
+        # fit): return the shared post-GELU pre-head map — the head-folded
+        # final variants never materialize it, so force the plain path
+        if fused_decoder:
+            raise ValueError("return_features is not supported with fused_decoder")
+        fused_final = False
     p = params["params"] if "params" in params else params
     feats = encoder_features(
         p["encoder"], pixels.astype(dtype), cfg, dtype, fused_blocks, interpret
@@ -401,6 +409,8 @@ def hovernext_forward(
             x = jax.image.resize(x, (b, h * 2, w * 2, ch), method="bilinear")
             x = _conv(p["final_conv"], x, stride=1, pad=1, dtype=dtype)
             x = jax.nn.gelu(x, approximate=False)
+    if return_features:
+        return x
     # fused head matmul: the full-res activation map is read from HBM once
     # instead of three times
     wcat, bcat = _head_cat(p, x.shape[-1], dtype)

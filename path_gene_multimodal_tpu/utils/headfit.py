@@ -1,0 +1,229 @@
+"""Analytic head fitting for checkpoint-free environments.
+
+The reference's nuclei stage always runs from the published
+``pannuke_convnextv2_tiny_3`` checkpoint (``hovernet_inference.py:82-131``);
+this environment is zero-egress, so random-weight forwards produce empty
+masks and the watershed has nothing to do. This module "briefly fits" the
+model on the synthetic H&E slide (``io.slide.synthetic_wsi``) so the REAL
+forward produces non-empty, realistic NP/HV/TP maps at *identical* compute
+cost — the benchmark's post-processing then consumes what the network
+actually produced instead of injected maps.
+
+Method: the three output heads are 1×1 convs over a shared 64-dim feature
+map (``models/hovernext.py:90-94``); everything upstream (random-init
+ConvNeXtV2 encoder + U-Net decoder) is a fixed, deterministic feature
+extractor. Ground truth is derived from the synthetic slide's nucleus color
+(connected components → centroids → HV offsets), and the heads are solved
+in closed form (ridge regression on balanced pixel samples, rotations
+included so the fit survives TTA). No gradient loop, no checkpoint file,
+~seconds of setup.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+NUCLEUS_COLOR = (96, 50, 130)  # io.slide.synthetic_wsi nucleus fill
+_LOGIT_MARGIN = 6.0  # target logit gap: sigmoid(6) ≈ 0.998
+
+
+def nuclei_ground_truth(
+    tiles_u8: np.ndarray,
+    nucleus_color: tuple[int, int, int] = NUCLEUS_COLOR,
+    tol: float = 60.0,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-pixel ground truth from the synthetic slide's nucleus color.
+
+    Returns ``(np_mask (B,S,S) f32 {0,1}, hv (B,S,S,2) f32 in [-1,1],
+    tp (B,S,S) int32 {0,1})``. HV follows the HoVer-Net convention: x/y
+    offset from the instance centroid, normalized per instance by its
+    max extent (the same field ``hover_instances`` expects)."""
+    from scipy import ndimage
+
+    tiles = np.asarray(tiles_u8, dtype=np.float32)
+    dist = np.linalg.norm(tiles - np.array(nucleus_color, np.float32), axis=-1)
+    mask = dist < tol
+    b, s = mask.shape[0], mask.shape[1]
+    hv = np.zeros((b, s, s, 2), np.float32)
+    yy, xx = np.mgrid[0:s, 0:s].astype(np.float32)
+    for bi in range(b):
+        lbl, n = ndimage.label(mask[bi])
+        if n == 0:
+            continue
+        ids = np.arange(1, n + 1)
+        cy = ndimage.mean(yy, lbl, ids)
+        cx = ndimage.mean(xx, lbl, ids)
+        py, px = np.nonzero(lbl)
+        inst = lbl[py, px] - 1
+        dx = px - cx[inst]
+        dy = py - cy[inst]
+        # per-instance max-extent normalization (HoVer-Net target recipe)
+        extx = np.maximum(ndimage.maximum(np.abs(dx), lbl[py, px], ids), 1.0)
+        exty = np.maximum(ndimage.maximum(np.abs(dy), lbl[py, px], ids), 1.0)
+        hv[bi, py, px, 0] = np.clip(dx / extx[inst], -1, 1)
+        hv[bi, py, px, 1] = np.clip(dy / exty[inst], -1, 1)
+    return mask.astype(np.float32), hv, mask.astype(np.int32)
+
+
+def _head_features(
+    cfg, params, tiles_u8: np.ndarray, dtype, flat_idx: np.ndarray | None = None
+) -> np.ndarray:
+    """The shared 64-dim pre-head feature map (post-GELU ``final_conv``
+    output) for a batch of uint8 tiles — captured from the flax forward
+    without touching the model definition. ``flat_idx`` gathers the listed
+    rows of the (B·S·S, D) flattened map ON DEVICE before transfer (the
+    full map is ~0.5 GB — the dev tunnel moves ~25 MB/s, so ship only the
+    pixels the ridge fit will read)."""
+    import jax
+    import jax.numpy as jnp
+
+    from path_gene_multimodal_tpu.models.hovernext_fn import hovernext_forward
+    from path_gene_multimodal_tpu.ops.pallas.flood import pallas_supported
+
+    # the SAME compute path production inference uses (NucleiModel.build's
+    # fused default) — features and the heads fitted on them then transfer
+    # exactly; also compiles in seconds where the unfused flax capture
+    # graph takes many minutes over the remote-compile tunnel
+    fused = pallas_supported() and dtype == jnp.bfloat16
+
+    @jax.jit
+    def _feats(p, px, idx):
+        f = hovernext_forward(
+            p, px.astype(jnp.float32) / 255.0, cfg, dtype=dtype,
+            fused_blocks=fused, return_features=True,
+        ).astype(jnp.float32)
+        f = f.reshape(-1, f.shape[-1])
+        return f if idx is None else f[idx]
+
+    idx = None if flat_idx is None else jnp.asarray(flat_idx)
+    return np.asarray(_feats(params, jnp.asarray(tiles_u8), idx), np.float32)
+
+
+def _ridge(x: np.ndarray, y: np.ndarray, lam: float = 1e-2) -> np.ndarray:
+    """Closed-form ridge with a bias column: returns (D+1, O)."""
+    xb = np.concatenate([x, np.ones((len(x), 1), np.float32)], axis=1)
+    a = xb.T @ xb
+    a[np.diag_indices_from(a)] += lam * len(x) / a.shape[0]
+    return np.linalg.solve(a, xb.T @ y).astype(np.float32)
+
+
+def fit_heads(
+    cfg,
+    params,
+    tiles_u8: np.ndarray,
+    dtype=None,
+    seed: int = 0,
+    max_pixels: int = 100_000,
+    nucleus_color: tuple[int, int, int] = NUCLEUS_COLOR,
+):
+    """Ridge-fit the NP/HV/TP heads so the forward detects the synthetic
+    slide's nuclei. Returns a NEW params pytree (same treedef/shapes —
+    only ``head_np``/``head_hv``/``head_tp`` kernels+biases change, so the
+    compiled program and its cost are identical).
+
+    ``tiles_u8``: (B, S, S, 3) uint8 fitting tiles (sampled from tissue).
+    All four rot90 views of each tile are included so the fit holds under
+    the ×4 TTA ensemble."""
+    import jax.numpy as jnp
+
+    if dtype is None:
+        dtype = jnp.bfloat16
+    rng = np.random.default_rng(seed)
+    tiles = np.concatenate(
+        [np.rot90(np.asarray(tiles_u8), k=k, axes=(1, 2)) for k in range(4)]
+    )
+    np_t, hv_t, _tp_t = nuclei_ground_truth(tiles, nucleus_color)
+    m = np_t.reshape(-1)
+    hvf = hv_t.reshape(-1, 2)
+
+    pos = np.nonzero(m > 0.5)[0]
+    neg = np.nonzero(m <= 0.5)[0]
+    if len(pos) == 0:
+        raise ValueError("fitting tiles contain no nucleus pixels")
+    n_each = min(len(pos), len(neg), max_pixels // 2)
+    pos = rng.choice(pos, n_each, replace=False)
+    neg = rng.choice(neg, n_each, replace=False)
+    sel = np.concatenate([pos, neg])
+    # prior-representative calibration sample (separate from the balanced
+    # fitting sample)
+    cal = rng.choice(len(m), min(len(m), 2 * max_pixels), replace=False)
+    # (sel + cal ≈ 3·max_pixels rows of 64 f32 ≈ 77 MB over the dev tunnel)
+    gathered = _head_features(
+        cfg, params, tiles, dtype, flat_idx=np.concatenate([sel, cal])
+    )
+    f_sel, f_cal = gathered[: len(sel)], gathered[len(sel):]
+
+    # NP: one signed-margin readout → antisymmetric 2-logit head
+    y_np = np.where(m[sel] > 0.5, _LOGIT_MARGIN, -_LOGIT_MARGIN)[:, None]
+    w_np = _ridge(f_sel, y_np)
+    # calibrate the decision threshold on the TRUE class prior: balanced
+    # fitting shifts the operating point, so re-bias until the predicted
+    # foreground fraction over prior-weighted pixels matches ground truth
+    s_all = f_cal @ w_np[:-1, 0] + w_np[-1, 0]
+    w_np[-1, 0] -= float(np.quantile(s_all, 1.0 - float(m[cal].mean())))
+    # HV: regression on nucleus pixels + background zeros
+    w_hv = _ridge(f_sel, hvf[sel])
+    # TP: background=0 vs type-1 margins; other type logits pushed down
+    tpc = cfg.tp_channels
+    y_tp = np.full((len(sel), tpc), -_LOGIT_MARGIN, np.float32)
+    y_tp[:, 0] = -y_np[:, 0]
+    y_tp[:, 1] = y_np[:, 0]
+    w_tp = _ridge(f_sel, y_tp)
+    # same prior calibration for the type argmax (class 0 vs class 1)
+    s_tp = f_cal @ (w_tp[:-1, 1] - w_tp[:-1, 0]) + (w_tp[-1, 1] - w_tp[-1, 0])
+    d_tp = float(np.quantile(s_tp, 1.0 - float(m[cal].mean())))
+    w_tp[-1, 1] -= d_tp / 2
+    w_tp[-1, 0] += d_tp / 2
+
+    def _conv_params(w: np.ndarray, antisym: bool = False):
+        k, bias = w[:-1], w[-1]
+        if antisym:
+            k = np.concatenate([-k / 2, k / 2], axis=1)
+            bias = np.array([-bias[0] / 2, bias[0] / 2], np.float32)
+        return {
+            "kernel": jnp.asarray(k[None, None], jnp.float32),
+            "bias": jnp.asarray(bias, jnp.float32),
+        }
+
+    import flax.core
+
+    p = flax.core.unfreeze(params)
+    p["params"]["head_np"] = _conv_params(w_np, antisym=True)
+    p["params"]["head_hv"] = _conv_params(w_hv)
+    p["params"]["head_tp"] = _conv_params(w_tp)
+    if isinstance(params, flax.core.FrozenDict):
+        return flax.core.freeze(p)
+    return p
+
+
+def sample_tissue_tiles(
+    slide,
+    n: int,
+    size: int,
+    seed: int = 0,
+    nucleus_color: tuple[int, int, int] = NUCLEUS_COLOR,
+    min_nucleus_frac: float = 0.01,
+    max_tries: int = 400,
+) -> np.ndarray:
+    """Sample ``n`` level-0 tiles that actually contain nuclei (by color
+    fraction) — fitting/eval tiles must not be blank background."""
+    rng = np.random.default_rng(seed)
+    w, h = slide.level_dimensions[0]
+    out: list[np.ndarray] = []
+    color = np.array(nucleus_color, np.float32)
+    for _ in range(max_tries):
+        if len(out) >= n:
+            break
+        x = int(rng.integers(0, w - size))
+        y = int(rng.integers(0, h - size))
+        tile = slide.read_region((x, y), 0, (size, size))
+        frac = (
+            np.linalg.norm(tile.astype(np.float32) - color, axis=-1) < 60.0
+        ).mean()
+        if frac >= min_nucleus_frac:
+            out.append(tile)
+    if len(out) < n:
+        raise ValueError(
+            f"found only {len(out)}/{n} tissue tiles in {max_tries} tries"
+        )
+    return np.stack(out)

@@ -1,0 +1,91 @@
+"""utils.headfit — ridge-fit heads make the REAL forward detect nuclei.
+
+The bench's streamed chain feeds the watershed the maps the network
+actually produced (VERDICT r3 item 4); these tests pin the property that
+makes that meaningful: after fitting, forward + postproc on synthetic
+tissue finds a realistic instance count (the reference's production path
+always runs from the published checkpoint, hovernet_inference.py:82-131,
+unavailable in this zero-egress environment).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+import scipy.ndimage as ndi
+
+jnp = pytest.importorskip("jax.numpy")
+
+from path_gene_multimodal_tpu.io.slide import synthetic_wsi
+from path_gene_multimodal_tpu.models.convnext import ConvNeXtConfig
+from path_gene_multimodal_tpu.models.hovernext import HoverNeXtConfig
+from path_gene_multimodal_tpu.pipeline.nuclei import NucleiModel
+from path_gene_multimodal_tpu.utils import headfit
+
+SMALL_CFG = HoverNeXtConfig(
+    encoder=ConvNeXtConfig(depths=(2, 2, 4, 2), dims=(32, 64, 128, 256)),
+    decoder_dims=(128, 64, 32, 32),
+    input_size=128,
+)
+
+
+def test_ground_truth_hv_points_outward():
+    tiles = np.full((1, 64, 64, 3), 243, np.uint8)
+    yy, xx = np.mgrid[0:64, 0:64]
+    disk = (yy - 32) ** 2 + (xx - 32) ** 2 <= 36
+    tiles[0][disk] = headfit.NUCLEUS_COLOR
+    np_t, hv, tp = headfit.nuclei_ground_truth(tiles)
+    assert np_t[0].sum() == disk.sum()
+    assert tp[0].max() == 1
+    # x-offset positive right of centroid, negative left; same for y
+    assert hv[0, 32, 37, 0] > 0.5 and hv[0, 32, 27, 0] < -0.5
+    assert hv[0, 37, 32, 1] > 0.5 and hv[0, 27, 32, 1] < -0.5
+    assert abs(hv[0, 32, 32, 0]) < 0.2 and abs(hv[0, 32, 32, 1]) < 0.2
+
+
+def test_fitted_forward_detects_realistic_instance_counts():
+    slide = synthetic_wsi(1024, 1024, seed=3, n_blobs=4, nuclei_per_blob=120)
+    seg0 = NucleiModel.build(SMALL_CFG, tta=4, dtype=jnp.float32)
+    tiles = headfit.sample_tissue_tiles(slide, 6, 128, seed=1)
+    gt_np, _gt_hv, _ = headfit.nuclei_ground_truth(tiles)
+    fitted = headfit.fit_heads(SMALL_CFG, seg0.params, tiles, dtype=jnp.float32)
+    seg = NucleiModel.build(SMALL_CFG, params=fitted, tta=4, dtype=jnp.float32)
+
+    np_p, hv, _tp = seg._infer(seg.params, jnp.asarray(tiles))
+    np_p = np.asarray(np_p)
+    pred = np_p > 0.5
+    gt = gt_np > 0.5
+    iou = (pred & gt).sum() / (pred | gt).sum()
+    assert iou > 0.08, f"fitted NP mask does not overlap ground truth: {iou}"
+
+    lbl = np.asarray(seg._postproc_raw(jnp.asarray(np_p), hv))
+    n_true = sum(ndi.label(gt[bi])[1] for bi in range(len(tiles)))
+    n_found = sum(len(np.unique(lbl[bi])) - 1 for bi in range(len(tiles)))
+    assert n_found > 0
+    # realistic workload, not an exact segmentation metric: within 2x
+    assert 0.5 * n_true <= n_found <= 2.0 * n_true, (n_true, n_found)
+
+    # the untouched random model stays empty — the fit is what creates work
+    np_p0, hv0, _ = seg0._infer(seg0.params, jnp.asarray(tiles))
+    lbl0 = np.asarray(seg0._postproc_raw(jnp.asarray(np_p0), hv0))
+    assert lbl0.max() == 0
+
+
+def test_fit_heads_only_touches_heads():
+    seg0 = NucleiModel.build(SMALL_CFG, tta=1, dtype=jnp.float32)
+    slide = synthetic_wsi(512, 512, seed=3, n_blobs=3, nuclei_per_blob=80)
+    tiles = headfit.sample_tissue_tiles(slide, 2, 128, seed=2)
+    fitted = headfit.fit_heads(SMALL_CFG, seg0.params, tiles, dtype=jnp.float32)
+    import jax
+
+    changed = []
+    for (path0, a), (_path1, b) in zip(
+        jax.tree_util.tree_flatten_with_path(seg0.params)[0],
+        jax.tree_util.tree_flatten_with_path(fitted)[0],
+    ):
+        assert a.shape == b.shape and a.dtype == b.dtype
+        if not np.array_equal(np.asarray(a), np.asarray(b)):
+            changed.append(jax.tree_util.keystr(path0))
+    assert changed
+    for name in changed:
+        assert "head_np" in name or "head_hv" in name or "head_tp" in name
