@@ -1,7 +1,19 @@
 """Benchmark harness — north-star metric: tiles/sec/chip through the full
-tile → embed → HoverNeXt → postproc path (BASELINE.md; the reference
-publishes no numbers, so vs_baseline is measured against the driver target
-of 100k tiles end-to-end in <5 min on v5e-8 = 41.67 tiles/s/chip).
+tile → embed → HoverNeXt → postproc → graph path (BASELINE.md; the
+reference publishes no numbers, so vs_baseline is measured against the
+driver target of 100k tiles end-to-end in <5 min on v5e-8 = 41.67
+tiles/s/chip).
+
+The headline ``value`` is the MEASURED streamed rate over a ≥10k-tile
+synthetic slide (JPEG bytes → decode → embed + seg forward + watershed +
+instance features per batch → whole-slide kNN/radius graph), not a
+harmonic composition — the composition is kept in ``detail`` for
+stage-level comparisons across rounds. The watershed consumes the maps
+the network actually produced: the model's three 1×1 heads are ridge-fit
+on the synthetic slide (``utils.headfit`` — identical architecture and
+compute cost, non-empty masks; the reference always runs from the
+published checkpoint, ``hovernet_inference.py:82-131``, which this
+zero-egress environment cannot fetch).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 Runs on whatever backend JAX selects (the real TPU chip under the driver).
@@ -10,6 +22,7 @@ Runs on whatever backend JAX selects (the real TPU chip under the driver).
 from __future__ import annotations
 
 import json
+import shutil
 import sys
 import time
 from pathlib import Path
@@ -25,33 +38,26 @@ import numpy as np  # noqa: E402
 TARGET_TILES_PER_SEC_PER_CHIP = 100_000 / 300.0 / 8.0  # driver north-star
 
 
-def _synthetic_hover_maps(rng, b: int, s: int, nuclei: int):
-    """NP/HV/type maps with ``nuclei`` disc instances per tile (proper
-    centroid-offset HV fields) — a realistic watershed workload."""
-    np_prob = np.zeros((b, s, s), np.float32)
-    hv = np.zeros((b, s, s, 2), np.float32)
-    tp = np.zeros((b, s, s), np.int32)
-    yy, xx = np.mgrid[0:s, 0:s].astype(np.float32)
-    for bi in range(b):
-        for _ in range(nuclei):
-            cy, cx = rng.uniform(8, s - 8, 2)
-            r = rng.uniform(4, 9)
-            d2 = (yy - cy) ** 2 + (xx - cx) ** 2
-            inside = d2 <= r * r
-            np_prob[bi][inside] = 1.0
-            hv[bi, :, :, 0][inside] = np.clip((xx[inside] - cx) / r, -1, 1)
-            hv[bi, :, :, 1][inside] = np.clip((yy[inside] - cy) / r, -1, 1)
-            tp[bi][inside] = int(rng.integers(1, 6))
-    return np_prob, hv, tp
-
-
 def _median_rate(fn, n_items: int, warmup: int = 1, iters: int = 4) -> float:
+    """``fn`` returns device output (or None for host-side stages). Device
+    completion is forced via a scalar readback: on the axon tunnel
+    ``block_until_ready`` can return before execution finishes (measured:
+    a 351 ms program "completes" in 0.2 ms) — a 4-byte D2H cannot lie."""
+
+    def call():
+        out = fn()
+        if out is not None:
+            import jax
+            import jax.numpy as jnp
+
+            float(jnp.sum(jax.tree_util.tree_leaves(out)[0]))
+
     for _ in range(warmup):
-        fn()
+        call()
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        fn()
+        call()
         times.append(time.perf_counter() - t0)
     return n_items / float(np.median(times))
 
@@ -88,6 +94,113 @@ def _preflight_backend(timeout_s: float = 180.0) -> None:
         )
 
 
+def _grid_for(slide_px: int, tile: int = 224) -> np.ndarray:
+    side = np.arange(0, slide_px - tile, tile)
+    return (
+        np.stack(np.meshgrid(side, side), axis=-1).reshape(-1, 2).astype(np.int64)
+    )
+
+
+def _mosaic(level: np.ndarray, reps: int) -> np.ndarray:
+    """reps×reps tiling of a level with flipped copies — scales the slide
+    to production tile counts without a multi-GB float re-synthesis (every
+    JPEG tile is still distinct bytes at a distinct offset)."""
+    flips = (
+        lambda a: a,
+        lambda a: a[:, ::-1],
+        lambda a: a[::-1],
+        lambda a: a[::-1, ::-1],
+    )
+    rows = [
+        np.concatenate(
+            [flips[(r * reps + c) % 4](level) for c in range(reps)], axis=1
+        )
+        for r in range(reps)
+    ]
+    return np.ascontiguousarray(np.concatenate(rows, axis=0))
+
+
+def measure_full_pipeline(seg) -> dict:
+    """The reference's per-WSI operating loop (``main.py:143-317``):
+    8-step runner (tessellate → embed → class-embed → annotate → TME →
+    polygons → GeoJSON → overlays) + nuclei + molecular + cell graph +
+    stage-6 stats on one synthetic slide, WARM (second run; compiles and
+    done-flags cleared between runs). Returns per-phase seconds."""
+    import tempfile
+    from dataclasses import replace as dc_replace
+
+    from path_gene_multimodal_tpu.config import default_config
+    from path_gene_multimodal_tpu.io.slide import open_slide, synthetic_wsi
+    from path_gene_multimodal_tpu.io.tiff_write import write_tiled_tiff
+    from path_gene_multimodal_tpu.models.resnet import IDaRSEnsemble
+    from path_gene_multimodal_tpu.pipeline.graph import build_cell_graph
+    from path_gene_multimodal_tpu.pipeline.graph_stats import analyze_graph
+    from path_gene_multimodal_tpu.pipeline.molecular import (
+        extract_molecular_features,
+    )
+    from path_gene_multimodal_tpu.pipeline.nuclei import (
+        run_hovernet_pipeline_on_wsi_tiles,
+    )
+    from path_gene_multimodal_tpu.pipeline.runner import (
+        PipelineModels,
+        run_one_wsi,
+    )
+
+    out_root = Path(tempfile.mkdtemp(prefix="bench_runner_"))
+    synth = synthetic_wsi(4096, 3072, seed=42, n_blobs=5, nuclei_per_blob=450)
+    svs_path = out_root / "bench_case.svs"
+    write_tiled_tiff(
+        svs_path, [synth._levels[0], synth._levels[1], synth._levels[2]],
+        tile_size=256, compression=7, description="Synthetic |MPP = 0.2500|",
+    )
+
+    cfg = default_config()
+    cfg = cfg.replace(
+        tme_classes=cfg.classes,  # random CLIP: any class seeds the ROI
+        polygon=dc_replace(cfg.polygon, min_polygon_area_px=0, area_min_tiles=0),
+    )
+    models = PipelineModels.build(cfg)
+    ensemble = IDaRSEnsemble(list(cfg.molecular.tasks))
+    slide = open_slide(svs_path)
+
+    def one_pass() -> dict:
+        if (out_root / "bench_case").exists():
+            shutil.rmtree(out_root / "bench_case")
+        secs: dict[str, float] = {}
+        t0 = time.perf_counter()
+        result = run_one_wsi(svs_path, out_root, cfg, models=models)
+        secs["runner_8step_sec"] = time.perf_counter() - t0
+        assert result.status == "done", result.error
+        out_dir, stem = result.out_dir, result.stem
+        coords_csv = out_dir / f"{stem}_annotations_with_coords.csv"
+        t0 = time.perf_counter()
+        nuclei = run_hovernet_pipeline_on_wsi_tiles(
+            slide, coords_csv, out_dir, stem, seg, cfg
+        )
+        secs["nuclei_stage_sec"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        extract_molecular_features(slide, coords_csv, out_dir, stem, ensemble, cfg)
+        secs["molecular_stage_sec"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        graph = build_cell_graph(nuclei, cfg.graph, out_dir, stem)
+        analyze_graph(graph, out_dir, stem, n_perms=50)
+        secs["graph_stage_sec"] = time.perf_counter() - t0
+        secs["nuclei_rows"] = len(nuclei)
+        secs["graph_edges"] = int(graph.edge_index.shape[1])
+        return secs
+
+    one_pass()  # warm every program (persistent cache across rounds)
+    secs = one_pass()
+    secs["full_wsi_pipeline_sec"] = round(
+        secs["runner_8step_sec"] + secs["nuclei_stage_sec"]
+        + secs["molecular_stage_sec"] + secs["graph_stage_sec"], 3,
+    )
+    shutil.rmtree(out_root, ignore_errors=True)
+    return {
+        k: (round(v, 3) if isinstance(v, float) else v) for k, v in secs.items()
+    }
+
+
 def main() -> None:
     import tempfile
 
@@ -102,16 +215,21 @@ def main() -> None:
     from path_gene_multimodal_tpu.models.clip import CLIP_VIT_B16, ImageEncoder
     from path_gene_multimodal_tpu.models.hovernext import HOVERNEXT_TINY
     from path_gene_multimodal_tpu.ops.instances import instance_features_batch
+    from path_gene_multimodal_tpu.ops.neighbors import combined_graphs
     from path_gene_multimodal_tpu.ops.pallas.flood import pallas_supported as _pallas_ok
     from path_gene_multimodal_tpu.pipeline.nuclei import NucleiModel
     from path_gene_multimodal_tpu.pipeline.tessellate import iter_tile_batches
+    from path_gene_multimodal_tpu.utils.headfit import (
+        fit_heads,
+        sample_tissue_tiles,
+    )
 
     rng = np.random.default_rng(0)
-    SLIDE_PX = 8192  # 36×36 = 1296-tile grid: enough batches for the
-    # streamed run to amortize pipeline fill/drain + tunnel RTT (324
-    # tiles were 3 batches — fixed costs ate ~40% of the wall clock)
+    SLIDE_PX = 8192  # 36×36 = 1296-tile grid for the per-stage rates
+    # nuclei_per_blob=600 ≈ 30-40 nuclei per tissue tile — the fitted
+    # forward then hands the watershed a realistic instance workload
     slide = synthetic_wsi(SLIDE_PX, SLIDE_PX, seed=0, n_blobs=20,
-                          nuclei_per_blob=200)
+                          nuclei_per_blob=600)
 
     # --- host tile decode from REAL JPEG TIFF bytes (native C++ decoder) ---
     # materialize the synthetic slide as a real JPEG-compressed tiled SVS so
@@ -123,10 +241,21 @@ def main() -> None:
         svs_path, [slide._levels[0], slide._levels[1]], tile_size=256,
         compression=7, description="Aperio bench |MPP = 0.2500|",
     )
-    side = np.arange(0, SLIDE_PX - 224, 224)
-    grid = np.stack(
-        np.meshgrid(side, side), axis=-1
-    ).reshape(-1, 2).astype(np.int64)  # grid-aligned 224px tiles
+    grid = _grid_for(SLIDE_PX)
+
+    # ≥10k-tile slide for the streamed headline: 3×3 flip-mosaic of the
+    # same tissue (24576² → 109² = 11,881 tiles) — fill/drain amortizes
+    # and tile-LRU / host memory / graph accumulation run at real scale
+    REPS = 3
+    BIG_PX = SLIDE_PX * REPS
+    big_svs = Path(tiff_dir) / "bench_big.svs"
+    write_tiled_tiff(
+        big_svs,
+        [_mosaic(slide._levels[0], REPS), _mosaic(slide._levels[1], REPS)],
+        tile_size=256, compression=7,
+        description="Aperio bench |MPP = 0.2500|",
+    )
+    big_grid = _grid_for(BIG_PX)
 
     def run_decode():
         # fresh reader each iteration: no warm LRU carry-over between runs
@@ -171,53 +300,58 @@ def main() -> None:
         ]
     )
     nuclei_batch = 128
-    tiles256 = np.stack(
-        [
-            slide.read_region((int(x), int(y)), 0, (256, 256))
-            for x, y in rng.integers(0, SLIDE_PX - 256, size=(nuclei_batch, 2))
-        ]
-    )
 
     # --- embed stage: CLIP ViT-B/16 bf16 (batch = config knee) -------------
     encoder = ImageEncoder(CLIP_VIT_B16, dtype=jnp.bfloat16, seed=0)
     tiles224_dev = jnp.asarray(tiles224)
 
     def run_embed():
-        encoder(tiles224_dev).block_until_ready()
+        return encoder(tiles224_dev)
 
     embed_rate = _median_rate(run_embed, embed_batch)
 
-    # --- nuclei stage: HoverNeXt tiny, TTA×4 forward on real tiles ---------
-    seg = NucleiModel.build(HOVERNEXT_TINY, tta=4, dtype=jnp.bfloat16)
+    # --- nuclei stage: HoverNeXt tiny, TTA×4 forward on real tissue --------
+    # heads ridge-fit on the slide (utils.headfit): the forward DETECTS the
+    # slide's nuclei, so every downstream stage consumes real model output
+    seg0 = NucleiModel.build(HOVERNEXT_TINY, tta=4, dtype=jnp.bfloat16)
+    fit_tiles = sample_tissue_tiles(slide, 8, 256, seed=5, max_tries=1600)
+    t_fit = time.perf_counter()
+    fitted = fit_heads(HOVERNEXT_TINY, seg0.params, fit_tiles)
+    head_fit_sec = time.perf_counter() - t_fit
+    seg = NucleiModel.build(
+        HOVERNEXT_TINY, params=fitted, tta=4, dtype=jnp.bfloat16
+    )
+
+    tiles256 = sample_tissue_tiles(slide, nuclei_batch, 256, seed=7,
+                                   max_tries=6000)
     tiles256_dev = jnp.asarray(tiles256)
 
     def run_seg_fwd():
-        out = seg._infer(seg.params, tiles256_dev)
-        jax.block_until_ready(out)
+        return seg._infer(seg.params, tiles256_dev)
 
     seg_fwd_rate = _median_rate(run_seg_fwd, len(tiles256))
 
-    # --- watershed post-proc + features on REALISTIC maps ------------------
-    # random weights produce empty masks (flood exits immediately), which
-    # would flatter the number — synthesize ~40 nuclei/tile with proper HV
-    # fields instead
-    np_prob, hv, tp = _synthetic_hover_maps(rng, b=len(tiles256), s=256, nuclei=40)
+    # --- watershed post-proc + features on the REAL forward outputs --------
+    np_prob_d, hv_d, tp_d = seg._infer(seg.params, tiles256_dev)
+    jax.block_until_ready((np_prob_d, hv_d, tp_d))
 
     @jax.jit
     def _pp(np_prob, hv, tp):
         lbl = seg._postproc_raw(np_prob, hv)
         feats = instance_features_batch(
-            lbl.astype(jnp.int32), tp, max_instances=seg.max_instances,
-            use_pallas=_pallas_ok(),
+            lbl.astype(jnp.int32), tp.astype(jnp.int32),
+            max_instances=seg.max_instances, use_pallas=_pallas_ok(),
         )
         return feats["area"], feats["centroid_x"], feats["centroid_y"]
 
-    np_prob_d, hv_d, tp_d = jnp.asarray(np_prob), jnp.asarray(hv), jnp.asarray(tp)
-    areas, cents_x, cents_y = (np.asarray(a) for a in _pp(np_prob_d, hv_d, tp_d))
+    areas, cents_x, cents_y = (
+        np.asarray(a) for a in _pp(np_prob_d, hv_d, tp_d)
+    )
     n_found = int((areas > 0).sum())
+    assert n_found > 0, "fitted forward produced no instances"
 
     def run_pp():
-        jax.block_until_ready(_pp(np_prob_d, hv_d, tp_d))
+        return _pp(np_prob_d, hv_d, tp_d)
 
     pp_rate = _median_rate(run_pp, len(tiles256))
 
@@ -225,9 +359,7 @@ def main() -> None:
 
     # --- graph stage: kNN(k=5) + 40µm radius graph over the pp nuclei ------
     # (north star is tile→embed→nuclei→GRAPH, BASELINE.md:18). Workload:
-    # the ~40 nuclei/tile from the postproc stage, in slide coordinates.
-    from path_gene_multimodal_tpu.ops.neighbors import combined_graphs
-
+    # the real detected nuclei, laid out in slide coordinates.
     pts = []
     for bi in range(len(tiles256)):
         live = areas[bi] > 0
@@ -243,20 +375,16 @@ def main() -> None:
     graph_rate = _median_rate(run_graph, len(tiles256))
 
     # --- combined serial path: decode → embed → nuclei → graph -------------
-    combined = 1.0 / (
+    composed = 1.0 / (
         1.0 / decode_rate + 1.0 / embed_rate + 1.0 / nuclei_rate + 1.0 / graph_rate
     )
 
     # --- MEASURED streamed WSI run (one chain, same tile stream) -----------
-    # The harmonic composition above assumes zero pipeline overlap; this is
-    # the real thing: JPEG bytes → decoded batches → embed + HoverNeXt
+    # The real thing: JPEG bytes → decoded batches → embed + HoverNeXt
     # forward + watershed + instance features per batch (async dispatch
     # overlaps host decode with device compute) → kNN/radius graph over the
-    # accumulated nuclei. Because random weights produce empty masks, the
-    # watershed consumes the same synthetic 40-nuclei maps as the pp stage,
-    # mixed with a 0× term of the real forward outputs so the data
-    # dependency (and therefore stage ordering) is preserved while the
-    # workload stays realistic.
+    # accumulated nuclei. Every map the watershed consumes is what the
+    # fitted network produced from the tile bytes.
     stream_batch = nuclei_batch  # the nuclei knee (config) ties the chain
 
     # planar 4:2:0 device feed: raw Y+CbCr planes over the link (HALF the
@@ -280,13 +408,11 @@ def main() -> None:
         )
 
     @jax.jit
-    def _pp_mixed(np_real, hv_real, syn_np, syn_hv, tp):
-        np_mix = syn_np + 0.0 * np_real
-        hv_mix = syn_hv + 0.0 * hv_real[..., :2]
-        lbl = seg._postproc_raw(np_mix, hv_mix)
+    def _pp_pack(np_real, hv_real, tp_real):
+        lbl = seg._postproc_raw(np_real, hv_real)
         feats = instance_features_batch(
-            lbl.astype(jnp.int32), tp, max_instances=seg.max_instances,
-            use_pallas=_pallas_ok(),
+            lbl.astype(jnp.int32), tp_real.astype(jnp.int32),
+            max_instances=seg.max_instances, use_pallas=_pallas_ok(),
         )
         # pack instance stats to ONE uint16 tensor on device (areas < 2¹⁶;
         # centroids ×128 → 1/128-px quantization) — the production
@@ -297,62 +423,77 @@ def main() -> None:
              feats["centroid_y"] * 128.0], axis=-1,
         ).astype(jnp.uint16)
 
-    def run_streamed() -> tuple[float, int]:
-        reader = TiffTileSlide(svs_path, cache_tiles=512)
-        t0 = time.perf_counter()
-        embs, feats = [], []
-        n_tiles = 0
-        for tiles, valid in iter_tile_batches(
-            reader, grid, 224, stream_batch, pad_to_batch=True, prefetch=2,
-            planar=planar_feed,
-        ):
-            n_tiles += int(valid.sum())
-            if isinstance(tiles, tuple):  # planar: half-bandwidth upload,
-                tiles_dev = _planes_to_rgb(  # finish decode on device
-                    jnp.asarray(tiles[0]), jnp.asarray(tiles[1])
+    def make_run_streamed(path: Path, grid_arr: np.ndarray):
+        def run_streamed() -> tuple[float, int, int]:
+            reader = TiffTileSlide(path, cache_tiles=512)
+            t0 = time.perf_counter()
+            embs, feats = [], []
+            n_tiles = 0
+            for tiles, valid in iter_tile_batches(
+                reader, grid_arr, 224, stream_batch, pad_to_batch=True,
+                prefetch=2, planar=planar_feed,
+            ):
+                n_tiles += int(valid.sum())
+                if isinstance(tiles, tuple):  # planar: half-bandwidth
+                    tiles_dev = _planes_to_rgb(  # upload, finish on device
+                        jnp.asarray(tiles[0]), jnp.asarray(tiles[1])
+                    )
+                else:
+                    tiles_dev = jnp.asarray(tiles)  # ONE async upload/batch
+                emb = encoder(tiles_dev)
+                np_real, hv_real, tp_real = seg._infer(
+                    seg.params, _pad224_to_256(tiles_dev)
                 )
-            else:
-                tiles_dev = jnp.asarray(tiles)  # ONE async upload per batch
-            emb = encoder(tiles_dev)
-            np_real, hv_real, _tp = seg._infer(seg.params, _pad224_to_256(tiles_dev))
-            f = _pp_mixed(np_real, hv_real, np_prob_d, hv_d, tp_d)
-            # start the host copies NOW: they complete behind later
-            # batches' compute, so the end-of-run drain only waits for the
-            # final batch (jax enqueues the copy after the producing op)
-            emb.copy_to_host_async()
-            f.copy_to_host_async()
-            feats.append(f)
-            embs.append(emb)
-        # copies already in flight — np.asarray just collects them
-        _ = [np.asarray(e) for e in embs]
-        acc = np.stack([np.asarray(f) for f in feats])
-        a = acc[..., 0]
-        cx = acc[..., 1].astype(np.float32) / 128.0
-        cy = acc[..., 2].astype(np.float32) / 128.0
-        bb, rr, cc = np.nonzero(a > 0)
-        g = bb * stream_batch + rr  # GLOBAL tile index spreads the nuclei
-        pts_s = np.stack(
-            [cx[bb, rr, cc] + (g % 8) * 256, cy[bb, rr, cc] + (g // 8) * 256],
-            axis=1,
-        ).astype(np.float32)
-        combined_graphs(pts_s, k=5, radius=radius_px)
-        return time.perf_counter() - t0, n_tiles
+                f = _pp_pack(np_real, hv_real, tp_real)
+                # start the host copies NOW: they complete behind later
+                # batches' compute, so the end-of-run drain only waits for
+                # the final batch (jax enqueues the copy after the
+                # producing op)
+                emb.copy_to_host_async()
+                f.copy_to_host_async()
+                feats.append(f)
+                embs.append(emb)
+            # copies already in flight — np.asarray just collects them
+            _ = [np.asarray(e) for e in embs]
+            acc = np.concatenate([np.asarray(f) for f in feats])
+            acc = acc[: len(grid_arr)]  # drop final-batch padding
+            a = acc[..., 0]
+            tile_idx, _slot = np.nonzero(a > 0)
+            cx = acc[..., 1][a > 0].astype(np.float32) / 128.0
+            cy = acc[..., 2][a > 0].astype(np.float32) / 128.0
+            pts_s = np.stack(
+                [cx + grid_arr[tile_idx, 0], cy + grid_arr[tile_idx, 1]],
+                axis=1,
+            ).astype(np.float32)
+            combined_graphs(pts_s, k=5, radius=radius_px)
+            return time.perf_counter() - t0, n_tiles, len(pts_s)
 
-    run_streamed()  # warmup: compile every per-batch program
-    # best-of-3: the dev tunnel's H2D/D2H bandwidth swings minute-to-minute
-    # (measured 7-67 MB/s); min is the least weather-contaminated sample
-    runs = [run_streamed() for _ in range(3)]
-    wsi_sec = min(sec for sec, _ in runs)
+        return run_streamed
+
+    make_run_streamed(svs_path, grid)()  # warmup: compile every program
+    # the dev tunnel's H2D/D2H bandwidth swings minute-to-minute (measured
+    # 7-67 MB/s); min of 2 long runs is the least weather-contaminated
+    # sample a bounded bench can take
+    run_big = make_run_streamed(big_svs, big_grid)
+    runs = [run_big() for _ in range(2)]
+    wsi_sec = min(sec for sec, _, _ in runs)
     wsi_tiles = runs[0][1]
+    wsi_nuclei = runs[0][2]
     wsi_rate = wsi_tiles / wsi_sec
+
+    # --- full per-WSI pipeline (runner + nuclei + molecular + graph) -------
+    runner_secs = measure_full_pipeline(seg)
 
     print(
         json.dumps(
             {
-                "metric": "tiles_per_sec_per_chip_e2e",
-                "value": round(combined, 2),
-                "unit": "tiles/s/chip (JPEG decode + embed ViT-B/16 bf16 b512 + HoverNeXt tiny TTAx4 b128 + watershed + instance features + kNN/radius graph)",
-                "vs_baseline": round(combined / TARGET_TILES_PER_SEC_PER_CHIP, 3),
+                "metric": "wsi_streamed_tiles_per_sec_per_chip",
+                "value": round(wsi_rate, 2),
+                "unit": "tiles/s/chip, MEASURED streamed WSI chain over "
+                f"{wsi_tiles} tiles (JPEG decode + embed ViT-B/16 bf16 + "
+                "HoverNeXt tiny TTAx4 + watershed + instance features + "
+                "kNN/radius graph, real forward outputs end-to-end)",
+                "vs_baseline": round(wsi_rate / TARGET_TILES_PER_SEC_PER_CHIP, 3),
                 "detail": {
                     "decode_tiles_per_sec": round(decode_rate, 2),
                     "decode_planar_tiles_per_sec": round(decode_planar_rate, 2),
@@ -362,12 +503,15 @@ def main() -> None:
                     "seg_forward_tiles_per_sec": round(seg_fwd_rate, 2),
                     "postproc_tiles_per_sec": round(pp_rate, 2),
                     "graph_tiles_per_sec": round(graph_rate, 2),
+                    "composed_tiles_per_sec": round(composed, 2),
                     "wsi_e2e_sec": round(wsi_sec, 3),
                     "wsi_tiles": int(wsi_tiles),
                     "wsi_tiles_per_sec": round(wsi_rate, 2),
+                    "wsi_nuclei_found": int(wsi_nuclei),
+                    "head_fit_sec": round(head_fit_sec, 2),
                     "planar_feed": bool(planar_feed),
                     # north star (BASELINE.md): 100k-tile WSI < 300 s on
-                    # v5e-8 — extrapolated from the MEASURED streamed rate
+                    # v5e-8 — from the MEASURED ≥10k-tile streamed rate
                     # (tile-axis DP scales linearly: zero collectives in
                     # the per-tile chain, stitch/graph are per-shard)
                     "wsi_100k_sec_v5e8_extrapolated": round(
@@ -375,8 +519,11 @@ def main() -> None:
                     ),
                     "graph_nuclei": int(len(pts)),
                     "instances_in_pp_workload": n_found,
-                    "target_tiles_per_sec_per_chip": round(TARGET_TILES_PER_SEC_PER_CHIP, 2),
+                    "target_tiles_per_sec_per_chip": round(
+                        TARGET_TILES_PER_SEC_PER_CHIP, 2
+                    ),
                     "backend": jax.default_backend(),
+                    **runner_secs,
                 },
             }
         )
