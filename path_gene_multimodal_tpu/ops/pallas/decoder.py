@@ -87,16 +87,28 @@ def _conv3_matmuls(xp: jnp.ndarray, w: jnp.ndarray, g: int, h: int, wd: int,
                    acc: jnp.ndarray) -> jnp.ndarray:
     """Accumulate the 9 shifted-tap matmuls of a 3×3 conv.
 
-    xp: (g, h+2, wd+2, cin) padded input (bf16); w: (3, 3, cin, cout)."""
+    xp: (g, h+2, wd+2, cin) padded input (bf16); w: (3, 3, cin, cout).
+    When cin under-fills the 128-lane contraction dim, taps are K-packed
+    in pairs (same trick as ``_chunk_conv_gelu``) so the MXU runs at full
+    K instead of half-empty."""
     cin = xp.shape[-1]
-    for dy in range(3):
-        for dx in range(3):
-            tap = jax.lax.slice(
-                xp, (0, dy, dx, 0), (g, dy + h, dx + wd, cin)
-            ).reshape(g * h * wd, cin)
+
+    def tap_of(dy, dx):
+        return jax.lax.slice(
+            xp, (0, dy, dx, 0), (g, dy + h, dx + wd, cin)
+        ).reshape(g * h * wd, cin)
+
+    groups = _TAP_PAIRS if cin < 128 else [(t,) for t in _TAPS]
+    for group in groups:
+        if len(group) == 1:
+            (dy, dx), = group
             acc = acc + jnp.dot(
-                tap, w[dy, dx], preferred_element_type=jnp.float32
+                tap_of(dy, dx), w[dy, dx], preferred_element_type=jnp.float32
             )
+        else:
+            t = jnp.concatenate([tap_of(dy, dx) for dy, dx in group], axis=1)
+            wg = jnp.concatenate([w[dy, dx] for dy, dx in group], axis=0)
+            acc = acc + jnp.dot(t, wg, preferred_element_type=jnp.float32)
     return acc
 
 
