@@ -163,6 +163,17 @@ class ArraySlide:
             )
 
 
+#: Distinct nucleus fill colors for multi-type synthetic slides — mutually
+#: ≥89 L2 apart (and ≥190 from the tissue pink), so color-based type ground
+#: truth (utils.headfit) is unambiguous at its tol=60 matching radius.
+#: Index i ↔ nucleus type i+1 (TYPE_NAMES, aggregated_hovernet_run.py:76-82).
+NUCLEUS_TYPE_COLORS: tuple[tuple[int, int, int], ...] = (
+    (96, 50, 130),   # purple (the classic single-type fill)
+    (30, 110, 110),  # teal
+    (150, 40, 60),   # maroon
+)
+
+
 def synthetic_wsi(
     width: int = 4096,
     height: int = 4096,
@@ -170,10 +181,18 @@ def synthetic_wsi(
     n_blobs: int = 6,
     nuclei_per_blob: int = 300,
     mpp: float = 0.25,
+    nucleus_colors: tuple[tuple[int, int, int], ...] | None = None,
 ) -> ArraySlide:
     """Deterministic H&E-like synthetic slide: white background, elliptical
     pink tissue blobs with purple nuclei dots. Used as the golden fixture for
-    end-to-end tests and benchmarks (the reference ships none — SURVEY.md §4)."""
+    end-to-end tests and benchmarks (the reference ships none — SURVEY.md §4).
+
+    ``nucleus_colors``: optional fill palette — each nucleus draws a uniform
+    type from it (type i+1 = color i), giving downstream type-aware stages
+    (TP head fitting, interaction enrichment, tumor–immune metrics) a real
+    multi-type population. Default (None) keeps the original single purple
+    fill AND the exact original rng stream, so existing goldens are
+    unchanged."""
     rng = np.random.default_rng(seed)
     img = np.full((height, width, 3), 243, dtype=np.uint8)
     yy = np.arange(height, dtype=np.float32)[:, None]
@@ -202,14 +221,23 @@ def synthetic_wsi(
         n_nuc = n_blobs * nuclei_per_blob
         pick = rng.integers(0, len(tis_y), size=n_nuc)
         radii = rng.integers(3, 8, size=n_nuc)
-        nuc_color = np.array([96, 50, 130], dtype=np.float32)
-        for cy, cx, r in zip(tis_y[pick], tis_x[pick], radii):
+        palette = np.array(
+            nucleus_colors if nucleus_colors else NUCLEUS_TYPE_COLORS[:1],
+            dtype=np.float32,
+        )
+        if len(palette) > 1:
+            # drawn AFTER pick/radii so the single-type rng stream (and
+            # therefore every existing golden) is untouched by the default
+            types = rng.integers(0, len(palette), size=n_nuc)
+        else:
+            types = np.zeros(n_nuc, dtype=np.int64)
+        for cy, cx, r, t in zip(tis_y[pick], tis_x[pick], radii, types):
             y0, y1 = max(cy - r, 0), min(cy + r + 1, height)
             x0, x1 = max(cx - r, 0), min(cx + r + 1, width)
             py = np.arange(y0, y1)[:, None] - cy
             px = np.arange(x0, x1)[None, :] - cx
             disk = py**2 + px**2 <= r**2
-            img_f[y0:y1, x0:x1][disk] = nuc_color
+            img_f[y0:y1, x0:x1][disk] = palette[t]
     return ArraySlide(img_f.astype(np.uint8), mpp=mpp)
 
 

@@ -232,30 +232,71 @@ def _exact_border_heads(out, p_final, x, wcat, bcat, dtype):
     return out
 
 
+def _lowres_head_weights(p, p_final, dtype):
+    """Shared weight folding for the low-res final variants: composite
+    conv weights, 4×-tiled bias, concatenated head matrix (and its
+    block-diagonal form for the Pallas kernel, where all four parity
+    phases ride ONE matmul)."""
+    w = p_final["kernel"].astype(jnp.float32)
+    cout = w.shape[-1]
+    wcat, bcat = _head_cat(p, cout, dtype)
+    wc = _composite_final_weights(w)
+    bias4 = jnp.tile(p_final["bias"], 4)
+    return wc, bias4, wcat, bcat
+
+
+def _parity_to_fullres(z, n_out):
+    """(B, H, W, 4·n_out) phase-major parity logits → (B, 2H, 2W, n_out)."""
+    b, h, wd = z.shape[:3]
+    return (
+        z.reshape(b, h, wd, 2, 2, n_out)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(b, 2 * h, 2 * wd, n_out)
+    )
+
+
+def _final_heads_lowres_pallas(p, x, dtype, interpret=False):
+    """``_final_heads_lowres`` computed by the ``ops.pallas.decoder.
+    composite_final_heads`` kernel: the GELU activation never reaches HBM
+    and the conv runs as K-packed MXU matmuls (the XLA emitter for the
+    cin=64 composite conv measured ~28% MXU — kernel docstring)."""
+    from path_gene_multimodal_tpu.ops.pallas.decoder import (
+        composite_final_heads,
+    )
+
+    p_final = p["final_conv"]
+    wc, bias4, wcat, bcat = _lowres_head_weights(p, p_final, dtype)
+    cout = p_final["kernel"].shape[-1]
+    n_out = wcat.shape[-1]
+    eye = jnp.eye(4, dtype=wcat.dtype)
+    wh_bd = jnp.einsum("pq,cn->pcqn", eye, wcat).reshape(4 * cout, 4 * n_out)
+    bh4 = jnp.tile(bcat, 4)
+    z = composite_final_heads(x, wc, bias4, wh_bd, bh4, interpret=interpret)
+    # f32 BEFORE the border fix: the kernel emits bf16 and the exact border
+    # strips come out in ``dtype`` — scattering wider values into a bf16
+    # tensor would silently round them (and trips the dtype-promotion
+    # FutureWarning)
+    out = _parity_to_fullres(z, n_out).astype(jnp.float32)
+    return _exact_border_heads(out, p_final, x, wcat, bcat, dtype)
+
+
 def _final_heads_lowres(p, x, dtype):
     """_final_conv_lowres ∘ fused-head-matmul with the head applied in the
     LOW-RES parity domain: the (2H, 2W, cout) activation never
     materializes — only the (2H, 2W, heads) logits do (cout→10 for
     HoverNeXt: 6.4× less full-res HBM traffic)."""
     p_final = p["final_conv"]
-    w = p_final["kernel"].astype(jnp.float32)
-    cout = w.shape[-1]
+    wc, bias4, wcat, bcat = _lowres_head_weights(p, p_final, dtype)
+    cout = p_final["kernel"].shape[-1]
     b, h, wd, cin = x.shape
-    wcat, bcat = _head_cat(p, cout, dtype)
     n_out = wcat.shape[-1]
 
-    wc = _composite_final_weights(w)
-    bias4 = jnp.tile(p_final["bias"], 4)
     y = _conv({"kernel": wc, "bias": bias4}, x, stride=1, pad=1, dtype=dtype)
     y = jax.nn.gelu(y, approximate=False)
     # heads per parity block, still at low res
     y = y.reshape(b, h, wd, 4, cout)
     z = jnp.einsum("bhwpc,cn->bhwpn", y.astype(dtype), wcat) + bcat
-    out = (
-        z.reshape(b, h, wd, 2, 2, n_out)
-        .transpose(0, 1, 3, 2, 4, 5)
-        .reshape(b, 2 * h, 2 * wd, n_out)
-    )
+    out = _parity_to_fullres(z.reshape(b, h, wd, 4 * n_out), n_out)
     return _exact_border_heads(out, p_final, x, wcat, bcat, dtype).astype(
         jnp.float32
     )
@@ -301,7 +342,11 @@ def hovernext_forward(
         # fused_final_heads) — in-situ it LOSES (230 vs 199 ms/b256
         # _infer: the per-image grid serializes the VPU upsample and
         # undersized matmuls that XLA batches across images; kept as a
-        # tested opt-in for wider heads). True = the older Pallas
+        # tested opt-in for wider heads). "pallas" = the composite-weight
+        # kernel (ops.pallas.decoder.composite_final_heads) — wins
+        # ISOLATED (1248 vs 1141 t/s) but loses in-situ (340 vs 366 t/s
+        # b128 _infer: the custom-call boundary blocks fusion with the
+        # decoder/TTA epilogue), opt-in. True = the older Pallas
         # upsample+conv kernel without the head fold (285 vs 303 t/s,
         # opt-in); False = the plain resize path.
         fused_final = "lowres"
@@ -385,10 +430,15 @@ def hovernext_forward(
                 "hv": out[..., 2:4],
                 "tp": out[..., 4 : 4 + t],
             }
-        if fused_final == "lowres":
+        if fused_final in ("lowres", "pallas"):
             # heads folded into the low-res parity domain: the full-res
-            # cout activation never materializes
-            out = _final_heads_lowres(p, x, dtype)
+            # cout activation never materializes. "pallas" further keeps
+            # the low-res GELU activation VMEM-resident
+            # (ops.pallas.decoder.composite_final_heads)
+            if fused_final == "pallas":
+                out = _final_heads_lowres_pallas(p, x, dtype, interpret)
+            else:
+                out = _final_heads_lowres(p, x, dtype)
             t = out.shape[-1] - 4
             return {
                 "np": out[..., :2],

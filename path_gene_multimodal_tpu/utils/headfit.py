@@ -23,26 +23,38 @@ from __future__ import annotations
 
 import numpy as np
 
-NUCLEUS_COLOR = (96, 50, 130)  # io.slide.synthetic_wsi nucleus fill
+NUCLEUS_COLOR = (96, 50, 130)  # io.slide.synthetic_wsi default nucleus fill
 _LOGIT_MARGIN = 6.0  # target logit gap: sigmoid(6) ≈ 0.998
+
+
+def _normalize_colors(nucleus_colors) -> np.ndarray:
+    """Accept a single (r, g, b) or a tuple of them → (K, 3) f32."""
+    arr = np.asarray(nucleus_colors, np.float32)
+    return arr[None] if arr.ndim == 1 else arr
 
 
 def nuclei_ground_truth(
     tiles_u8: np.ndarray,
-    nucleus_color: tuple[int, int, int] = NUCLEUS_COLOR,
+    nucleus_colors=NUCLEUS_COLOR,
     tol: float = 60.0,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Per-pixel ground truth from the synthetic slide's nucleus color.
+    """Per-pixel ground truth from the synthetic slide's nucleus color(s).
 
-    Returns ``(np_mask (B,S,S) f32 {0,1}, hv (B,S,S,2) f32 in [-1,1],
-    tp (B,S,S) int32 {0,1})``. HV follows the HoVer-Net convention: x/y
+    ``nucleus_colors``: one (r, g, b) or a tuple of K of them (type i+1 =
+    color i, matching ``io.slide.NUCLEUS_TYPE_COLORS``). Returns
+    ``(np_mask (B,S,S) f32 {0,1}, hv (B,S,S,2) f32 in [-1,1],
+    tp (B,S,S) int32 {0..K})``. HV follows the HoVer-Net convention: x/y
     offset from the instance centroid, normalized per instance by its
     max extent (the same field ``hover_instances`` expects)."""
     from scipy import ndimage
 
     tiles = np.asarray(tiles_u8, dtype=np.float32)
-    dist = np.linalg.norm(tiles - np.array(nucleus_color, np.float32), axis=-1)
-    mask = dist < tol
+    colors = _normalize_colors(nucleus_colors)
+    dists = np.stack(
+        [np.linalg.norm(tiles - c, axis=-1) for c in colors], axis=-1
+    )  # (B, S, S, K)
+    mask = dists.min(axis=-1) < tol
+    tp = np.where(mask, dists.argmin(axis=-1) + 1, 0).astype(np.int32)
     b, s = mask.shape[0], mask.shape[1]
     hv = np.zeros((b, s, s, 2), np.float32)
     yy, xx = np.mgrid[0:s, 0:s].astype(np.float32)
@@ -62,7 +74,7 @@ def nuclei_ground_truth(
         exty = np.maximum(ndimage.maximum(np.abs(dy), lbl[py, px], ids), 1.0)
         hv[bi, py, px, 0] = np.clip(dx / extx[inst], -1, 1)
         hv[bi, py, px, 1] = np.clip(dy / exty[inst], -1, 1)
-    return mask.astype(np.float32), hv, mask.astype(np.int32)
+    return mask.astype(np.float32), hv, tp
 
 
 def _head_features(
@@ -114,7 +126,7 @@ def fit_heads(
     dtype=None,
     seed: int = 0,
     max_pixels: int = 100_000,
-    nucleus_color: tuple[int, int, int] = NUCLEUS_COLOR,
+    nucleus_colors=NUCLEUS_COLOR,
 ):
     """Ridge-fit the NP/HV/TP heads so the forward detects the synthetic
     slide's nuclei. Returns a NEW params pytree (same treedef/shapes —
@@ -123,17 +135,28 @@ def fit_heads(
 
     ``tiles_u8``: (B, S, S, 3) uint8 fitting tiles (sampled from tissue).
     All four rot90 views of each tile are included so the fit holds under
-    the ×4 TTA ensemble."""
+    the ×4 TTA ensemble. ``nucleus_colors``: one (r, g, b) or K of them —
+    with K > 1 the TP head is fitted per type (type i+1 = color i), so
+    downstream type-aware stages (interaction enrichment, tumor–immune
+    metrics — notebook cells 12, 23-27) run on a real multi-type
+    population."""
     import jax.numpy as jnp
 
     if dtype is None:
         dtype = jnp.bfloat16
+    colors = _normalize_colors(nucleus_colors)
+    n_types = len(colors)
+    if n_types >= cfg.tp_channels:
+        raise ValueError(
+            f"{n_types} nucleus colors need tp_channels > {n_types}"
+        )
     rng = np.random.default_rng(seed)
     tiles = np.concatenate(
         [np.rot90(np.asarray(tiles_u8), k=k, axes=(1, 2)) for k in range(4)]
     )
-    np_t, hv_t, _tp_t = nuclei_ground_truth(tiles, nucleus_color)
+    np_t, hv_t, tp_t = nuclei_ground_truth(tiles, colors)
     m = np_t.reshape(-1)
+    tpv = tp_t.reshape(-1)
     hvf = hv_t.reshape(-1, 2)
 
     pos = np.nonzero(m > 0.5)[0]
@@ -163,16 +186,23 @@ def fit_heads(
     w_np[-1, 0] -= float(np.quantile(s_all, 1.0 - float(m[cal].mean())))
     # HV: regression on nucleus pixels + background zeros
     w_hv = _ridge(f_sel, hvf[sel])
-    # TP: background=0 vs type-1 margins; other type logits pushed down
+    # TP: background channel mirrors the NP margin; each nucleus type gets
+    # its own positive margin on its pixels, every other type pushed down
     tpc = cfg.tp_channels
     y_tp = np.full((len(sel), tpc), -_LOGIT_MARGIN, np.float32)
     y_tp[:, 0] = -y_np[:, 0]
-    y_tp[:, 1] = y_np[:, 0]
+    sel_types = tpv[sel]
+    for t in range(1, n_types + 1):
+        y_tp[sel_types == t, t] = _LOGIT_MARGIN
     w_tp = _ridge(f_sel, y_tp)
-    # same prior calibration for the type argmax (class 0 vs class 1)
-    s_tp = f_cal @ (w_tp[:-1, 1] - w_tp[:-1, 0]) + (w_tp[-1, 1] - w_tp[-1, 0])
+    # same prior calibration for the foreground argmax: shift ALL type
+    # biases equally (relative type order untouched) until the predicted
+    # any-type fraction matches the true foreground prior
+    s_types = f_cal @ w_tp[:-1, 1 : n_types + 1] + w_tp[-1, 1 : n_types + 1]
+    s_bg = f_cal @ w_tp[:-1, 0] + w_tp[-1, 0]
+    s_tp = s_types.max(axis=1) - s_bg
     d_tp = float(np.quantile(s_tp, 1.0 - float(m[cal].mean())))
-    w_tp[-1, 1] -= d_tp / 2
+    w_tp[-1, 1 : n_types + 1] -= d_tp / 2
     w_tp[-1, 0] += d_tp / 2
 
     def _conv_params(w: np.ndarray, antisym: bool = False):
@@ -201,27 +231,31 @@ def sample_tissue_tiles(
     n: int,
     size: int,
     seed: int = 0,
-    nucleus_color: tuple[int, int, int] = NUCLEUS_COLOR,
+    nucleus_colors=NUCLEUS_COLOR,
     min_nucleus_frac: float = 0.01,
     max_tries: int = 400,
 ) -> np.ndarray:
     """Sample ``n`` level-0 tiles that actually contain nuclei (by color
-    fraction) — fitting/eval tiles must not be blank background."""
+    fraction over any of the type colors) — fitting/eval tiles must not be
+    blank background."""
     rng = np.random.default_rng(seed)
     w, h = slide.level_dimensions[0]
     out: list[np.ndarray] = []
-    color = np.array(nucleus_color, np.float32)
+    colors = _normalize_colors(nucleus_colors)
     for _ in range(max_tries):
         if len(out) >= n:
             break
         x = int(rng.integers(0, w - size))
         y = int(rng.integers(0, h - size))
-        tile = slide.read_region((x, y), 0, (size, size))
+        tile = slide.read_region((x, y), 0, (size, size)).astype(np.float32)
         frac = (
-            np.linalg.norm(tile.astype(np.float32) - color, axis=-1) < 60.0
+            np.stack(
+                [np.linalg.norm(tile - c, axis=-1) for c in colors], -1
+            ).min(-1)
+            < 60.0
         ).mean()
         if frac >= min_nucleus_frac:
-            out.append(tile)
+            out.append(tile.astype(np.uint8))
     if len(out) < n:
         raise ValueError(
             f"found only {len(out)}/{n} tissue tiles in {max_tries} tries"

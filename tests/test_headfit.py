@@ -71,6 +71,56 @@ def test_fitted_forward_detects_realistic_instance_counts():
     assert lbl0.max() == 0
 
 
+def test_multitype_fit_detects_multiple_types():
+    """3-color slide → fitted TP head assigns ≥2 distinct nucleus types
+    (VERDICT r4 item 8: the bench graph stats must exercise the multi-type
+    enrichment paths, notebook cells 12/23-27)."""
+    from path_gene_multimodal_tpu.io.slide import NUCLEUS_TYPE_COLORS
+
+    slide = synthetic_wsi(
+        1024, 1024, seed=5, n_blobs=4, nuclei_per_blob=120,
+        nucleus_colors=NUCLEUS_TYPE_COLORS,
+    )
+    seg0 = NucleiModel.build(SMALL_CFG, tta=4, dtype=jnp.float32)
+    tiles = headfit.sample_tissue_tiles(
+        slide, 6, 128, seed=1, nucleus_colors=NUCLEUS_TYPE_COLORS
+    )
+    _np_t, _hv_t, tp_t = headfit.nuclei_ground_truth(
+        tiles, NUCLEUS_TYPE_COLORS
+    )
+    assert len(np.unique(tp_t)) >= 3  # bg + ≥2 types in the fixture itself
+    fitted = headfit.fit_heads(
+        SMALL_CFG, seg0.params, tiles, dtype=jnp.float32,
+        nucleus_colors=NUCLEUS_TYPE_COLORS,
+    )
+    seg = NucleiModel.build(SMALL_CFG, params=fitted, tta=4, dtype=jnp.float32)
+    np_p, hv, tp_cls = seg._infer(seg.params, jnp.asarray(tiles))
+    lbl = np.asarray(seg._postproc_raw(jnp.asarray(np_p), hv))
+    tp_cls = np.asarray(tp_cls)
+    # majority type over detected instance pixels, per instance
+    found_types = set()
+    for bi in range(len(tiles)):
+        for inst in np.unique(lbl[bi]):
+            if inst == 0:
+                continue
+            vals, counts = np.unique(
+                tp_cls[bi][lbl[bi] == inst], return_counts=True
+            )
+            found_types.add(int(vals[counts.argmax()]))
+    found_types.discard(0)
+    assert len(found_types) >= 2, found_types
+
+
+def test_single_color_default_unchanged():
+    """The default palette keeps the original rng stream bit-for-bit."""
+    a = synthetic_wsi(512, 512, seed=3, n_blobs=3, nuclei_per_blob=80)
+    b = synthetic_wsi(
+        512, 512, seed=3, n_blobs=3, nuclei_per_blob=80,
+        nucleus_colors=((96, 50, 130),),
+    )
+    assert np.array_equal(a._levels[0], b._levels[0])
+
+
 def test_fit_heads_only_touches_heads():
     seg0 = NucleiModel.build(SMALL_CFG, tta=1, dtype=jnp.float32)
     slide = synthetic_wsi(512, 512, seed=3, n_blobs=3, nuclei_per_blob=80)

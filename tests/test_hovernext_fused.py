@@ -290,3 +290,33 @@ def test_final_heads_lowres_exact(rng):
     ref_h = ref @ wcat + bcat
     got_h = np.asarray(_final_heads_lowres(params, x, jnp.float32))
     np.testing.assert_allclose(got_h, ref_h, atol=1e-4)
+
+    # the Pallas kernel variant (VMEM-resident GELU, block-diag head
+    # matmul) matches at bf16 level — it stores tensors in bf16 internally
+    from path_gene_multimodal_tpu.models.hovernext_fn import (
+        _final_heads_lowres_pallas,
+    )
+
+    got_p = np.asarray(
+        _final_heads_lowres_pallas(params, x, jnp.float32, interpret=True)
+    )
+    scale = float(np.abs(ref_h).max()) or 1.0
+    assert np.abs(got_p - ref_h).max() / scale < 2e-2
+
+
+def test_forward_fused_final_pallas_matches_plain(small_model, rng):
+    """Whole forward with ``fused_final='pallas'`` == the plain resize →
+    conv → gelu → heads path (bf16-level)."""
+    model, params = small_model
+    x = jnp.asarray(rng.random((2, 64, 64, 3)).astype(np.float32))
+    ref = hovernext_forward(
+        params, x, SMALL, dtype=jnp.float32, fused_final=False
+    )
+    got = hovernext_forward(
+        params, x, SMALL, dtype=jnp.float32, fused_final="pallas",
+        interpret=True,
+    )
+    for k in ref:
+        r, g = np.asarray(ref[k]), np.asarray(got[k])
+        scale = float(np.abs(r).max()) or 1.0
+        assert np.abs(g - r).max() / scale < 2e-2, k
