@@ -74,6 +74,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--only-inference", action="store_true",
                     help="skip artifacts; report timings only")
     ap.add_argument(
+        "--exact-gelu", action="store_true",
+        help="use the reference's exact-erf GELU (torch nn.GELU) instead "
+             "of the default tanh approximation — bit-level parity runs; "
+             "costs ~17%% seg throughput on TPU (the tanh drift is below "
+             "bf16 rounding; ConvNeXtConfig.exact_gelu docstring)",
+    )
+    ap.add_argument(
         "--dp", action="store_true",
         help="data-parallel over all local devices: replicate the model "
              "weights and shard each window batch over a tile-axis mesh "
@@ -168,6 +175,10 @@ def main(argv: list[str] | None = None) -> int:
     else:
         logger.warning("no --checkpoint given: running with RANDOM weights "
                        "(plumbing/benchmark mode, not biology)")
+    if args.exact_gelu:
+        from dataclasses import replace as _dcr
+
+        mcfg = _dcr(mcfg, encoder=_dcr(mcfg.encoder, exact_gelu=True))
     mesh = None
     if args.dp:
         from path_gene_multimodal_tpu.parallel.mesh import dp_mesh_for_batch

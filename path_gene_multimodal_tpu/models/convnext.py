@@ -23,6 +23,15 @@ import jax.numpy as jnp
 class ConvNeXtConfig:
     depths: tuple[int, ...] = (3, 3, 9, 3)
     dims: tuple[int, ...] = (96, 192, 384, 768)
+    # GELU flavor for every block (and, via ``HoverNeXtConfig.exact_gelu``,
+    # the HoverNeXt decoder/final stages). False = tanh approximation — on
+    # v5e the exact-erf GELU is VPU-compute-bound (1.42× the cost of a pure
+    # HBM pass; tools/gelu_probe.py) and switching the seg forward to tanh
+    # measured +20.6% throughput (365→440 t/s, tools/gelu_ab.py) with
+    # sub-bf16-rounding drift (max |Δ| ≤ 1.4% of range on np/hv).
+    # True = the reference's torch ``nn.GELU()`` erf semantics
+    # (hover_next model code; timm ConvNeXtV2) for exact-parity runs.
+    exact_gelu: bool = False
 
     @property
     def num_stages(self) -> int:
@@ -54,6 +63,7 @@ class GRN(nn.Module):
 class ConvNeXtBlock(nn.Module):
     dim: int
     dtype: jnp.dtype = jnp.float32
+    exact_gelu: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -64,7 +74,7 @@ class ConvNeXtBlock(nn.Module):
         )(x)
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
         x = nn.Dense(4 * self.dim, dtype=self.dtype, name="pwconv1")(x)
-        x = nn.gelu(x, approximate=False)
+        x = nn.gelu(x, approximate=not self.exact_gelu)
         x = GRN(4 * self.dim, dtype=self.dtype, name="grn")(x)
         x = nn.Dense(self.dim, dtype=self.dtype, name="pwconv2")(x)
         return inp + x
@@ -89,6 +99,9 @@ class ConvNeXtV2(nn.Module):
                     c.dims[s], (2, 2), strides=(2, 2), dtype=self.dtype, name=f"down{s}_conv"
                 )(x)
             for b in range(c.depths[s]):
-                x = ConvNeXtBlock(c.dims[s], dtype=self.dtype, name=f"stage{s}_block{b}")(x)
+                x = ConvNeXtBlock(
+                    c.dims[s], dtype=self.dtype, exact_gelu=c.exact_gelu,
+                    name=f"stage{s}_block{b}",
+                )(x)
             feats.append(x)
         return feats

@@ -45,6 +45,14 @@ class HoverNeXtConfig:
     def tp_channels(self) -> int:
         return self.num_types + 1
 
+    @property
+    def exact_gelu(self) -> bool:
+        """GELU flavor for the WHOLE network (encoder blocks, decoder
+        convs, final conv) — single source of truth on the encoder config
+        (``ConvNeXtConfig.exact_gelu``; see its docstring for the measured
+        tanh-vs-erf numbers). Default False = tanh (TPU-fast)."""
+        return self.encoder.exact_gelu
+
 
 HOVERNEXT_TINY = HoverNeXtConfig()
 
@@ -52,6 +60,7 @@ HOVERNEXT_TINY = HoverNeXtConfig()
 class DecoderBlock(nn.Module):
     dim: int
     dtype: jnp.dtype = jnp.float32
+    exact_gelu: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, skip: jnp.ndarray | None) -> jnp.ndarray:
@@ -62,7 +71,7 @@ class DecoderBlock(nn.Module):
         for i in range(2):
             x = nn.Conv(self.dim, (3, 3), padding=1, dtype=self.dtype, name=f"conv{i}")(x)
             x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name=f"norm{i}")(x)
-            x = nn.gelu(x, approximate=False)
+            x = nn.gelu(x, approximate=not self.exact_gelu)
         return x
 
 
@@ -83,12 +92,14 @@ class HoverNeXt(nn.Module):
         x = feats[-1]
         skips = [feats[2], feats[1], feats[0], None]
         for i, dim in enumerate(c.decoder_dims):
-            x = DecoderBlock(dim, dtype=self.dtype, name=f"dec{i}")(x, skips[i])
+            x = DecoderBlock(
+                dim, dtype=self.dtype, exact_gelu=c.exact_gelu, name=f"dec{i}"
+            )(x, skips[i])
         # x is now at /2 resolution (three skip merges + one plain upsample)
         b, h, w, ch = x.shape
         x = jax.image.resize(x, (b, h * 2, w * 2, ch), method="bilinear")
         x = nn.Conv(c.decoder_dims[-1], (3, 3), padding=1, dtype=self.dtype, name="final_conv")(x)
-        x = nn.gelu(x, approximate=False)
+        x = nn.gelu(x, approximate=not c.exact_gelu)
         out_np = nn.Conv(2, (1, 1), dtype=self.dtype, name="head_np")(x)
         out_hv = nn.Conv(2, (1, 1), dtype=self.dtype, name="head_hv")(x)
         out_tp = nn.Conv(c.tp_channels, (1, 1), dtype=self.dtype, name="head_tp")(x)

@@ -47,6 +47,13 @@ def _dense(p, x, dtype):
     )
 
 
+def _gelu(x, exact: bool):
+    """GELU in the flavor ``cfg.exact_gelu`` selects — tanh by default
+    (measured +20.6% seg-forward throughput on v5e, drift below bf16
+    rounding; ``ConvNeXtConfig.exact_gelu`` docstring has the numbers)."""
+    return jax.nn.gelu(x, approximate=not exact)
+
+
 def _ln(p, x, dtype, eps=1e-6):
     # flax LayerNorm: statistics in f32 (fast variance), normalize, then
     # scale/shift in the module dtype
@@ -70,12 +77,12 @@ def _grn(p, x, dtype):
     return (gamma.astype(x.dtype) * (x * nx) + beta.astype(x.dtype)) + x
 
 
-def _block_unfused(p, x, dtype):
+def _block_unfused(p, x, dtype, exact_gelu=False):
     inp = x
     x = _conv(p["dwconv"], x, stride=1, pad=3, groups=x.shape[-1], dtype=dtype)
     x = _ln(p["norm"], x, dtype)
     x = _dense(p["pwconv1"], x, dtype)
-    x = jax.nn.gelu(x, approximate=False)
+    x = _gelu(x, exact_gelu)
     x = _grn(p["grn"], x, dtype)
     x = _dense(p["pwconv2"], x, dtype)
     return inp + x
@@ -123,10 +130,11 @@ def encoder_features(
                 x = fused_convnext_block(
                     x.astype(jnp.bfloat16),
                     *block_params_from_flax(p),
+                    exact_gelu=c.exact_gelu,
                     interpret=interpret,
                 ).astype(dtype)
             else:
-                x = _block_unfused(p, x, dtype)
+                x = _block_unfused(p, x, dtype, c.exact_gelu)
         feats.append(x)
     return feats
 
@@ -212,7 +220,7 @@ def _composite_final_weights(w):
     )
 
 
-def _exact_border_heads(out, p_final, x, wcat, bcat, dtype):
+def _exact_border_heads(out, p_final, x, wcat, bcat, dtype, exact_gelu=False):
     """Overwrite ``out``'s outer 2-px ring with the exact resize-clamp
     computation (the composite weights assume interior interpolation).
     ``wcat``/``bcat`` apply the folded head matmul after the GELU."""
@@ -222,7 +230,7 @@ def _exact_border_heads(out, p_final, x, wcat, bcat, dtype):
         bb_, hh, ww, _ = xs.shape
         us = jax.image.resize(xs, (bb_, hh * 2, ww * 2, cin), method="bilinear")
         ys = _conv(p_final, us, stride=1, pad=1, dtype=dtype)
-        ys = jax.nn.gelu(ys, approximate=False)
+        ys = _gelu(ys, exact_gelu)
         return jnp.dot(ys.astype(dtype), wcat) + bcat
 
     out = out.at[:, :2].set(exact(x[:, :4])[:, :2])
@@ -255,7 +263,7 @@ def _parity_to_fullres(z, n_out):
     )
 
 
-def _final_heads_lowres_pallas(p, x, dtype, interpret=False):
+def _final_heads_lowres_pallas(p, x, dtype, exact_gelu=False, interpret=False):
     """``_final_heads_lowres`` computed by the ``ops.pallas.decoder.
     composite_final_heads`` kernel: the GELU activation never reaches HBM
     and the conv runs as K-packed MXU matmuls (the XLA emitter for the
@@ -271,16 +279,18 @@ def _final_heads_lowres_pallas(p, x, dtype, interpret=False):
     eye = jnp.eye(4, dtype=wcat.dtype)
     wh_bd = jnp.einsum("pq,cn->pcqn", eye, wcat).reshape(4 * cout, 4 * n_out)
     bh4 = jnp.tile(bcat, 4)
-    z = composite_final_heads(x, wc, bias4, wh_bd, bh4, interpret=interpret)
+    z = composite_final_heads(
+        x, wc, bias4, wh_bd, bh4, exact_gelu=exact_gelu, interpret=interpret
+    )
     # f32 BEFORE the border fix: the kernel emits bf16 and the exact border
     # strips come out in ``dtype`` — scattering wider values into a bf16
     # tensor would silently round them (and trips the dtype-promotion
     # FutureWarning)
     out = _parity_to_fullres(z, n_out).astype(jnp.float32)
-    return _exact_border_heads(out, p_final, x, wcat, bcat, dtype)
+    return _exact_border_heads(out, p_final, x, wcat, bcat, dtype, exact_gelu)
 
 
-def _final_heads_lowres(p, x, dtype):
+def _final_heads_lowres(p, x, dtype, exact_gelu=False):
     """_final_conv_lowres ∘ fused-head-matmul with the head applied in the
     LOW-RES parity domain: the (2H, 2W, cout) activation never
     materializes — only the (2H, 2W, heads) logits do (cout→10 for
@@ -292,14 +302,14 @@ def _final_heads_lowres(p, x, dtype):
     n_out = wcat.shape[-1]
 
     y = _conv({"kernel": wc, "bias": bias4}, x, stride=1, pad=1, dtype=dtype)
-    y = jax.nn.gelu(y, approximate=False)
+    y = _gelu(y, exact_gelu)
     # heads per parity block, still at low res
     y = y.reshape(b, h, wd, 4, cout)
     z = jnp.einsum("bhwpc,cn->bhwpn", y.astype(dtype), wcat) + bcat
     out = _parity_to_fullres(z.reshape(b, h, wd, 4 * n_out), n_out)
-    return _exact_border_heads(out, p_final, x, wcat, bcat, dtype).astype(
-        jnp.float32
-    )
+    return _exact_border_heads(
+        out, p_final, x, wcat, bcat, dtype, exact_gelu
+    ).astype(jnp.float32)
 
 
 def hovernext_forward(
@@ -376,17 +386,17 @@ def hovernext_forward(
                 _upsample2x_nearest(x), skips[i],
                 dp["conv0"]["kernel"], dp["conv0"]["bias"],
                 dp["norm0"]["scale"], dp["norm0"]["bias"],
-                interpret=interpret,
+                exact_gelu=cfg.exact_gelu, interpret=interpret,
             )
             x = fused_decoder_conv(
                 x, None, dp["conv1"]["kernel"], dp["conv1"]["bias"],
                 dp["norm1"]["scale"], dp["norm1"]["bias"],
-                interpret=interpret,
+                exact_gelu=cfg.exact_gelu, interpret=interpret,
             )
         x = upsample2x_bilinear(x)
         x = fused_final_conv_gelu(
             x, p["final_conv"]["kernel"], p["final_conv"]["bias"],
-            interpret=interpret,
+            exact_gelu=cfg.exact_gelu, interpret=interpret,
         ).astype(dtype)
     else:
         for i in range(len(cfg.decoder_dims)):
@@ -400,10 +410,10 @@ def hovernext_forward(
                 # wider decoders where the 2× concat dominates HBM
                 x = _dec_conv0_lowres(dp["conv0"], x, skips[i], dtype)
                 x = _ln(dp["norm0"], x, dtype)
-                x = jax.nn.gelu(x, approximate=False)
+                x = _gelu(x, cfg.exact_gelu)
                 x = _conv(dp["conv1"], x, stride=1, pad=1, dtype=dtype)
                 x = _ln(dp["norm1"], x, dtype)
-                x = jax.nn.gelu(x, approximate=False)
+                x = _gelu(x, cfg.exact_gelu)
                 continue
             x = _upsample2x_nearest(x)
             if skips[i] is not None:
@@ -411,7 +421,7 @@ def hovernext_forward(
             for j in range(2):
                 x = _conv(dp[f"conv{j}"], x, stride=1, pad=1, dtype=dtype)
                 x = _ln(dp[f"norm{j}"], x, dtype)
-                x = jax.nn.gelu(x, approximate=False)
+                x = _gelu(x, cfg.exact_gelu)
         if fused_final == "heads":
             from path_gene_multimodal_tpu.ops.pallas.decoder import (
                 fused_final_heads,
@@ -421,7 +431,7 @@ def hovernext_forward(
             wcat, bcat = _head_cat(p, p_final["kernel"].shape[-1], dtype)
             z = fused_final_heads(
                 x, p_final["kernel"], p_final["bias"], wcat, bcat,
-                interpret=interpret,
+                exact_gelu=cfg.exact_gelu, interpret=interpret,
             )  # (B, n_out, 2H, 2W) bf16
             out = jnp.transpose(z, (0, 2, 3, 1)).astype(jnp.float32)
             t = out.shape[-1] - 4
@@ -436,9 +446,11 @@ def hovernext_forward(
             # the low-res GELU activation VMEM-resident
             # (ops.pallas.decoder.composite_final_heads)
             if fused_final == "pallas":
-                out = _final_heads_lowres_pallas(p, x, dtype, interpret)
+                out = _final_heads_lowres_pallas(
+                    p, x, dtype, cfg.exact_gelu, interpret
+                )
             else:
-                out = _final_heads_lowres(p, x, dtype)
+                out = _final_heads_lowres(p, x, dtype, cfg.exact_gelu)
             t = out.shape[-1] - 4
             return {
                 "np": out[..., :2],
@@ -452,13 +464,13 @@ def hovernext_forward(
 
             x = fused_upsample_final(
                 x, p["final_conv"]["kernel"], p["final_conv"]["bias"],
-                interpret=interpret,
+                exact_gelu=cfg.exact_gelu, interpret=interpret,
             ).astype(dtype)
         else:
             b, h, w, ch = x.shape
             x = jax.image.resize(x, (b, h * 2, w * 2, ch), method="bilinear")
             x = _conv(p["final_conv"], x, stride=1, pad=1, dtype=dtype)
-            x = jax.nn.gelu(x, approximate=False)
+            x = _gelu(x, cfg.exact_gelu)
     if return_features:
         return x
     # fused head matmul: the full-res activation map is read from HBM once

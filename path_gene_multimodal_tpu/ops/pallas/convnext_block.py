@@ -80,7 +80,21 @@ def _gelu_exact(x: jnp.ndarray) -> jnp.ndarray:
     return 0.5 * x * (1.0 + _erf(x * 0.7071067811865476))
 
 
-def _block_kernel(h: int, w: int, c: int, g: int):
+def _gelu_tanh(x: jnp.ndarray) -> jnp.ndarray:
+    """tanh-approximation GELU (torch ``approximate='tanh'`` / jax
+    ``approximate=True``). The production default: on v5e the erf
+    polynomial is VPU-compute-bound while tanh hides under the HBM pass
+    (tools/gelu_probe.py: 65.7 vs 44.0 ms on a 2.1G-element map)."""
+    c3 = 0.044715
+    k = 0.7978845608028654  # sqrt(2/pi)
+    return 0.5 * x * (1.0 + jnp.tanh(k * (x + c3 * x * x * x)))
+
+
+def _gelu_fn(exact: bool):
+    return _gelu_exact if exact else _gelu_tanh
+
+
+def _block_kernel(h: int, w: int, c: int, g: int, exact_gelu: bool = False):
     """g = images per grid step (folds small late-stage images into one
     MXU-friendly matmul; GRN reductions stay per-image)."""
 
@@ -118,7 +132,7 @@ def _block_kernel(h: int, w: int, c: int, g: int):
             w1_ref[...],
             preferred_element_type=jnp.float32,
         ) + b1_ref[...].astype(jnp.float32)
-        y2 = _gelu_exact(y2)
+        y2 = _gelu_fn(exact_gelu)(y2)
 
         # GRN: global spatial L2 per channel, PER IMAGE. Algebraically
         # y3 = y2*(gamma*nx + 1) + beta — one broadcast FMA over the big
@@ -156,7 +170,7 @@ def _images_per_step(h: int, w: int, c: int) -> int:
     return min(g, 8)
 
 
-@partial(jax.jit, static_argnames=("interpret",))
+@partial(jax.jit, static_argnames=("exact_gelu", "interpret"))
 def fused_convnext_block(
     x: jnp.ndarray,
     dw: jnp.ndarray,
@@ -169,6 +183,7 @@ def fused_convnext_block(
     grn_beta: jnp.ndarray,
     w2: jnp.ndarray,
     b2: jnp.ndarray,
+    exact_gelu: bool = False,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """x (B, H, W, C) → ConvNeXtV2 block output, same shape/dtype.
@@ -193,7 +208,7 @@ def fused_convnext_block(
     const2 = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape))
 
     out = pl.pallas_call(
-        _block_kernel(h, w_, c, g),
+        _block_kernel(h, w_, c, g, exact_gelu),
         out_shape=jax.ShapeDtypeStruct((nb, h, w_, c), x.dtype, vma=_vma_of(x)),
         grid=(nb // g,),
         in_specs=[

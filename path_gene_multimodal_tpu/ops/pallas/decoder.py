@@ -37,6 +37,7 @@ from path_gene_multimodal_tpu.ops.pallas.convnext_block import (
     VMEM_LIMIT,
     _args_to_vma,
     _gelu_exact,
+    _gelu_fn,
     _vma_of,
 )
 
@@ -113,7 +114,7 @@ def _conv3_matmuls(xp: jnp.ndarray, w: jnp.ndarray, g: int, h: int, wd: int,
 
 
 def _decoder_kernel(g: int, h: int, w: int, cx: int, cs: int, cout: int,
-                    use_ln: bool):
+                    use_ln: bool, exact_gelu: bool = False):
     oh, ow = h, w
 
     def kernel(*refs):
@@ -143,7 +144,7 @@ def _decoder_kernel(g: int, h: int, w: int, cx: int, cs: int, cout: int,
             acc = acc * lng_ref[...].astype(jnp.float32) + lnb_ref[...].astype(
                 jnp.float32
             )
-        acc = _gelu_exact(acc)
+        acc = _gelu_fn(exact_gelu)(acc)
         out_ref[...] = acc.reshape(g, oh, ow, cout).astype(out_ref.dtype)
 
     return kernel
@@ -163,7 +164,7 @@ def _images_per_step(oh: int, ow: int, cin: int, cout: int) -> int:
     return min(g, 8)
 
 
-@partial(jax.jit, static_argnames=("interpret",))
+@partial(jax.jit, static_argnames=("exact_gelu", "interpret"))
 def fused_decoder_conv(
     x: jnp.ndarray,
     skip: jnp.ndarray | None,
@@ -171,6 +172,7 @@ def fused_decoder_conv(
     b: jnp.ndarray,
     ln_scale: jnp.ndarray | None = None,
     ln_bias: jnp.ndarray | None = None,
+    exact_gelu: bool = False,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """One fused decoder conv step (see module docstring).
@@ -216,7 +218,7 @@ def fused_decoder_conv(
         args += [vec(ln_scale), vec(ln_bias)]
 
     out = pl.pallas_call(
-        _decoder_kernel(g, oh, ow, cx, cs, cout, use_ln),
+        _decoder_kernel(g, oh, ow, cx, cs, cout, use_ln, exact_gelu),
         out_shape=jax.ShapeDtypeStruct((nb, oh, ow, cout), bf, vma=_vma_of(x)),
         grid=(nb // g,),
         in_specs=in_specs,
@@ -254,7 +256,8 @@ _TAPS = [(dy, dx) for dy in range(3) for dx in range(3)]
 _TAP_PAIRS = [(_TAPS[i], _TAPS[i + 1]) for i in range(0, 8, 2)] + [(_TAPS[8],)]
 
 
-def _chunk_conv_gelu(xp, w_ref, bias, c, rc, ow, cin, cout):
+def _chunk_conv_gelu(xp, w_ref, bias, c, rc, ow, cin, cout,
+                     exact_gelu=False):
     """One row-chunk of the padded-upsample 3×3 conv + bias + exact GELU
     (f32 accumulate) — the shared inner loop of both fused kernels."""
     acc = jnp.zeros((rc * ow, cout), jnp.float32)
@@ -268,10 +271,11 @@ def _chunk_conv_gelu(xp, w_ref, bias, c, rc, ow, cin, cout):
         t = jnp.concatenate([tap_of(*g) for g in group], axis=1)
         wg = jnp.concatenate([w_ref[dy, dx] for dy, dx in group], axis=0)
         acc = acc + jnp.dot(t, wg, preferred_element_type=jnp.float32)
-    return _gelu_exact(acc + bias)
+    return _gelu_fn(exact_gelu)(acc + bias)
 
 
-def _upsample_final_kernel(h: int, w: int, cin: int, cout: int):
+def _upsample_final_kernel(h: int, w: int, cin: int, cout: int,
+                           exact_gelu: bool = False):
     """Whole-image 2× bilinear upsample + 3×3 conv + GELU, VMEM-resident.
 
     The XLA lowering of ``jax.image.resize`` + final conv materializes the
@@ -290,7 +294,8 @@ def _upsample_final_kernel(h: int, w: int, cin: int, cout: int):
         rc = oh // 4
         bias = b_ref[...].astype(jnp.float32)
         for c in range(4):
-            acc = _chunk_conv_gelu(xp, w_ref, bias, c, rc, ow, cin, cout)
+            acc = _chunk_conv_gelu(xp, w_ref, bias, c, rc, ow, cin, cout,
+                                   exact_gelu)
             out_ref[0, c * rc : (c + 1) * rc, :, :] = acc.reshape(
                 rc, ow, cout
             ).astype(out_ref.dtype)
@@ -298,11 +303,12 @@ def _upsample_final_kernel(h: int, w: int, cin: int, cout: int):
     return kernel
 
 
-@partial(jax.jit, static_argnames=("interpret",))
+@partial(jax.jit, static_argnames=("exact_gelu", "interpret"))
 def fused_upsample_final(
     x: jnp.ndarray,
     w: jnp.ndarray,
     b: jnp.ndarray,
+    exact_gelu: bool = False,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """x (B, H, W, cin) → 2× bilinear upsample → 3×3 conv(w, b) → exact
@@ -317,7 +323,7 @@ def fused_upsample_final(
     cout = w.shape[-1]
     vma = _vma_of(x)
     out = pl.pallas_call(
-        _upsample_final_kernel(h, wd, cin, cout),
+        _upsample_final_kernel(h, wd, cin, cout, exact_gelu),
         out_shape=jax.ShapeDtypeStruct(
             (bsz, 2 * h, 2 * wd, cout), jnp.bfloat16, vma=vma
         ),
@@ -338,7 +344,7 @@ def fused_upsample_final(
 
 
 def _upsample_final_heads_kernel(h: int, w: int, cin: int, cout: int,
-                                 n_out: int):
+                                 n_out: int, exact_gelu: bool = False):
     """2× bilinear upsample + 3×3 conv + GELU + the three head matmuls
     folded, per image, VMEM-resident.
 
@@ -382,17 +388,18 @@ def _upsample_final_heads_kernel(h: int, w: int, cin: int, cout: int,
     return kernel
 
 
-@partial(jax.jit, static_argnames=("interpret",))
+@partial(jax.jit, static_argnames=("exact_gelu", "interpret"))
 def fused_final_heads(
     x: jnp.ndarray,
     w: jnp.ndarray,
     b: jnp.ndarray,
     wh: jnp.ndarray,
     bh: jnp.ndarray,
+    exact_gelu: bool = False,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """x (B, H, W, cin) → 2× bilinear upsample → 3×3 conv(w, b) → exact
-    GELU → head matmul (wh (cout, n_out), bh) → logits (B, n_out, 2H, 2W)
+    """x (B, H, W, cin) → 2× bilinear upsample → 3×3 conv(w, b) →
+    GELU (``exact_gelu`` selects erf vs tanh) → head matmul (wh (cout, n_out), bh) → logits (B, n_out, 2H, 2W)
     bf16 (NCHW — see kernel docstring). Element-exact vs
     ``jax.image.resize(bilinear)`` + conv + gelu + dot at bf16 precision."""
     bsz, h, wd, cin = x.shape
@@ -406,7 +413,8 @@ def fused_final_heads(
     bf = jnp.bfloat16
     vma = _vma_of(x)
     out = pl.pallas_call(
-        _upsample_final_heads_kernel(h, wd, cin, cout, n_out),
+        _upsample_final_heads_kernel(h, wd, cin, cout, exact_gelu=exact_gelu,
+                                     n_out=n_out),
         out_shape=jax.ShapeDtypeStruct(
             (bsz, n_out, 2 * h, 2 * wd), bf, vma=vma
         ),
@@ -432,7 +440,7 @@ def fused_final_heads(
 
 
 def _composite_heads_kernel(g: int, h: int, w: int, cin: int, c4: int,
-                            n4: int):
+                            n4: int, exact_gelu: bool = False):
     """Low-res composite final conv + GELU + block-diag head matmul, whole
     views per grid step. See ``composite_final_heads``."""
 
@@ -441,7 +449,7 @@ def _composite_heads_kernel(g: int, h: int, w: int, cin: int, c4: int,
         acc = jnp.zeros((g * h * w, c4), jnp.float32)
         acc = _conv3_matmuls(xp, wc_ref[...], g, h, w, acc)
         acc = acc + b_ref[...].astype(jnp.float32)
-        y = _gelu_exact(acc).astype(jnp.bfloat16)
+        y = _gelu_fn(exact_gelu)(acc).astype(jnp.bfloat16)
         z = jnp.dot(
             y, wh_ref[...], preferred_element_type=jnp.float32
         ) + bh_ref[...].astype(jnp.float32)
@@ -450,13 +458,14 @@ def _composite_heads_kernel(g: int, h: int, w: int, cin: int, c4: int,
     return kernel
 
 
-@partial(jax.jit, static_argnames=("interpret",))
+@partial(jax.jit, static_argnames=("exact_gelu", "interpret"))
 def composite_final_heads(
     x: jnp.ndarray,
     wc: jnp.ndarray,
     bias4: jnp.ndarray,
     wh_bd: jnp.ndarray,
     bh4: jnp.ndarray,
+    exact_gelu: bool = False,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Final stage in the LOW-RES parity domain, one Pallas kernel:
@@ -495,7 +504,7 @@ def composite_final_heads(
     vma = _vma_of(x)
     const = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape))
     out = pl.pallas_call(
-        _composite_heads_kernel(g, h, w, cin, c4, n4),
+        _composite_heads_kernel(g, h, w, cin, c4, n4, exact_gelu),
         out_shape=jax.ShapeDtypeStruct((bsz, h, w, n4), bf, vma=vma),
         grid=(bsz // g,),
         in_specs=[
@@ -516,7 +525,8 @@ def composite_final_heads(
     return out
 
 
-def _final_kernel(rows: int, w_: int, cin: int, cout: int, n_strips: int):
+def _final_kernel(rows: int, w_: int, cin: int, cout: int, n_strips: int,
+                  exact_gelu: bool = False):
     def kernel(x_hbm, w_ref, b_ref, out_ref, xs, sem):
         i = pl.program_id(0)
         s = pl.program_id(1)
@@ -571,22 +581,24 @@ def _final_kernel(rows: int, w_: int, cin: int, cout: int, n_strips: int):
                 acc = acc + jnp.dot(
                     tap, w_ref[dy, dx], preferred_element_type=jnp.float32
                 )
-        acc = _gelu_exact(acc + b_ref[...].astype(jnp.float32))
+        acc = _gelu_fn(exact_gelu)(acc + b_ref[...].astype(jnp.float32))
         out_ref[...] = acc.reshape(1, rows, w_, cout).astype(out_ref.dtype)
 
     return kernel
 
 
-@partial(jax.jit, static_argnames=("rows", "interpret"))
+@partial(jax.jit, static_argnames=("rows", "exact_gelu", "interpret"))
 def fused_final_conv_gelu(
     x: jnp.ndarray,
     w: jnp.ndarray,
     b: jnp.ndarray,
     rows: int = 32,
+    exact_gelu: bool = False,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Full-resolution 3×3 conv + bias + exact GELU, strip-pipelined with
-    halo DMA from HBM (module docstring). x (B, H, W, cin), H % rows == 0."""
+    """Full-resolution 3×3 conv + bias + GELU (``exact_gelu`` selects erf
+    vs tanh), strip-pipelined with halo DMA from HBM (module docstring).
+    x (B, H, W, cin), H % rows == 0."""
     bsz, h, wd, cin = x.shape
     cout = w.shape[-1]
     if h % rows:
@@ -606,7 +618,7 @@ def fused_final_conv_gelu(
         cin += pad_c
 
     out = pl.pallas_call(
-        _final_kernel(rows, wd, cin, cout, n_strips),
+        _final_kernel(rows, wd, cin, cout, n_strips, exact_gelu),
         out_shape=jax.ShapeDtypeStruct((bsz, h, wd, cout), bf, vma=_vma_of(x)),
         grid=(bsz, n_strips),
         in_specs=[

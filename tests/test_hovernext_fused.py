@@ -122,7 +122,7 @@ def test_fused_decoder_conv_matches_xla(rng, with_skip):
     xb = jnp.concatenate([x, skip], axis=-1) if with_skip else x
     ref = _conv({"kernel": wk, "bias": bias}, xb, stride=1, pad=1, dtype=jnp.float32)
     ref = _ln({"scale": scale, "bias": lnb}, ref, jnp.float32)
-    ref = np.asarray(jax.nn.gelu(ref, approximate=False))
+    ref = np.asarray(jax.nn.gelu(ref, approximate=True))
 
     got = np.asarray(
         fused_decoder_conv(x, skip, wk, bias, scale, lnb, interpret=True)
@@ -142,7 +142,7 @@ def test_fused_upsample_final_matches_xla(rng):
     bias = jnp.asarray(rng.standard_normal((cout,)).astype(np.float32) * 0.1)
     ref = jax.image.resize(x, (b, 2 * h, 2 * w, cin), method="bilinear")
     ref = _conv({"kernel": wk, "bias": bias}, ref, stride=1, pad=1, dtype=jnp.float32)
-    ref = np.asarray(jax.nn.gelu(ref, approximate=False))
+    ref = np.asarray(jax.nn.gelu(ref, approximate=True))
     got = np.asarray(
         fused_upsample_final(x, wk, bias, interpret=True)
     ).astype(np.float32)
@@ -182,7 +182,7 @@ def test_fused_final_heads_matches_xla(rng):
     bh = jnp.asarray(rng.standard_normal((n_out,)).astype(np.float32) * 0.1)
     ref = jax.image.resize(x, (b, 2 * h, 2 * w, cin), method="bilinear")
     ref = _conv({"kernel": wk, "bias": bias}, ref, stride=1, pad=1, dtype=jnp.float32)
-    ref = np.asarray(jax.nn.gelu(ref, approximate=False)) @ np.asarray(wh) + np.asarray(bh)
+    ref = np.asarray(jax.nn.gelu(ref, approximate=True)) @ np.asarray(wh) + np.asarray(bh)
     got = np.asarray(
         jnp.transpose(fused_final_heads(x, wk, bias, wh, bh, interpret=True),
                       (0, 2, 3, 1))
@@ -201,7 +201,7 @@ def test_fused_final_conv_gelu_matches_xla(rng, h):
     wk = jnp.asarray(rng.standard_normal((3, 3, c, cout)).astype(np.float32) * 0.2)
     bias = jnp.asarray(rng.standard_normal((cout,)).astype(np.float32) * 0.1)
     ref = _conv({"kernel": wk, "bias": bias}, x, stride=1, pad=1, dtype=jnp.float32)
-    ref = np.asarray(jax.nn.gelu(ref, approximate=False))
+    ref = np.asarray(jax.nn.gelu(ref, approximate=True))
     got = np.asarray(
         fused_final_conv_gelu(x, wk, bias, rows=32, interpret=True)
     ).astype(np.float32)
@@ -272,7 +272,7 @@ def test_final_heads_lowres_exact(rng):
     p_final = {"kernel": wk, "bias": bias}
     ref = jax.image.resize(x, (b, 2 * h, 2 * w, cin), method="bilinear")
     ref = _conv(p_final, ref, stride=1, pad=1, dtype=jnp.float32)
-    ref = np.asarray(jax.nn.gelu(ref, approximate=False))
+    ref = np.asarray(jax.nn.gelu(ref, approximate=True))
 
     # heads folded in the low-res domain == heads applied at full res
     hw = {
