@@ -22,6 +22,7 @@ Runs on whatever backend JAX selects (the real TPU chip under the driver).
 from __future__ import annotations
 
 import json
+import os
 import shutil
 import sys
 import time
@@ -120,7 +121,7 @@ def _mosaic(level: np.ndarray, reps: int) -> np.ndarray:
     return np.ascontiguousarray(np.concatenate(rows, axis=0))
 
 
-def measure_full_pipeline(seg) -> dict:
+def measure_full_pipeline(seg, ensemble=None) -> dict:
     """The reference's per-WSI operating loop (``main.py:143-317``):
     8-step runner (tessellate → embed → class-embed → annotate → TME →
     polygons → GeoJSON → overlays) + nuclei + molecular + cell graph +
@@ -146,8 +147,13 @@ def measure_full_pipeline(seg) -> dict:
         run_one_wsi,
     )
 
+    from path_gene_multimodal_tpu.io.slide import NUCLEUS_TYPE_COLORS
+
     out_root = Path(tempfile.mkdtemp(prefix="bench_runner_"))
-    synth = synthetic_wsi(4096, 3072, seed=42, n_blobs=5, nuclei_per_blob=450)
+    # same 3-type palette as the main bench slide: the TP head was fitted
+    # per type, so the graph/stats stages run on a multi-type population
+    synth = synthetic_wsi(4096, 3072, seed=42, n_blobs=5, nuclei_per_blob=450,
+                          nucleus_colors=NUCLEUS_TYPE_COLORS)
     svs_path = out_root / "bench_case.svs"
     write_tiled_tiff(
         svs_path, [synth._levels[0], synth._levels[1], synth._levels[2]],
@@ -160,7 +166,8 @@ def measure_full_pipeline(seg) -> dict:
         polygon=dc_replace(cfg.polygon, min_polygon_area_px=0, area_min_tiles=0),
     )
     models = PipelineModels.build(cfg)
-    ensemble = IDaRSEnsemble(list(cfg.molecular.tasks))
+    if ensemble is None:
+        ensemble = IDaRSEnsemble(list(cfg.molecular.tasks))
     slide = open_slide(svs_path)
 
     def one_pass() -> dict:
@@ -186,6 +193,11 @@ def measure_full_pipeline(seg) -> dict:
         analyze_graph(graph, out_dir, stem, n_perms=50)
         secs["graph_stage_sec"] = time.perf_counter() - t0
         secs["nuclei_rows"] = len(nuclei)
+        # ≥2 means the multi-type stats paths (interaction enrichment,
+        # tumor–immune metrics) actually executed on this workload
+        secs["nuclei_types"] = (
+            int(nuclei["type"].nunique()) if len(nuclei) else 0
+        )
         secs["graph_edges"] = int(graph.edge_index.shape[1])
         return secs
 
@@ -224,12 +236,18 @@ def main() -> None:
         sample_tissue_tiles,
     )
 
+    from path_gene_multimodal_tpu.io.slide import NUCLEUS_TYPE_COLORS
+
     rng = np.random.default_rng(0)
     SLIDE_PX = 8192  # 36×36 = 1296-tile grid for the per-stage rates
     # nuclei_per_blob=600 ≈ 30-40 nuclei per tissue tile — the fitted
-    # forward then hands the watershed a realistic instance workload
+    # forward then hands the watershed a realistic instance workload.
+    # 3-color nuclei → the per-type TP head fit gives downstream stats
+    # (interaction enrichment, tumor–immune metrics) a REAL multi-type
+    # population instead of a degenerate single class
     slide = synthetic_wsi(SLIDE_PX, SLIDE_PX, seed=0, n_blobs=20,
-                          nuclei_per_blob=600)
+                          nuclei_per_blob=600,
+                          nucleus_colors=NUCLEUS_TYPE_COLORS)
 
     # --- host tile decode from REAL JPEG TIFF bytes (native C++ decoder) ---
     # materialize the synthetic slide as a real JPEG-compressed tiled SVS so
@@ -310,20 +328,52 @@ def main() -> None:
 
     embed_rate = _median_rate(run_embed, embed_batch)
 
+    # --- premium embedder: Virchow2 ViT-H/14 (the reference's production
+    # tile embedder, extract_embedding_from_tiles.py:14 / tnbc_config.py:41)
+    # at its measured v5e knee (config.embedding.virchow2_batch_size) ------
+    from path_gene_multimodal_tpu.models.vit_timm import VIRCHOW2_TIMM
+
+    vir_batch = 64
+    vir_encoder = ImageEncoder(VIRCHOW2_TIMM, dtype=jnp.bfloat16, seed=0)
+    tiles224_vir = jnp.asarray(tiles224[:vir_batch])
+
+    def run_virchow2():
+        return vir_encoder(tiles224_vir)
+
+    virchow2_rate = _median_rate(run_virchow2, vir_batch)
+    del vir_encoder  # ~1.3 GB of HBM back before the seg/molecular stages
+
+    # --- molecular stage: 6-task IDaRS ResNet34 vmapped ensemble at its
+    # knee (config.molecular.batch_size; molecular_feature_extraction.py) --
+    from path_gene_multimodal_tpu.config import default_config
+    from path_gene_multimodal_tpu.models.resnet import IDaRSEnsemble
+
+    mol_batch = 256
+    ensemble = IDaRSEnsemble(list(default_config().molecular.tasks))
+    tiles224_mol = jnp.asarray(tiles224[:mol_batch])
+
+    def run_molecular():
+        return ensemble(tiles224_mol)
+
+    molecular_rate = _median_rate(run_molecular, mol_batch)
+
     # --- nuclei stage: HoverNeXt tiny, TTA×4 forward on real tissue --------
     # heads ridge-fit on the slide (utils.headfit): the forward DETECTS the
     # slide's nuclei, so every downstream stage consumes real model output
     seg0 = NucleiModel.build(HOVERNEXT_TINY, tta=4, dtype=jnp.bfloat16)
-    fit_tiles = sample_tissue_tiles(slide, 8, 256, seed=5, max_tries=1600)
+    fit_tiles = sample_tissue_tiles(slide, 8, 256, seed=5, max_tries=1600,
+                                    nucleus_colors=NUCLEUS_TYPE_COLORS)
     t_fit = time.perf_counter()
-    fitted = fit_heads(HOVERNEXT_TINY, seg0.params, fit_tiles)
+    fitted = fit_heads(HOVERNEXT_TINY, seg0.params, fit_tiles,
+                       nucleus_colors=NUCLEUS_TYPE_COLORS)
     head_fit_sec = time.perf_counter() - t_fit
     seg = NucleiModel.build(
         HOVERNEXT_TINY, params=fitted, tta=4, dtype=jnp.bfloat16
     )
 
     tiles256 = sample_tissue_tiles(slide, nuclei_batch, 256, seed=7,
-                                   max_tries=6000)
+                                   max_tries=6000,
+                                   nucleus_colors=NUCLEUS_TYPE_COLORS)
     tiles256_dev = jnp.asarray(tiles256)
 
     def run_seg_fwd():
@@ -374,6 +424,37 @@ def main() -> None:
 
     graph_rate = _median_rate(run_graph, len(tiles256))
 
+    # --- canonical sliding-window WSI mode (SURVEY §3.4): window 256,
+    # stride 248 over the whole slide — JPEG decode → TTA×4 forward →
+    # watershed → exactly-once stitcher → nuclei table + instance-map
+    # write, the reference's hovernet_inference.py:173-209 configuration --
+    from path_gene_multimodal_tpu.pipeline.nuclei_wsi import (
+        iter_windows,
+        run_hovernext_wsi,
+    )
+    from path_gene_multimodal_tpu.utils.log import StageTimer
+
+    wsi_cfg = default_config()
+    n_windows = len(iter_windows(SLIDE_PX, SLIDE_PX, 256, 248))
+    sliding_dir = Path(tempfile.mkdtemp(prefix="bench_sliding_"))
+    run_hovernext_wsi(  # warmup: compiles segment_async's postproc program
+        TiffTileSlide(svs_path, cache_tiles=512), sliding_dir, "warm", seg,
+        wsi_cfg,
+    )
+    timer = StageTimer()
+    t0 = time.perf_counter()
+    _, sliding_nuclei = run_hovernext_wsi(
+        TiffTileSlide(svs_path, cache_tiles=512), sliding_dir, "timed", seg,
+        wsi_cfg, timer=timer,
+    )
+    sliding_sec = time.perf_counter() - t0
+    # the segment loop overlaps decode / device dispatch / host
+    # row-building; everything after it (seam dedup, renumbering, table +
+    # dense-map + zarr writes) is serial host work — the stitcher share
+    # the round-4 review asked to see
+    seg_loop_sec = timer.report()["hovernext_wsi_segment"]["seconds"]
+    shutil.rmtree(sliding_dir, ignore_errors=True)
+
     # --- combined serial path: decode → embed → nuclei → graph -------------
     composed = 1.0 / (
         1.0 / decode_rate + 1.0 / embed_rate + 1.0 / nuclei_rate + 1.0 / graph_rate
@@ -423,66 +504,139 @@ def main() -> None:
              feats["centroid_y"] * 128.0], axis=-1,
         ).astype(jnp.uint16)
 
-    def make_run_streamed(path: Path, grid_arr: np.ndarray):
+    def make_run_streamed(path: Path, grid_arr: np.ndarray, passes: int = 1):
+        """``passes`` > 1 re-streams the same slide, offsetting each pass's
+        nuclei by a pass-sized y shift (a slide cohort laid end-to-end) —
+        tile-LRU, host memory, and the ~10⁶-nuclei graph then run at the
+        100k-tile scale in ONE chain instead of being extrapolated."""
+        pass_dy = float(grid_arr[:, 1].max() + 224)
+
         def run_streamed() -> tuple[float, int, int]:
-            reader = TiffTileSlide(path, cache_tiles=512)
             t0 = time.perf_counter()
-            embs, feats = [], []
+            pts_parts = []
             n_tiles = 0
-            for tiles, valid in iter_tile_batches(
-                reader, grid_arr, 224, stream_batch, pad_to_batch=True,
-                prefetch=2, planar=planar_feed,
-            ):
-                n_tiles += int(valid.sum())
-                if isinstance(tiles, tuple):  # planar: half-bandwidth
-                    tiles_dev = _planes_to_rgb(  # upload, finish on device
-                        jnp.asarray(tiles[0]), jnp.asarray(tiles[1])
+            for p in range(passes):
+                reader = TiffTileSlide(path, cache_tiles=512)
+                embs, feats = [], []
+                for tiles, valid in iter_tile_batches(
+                    reader, grid_arr, 224, stream_batch, pad_to_batch=True,
+                    prefetch=2, planar=planar_feed,
+                ):
+                    n_tiles += int(valid.sum())
+                    if isinstance(tiles, tuple):  # planar: half-bandwidth
+                        tiles_dev = _planes_to_rgb(  # upload, finish on device
+                            jnp.asarray(tiles[0]), jnp.asarray(tiles[1])
+                        )
+                    else:
+                        tiles_dev = jnp.asarray(tiles)  # ONE async upload/batch
+                    emb = encoder(tiles_dev)
+                    np_real, hv_real, tp_real = seg._infer(
+                        seg.params, _pad224_to_256(tiles_dev)
                     )
-                else:
-                    tiles_dev = jnp.asarray(tiles)  # ONE async upload/batch
-                emb = encoder(tiles_dev)
-                np_real, hv_real, tp_real = seg._infer(
-                    seg.params, _pad224_to_256(tiles_dev)
+                    f = _pp_pack(np_real, hv_real, tp_real)
+                    # start the host copies NOW: they complete behind later
+                    # batches' compute, so the end-of-run drain only waits
+                    # for the final batch (jax enqueues the copy after the
+                    # producing op)
+                    emb.copy_to_host_async()
+                    f.copy_to_host_async()
+                    feats.append(f)
+                    embs.append(emb)
+                # copies already in flight — np.asarray just collects them
+                _ = [np.asarray(e) for e in embs]
+                acc = np.concatenate([np.asarray(f) for f in feats])
+                acc = acc[: len(grid_arr)]  # drop final-batch padding
+                a = acc[..., 0]
+                tile_idx, _slot = np.nonzero(a > 0)
+                cx = acc[..., 1][a > 0].astype(np.float32) / 128.0
+                cy = acc[..., 2][a > 0].astype(np.float32) / 128.0
+                pts_parts.append(
+                    np.stack(
+                        [cx + grid_arr[tile_idx, 0],
+                         cy + grid_arr[tile_idx, 1] + p * pass_dy],
+                        axis=1,
+                    ).astype(np.float32)
                 )
-                f = _pp_pack(np_real, hv_real, tp_real)
-                # start the host copies NOW: they complete behind later
-                # batches' compute, so the end-of-run drain only waits for
-                # the final batch (jax enqueues the copy after the
-                # producing op)
-                emb.copy_to_host_async()
-                f.copy_to_host_async()
-                feats.append(f)
-                embs.append(emb)
-            # copies already in flight — np.asarray just collects them
-            _ = [np.asarray(e) for e in embs]
-            acc = np.concatenate([np.asarray(f) for f in feats])
-            acc = acc[: len(grid_arr)]  # drop final-batch padding
-            a = acc[..., 0]
-            tile_idx, _slot = np.nonzero(a > 0)
-            cx = acc[..., 1][a > 0].astype(np.float32) / 128.0
-            cy = acc[..., 2][a > 0].astype(np.float32) / 128.0
-            pts_s = np.stack(
-                [cx + grid_arr[tile_idx, 0], cy + grid_arr[tile_idx, 1]],
-                axis=1,
-            ).astype(np.float32)
+            pts_s = np.concatenate(pts_parts)
             combined_graphs(pts_s, k=5, radius=radius_px)
             return time.perf_counter() - t0, n_tiles, len(pts_s)
 
         return run_streamed
 
     make_run_streamed(svs_path, grid)()  # warmup: compile every program
-    # the dev tunnel's H2D/D2H bandwidth swings minute-to-minute (measured
-    # 7-67 MB/s); min of 2 long runs is the least weather-contaminated
-    # sample a bounded bench can take
+    # median-of-3: the dev tunnel's H2D/D2H bandwidth swings
+    # minute-to-minute (measured 7-67 MB/s); the median long run is a
+    # robust sample that, unlike the previous min-of-2, cannot ride an
+    # unusually good weather window
     run_big = make_run_streamed(big_svs, big_grid)
-    runs = [run_big() for _ in range(2)]
-    wsi_sec = min(sec for sec, _, _ in runs)
+    runs = [run_big() for _ in range(3)]
+    wsi_sec = float(np.median([sec for sec, _, _ in runs]))
     wsi_tiles = runs[0][1]
     wsi_nuclei = runs[0][2]
     wsi_rate = wsi_tiles / wsi_sec
 
+    # --- optional 100k-tile single-chip streamed run (PGM_BENCH_FULL=1) ----
+    # the SAME chain over 9 consecutive passes of the big slide (~107k
+    # tiles, one accumulated ~10⁶-nuclei cohort graph): observes tile-LRU,
+    # host memory, and graph accumulation at the north-star scale instead
+    # of extrapolating ×9 from one 11,881-tile pass
+    full_run = None
+    if os.environ.get("PGM_BENCH_FULL") == "1":
+        fsec, ftiles, fnuclei = make_run_streamed(big_svs, big_grid, passes=9)()
+        full_run = {
+            "wsi_full_tiles": int(ftiles),
+            "wsi_full_sec": round(fsec, 1),
+            "wsi_full_tiles_per_sec": round(ftiles / fsec, 2),
+            "wsi_full_nuclei": int(fnuclei),
+        }
+
     # --- full per-WSI pipeline (runner + nuclei + molecular + graph) -------
-    runner_secs = measure_full_pipeline(seg)
+    runner_secs = measure_full_pipeline(seg, ensemble)
+
+    # --- analytic FLOPs → MFU for every model-bound stage (utils.flops):
+    # each tiles/s rate is also reported as the fraction of the chip's
+    # 197 bf16 TFLOPS it sustains, so "is this actually fast?" is
+    # answerable from this JSON alone and per-stage regressions cannot
+    # hide inside tile-size or batch changes ------------------------------
+    from path_gene_multimodal_tpu.models.resnet import RESNET34_IDARS
+    from path_gene_multimodal_tpu.utils.flops import (
+        hovernext_flops,
+        mfu,
+        resnet_flops,
+        vit_flops,
+    )
+
+    embed_fc = vit_flops(CLIP_VIT_B16)
+    vir_fc = vit_flops(VIRCHOW2_TIMM)
+    seg_fc = hovernext_flops(HOVERNEXT_TINY, tta=4)
+    mol_fc = resnet_flops(RESNET34_IDARS, num_models=6)
+    flops_detail = {
+        "embed_gflops_per_tile": round(embed_fc.total_flops / 1e9, 2),
+        "embed_mfu": round(mfu(embed_rate, embed_fc.total_flops), 4),
+        "embed_virchow2_gflops_per_tile": round(vir_fc.total_flops / 1e9, 2),
+        "embed_virchow2_mfu": round(mfu(virchow2_rate, vir_fc.total_flops), 4),
+        "seg_forward_gflops_per_tile": round(seg_fc.total_flops / 1e9, 2),
+        # dw-conv MACs ride the ~7.5 TFLOP/s VPU, not the MXU — reported
+        # split so the MFU ceiling argument (docs/ROOFLINE.md) is checkable
+        "seg_forward_vpu_gflops_per_tile": round(seg_fc.vpu_flops / 1e9, 2),
+        "seg_forward_mfu": round(mfu(seg_fwd_rate, seg_fc.total_flops), 4),
+        "molecular_gflops_per_tile": round(mol_fc.total_flops / 1e9, 2),
+        "molecular_mfu": round(mfu(molecular_rate, mol_fc.total_flops), 4),
+    }
+
+    # measured multi-device evidence for the v5e-8 extrapolation (tools/
+    # dp_scaling.py on the 8-virtual-device mesh: collective audit + FLOP
+    # partition + sharding-tax wall ratio), refreshed when present
+    dp_evidence = None
+    dp_path = Path(__file__).parent / "DP_SCALING.json"
+    if dp_path.exists():
+        dp = json.loads(dp_path.read_text())
+        dp_evidence = {
+            "collective_ops_8dev": dp["per_mesh"]["8"]["total_collective_ops"],
+            "flops_partition_ratio": dp["flops_partition_ratio"],
+            "walltime_ratio_8dev_vs_1dev": dp["walltime_ratio_8dev_vs_1dev"],
+            "verdict": dp["verdict"],
+        }
 
     print(
         json.dumps(
@@ -499,11 +653,26 @@ def main() -> None:
                     "decode_planar_tiles_per_sec": round(decode_planar_rate, 2),
                     "native_decoder": native_on,
                     "embed_tiles_per_sec": round(embed_rate, 2),
+                    "embed_virchow2_tiles_per_sec": round(virchow2_rate, 2),
+                    "molecular_tiles_per_sec": round(molecular_rate, 2),
                     "nuclei_tiles_per_sec": round(nuclei_rate, 2),
                     "seg_forward_tiles_per_sec": round(seg_fwd_rate, 2),
                     "postproc_tiles_per_sec": round(pp_rate, 2),
                     "graph_tiles_per_sec": round(graph_rate, 2),
                     "composed_tiles_per_sec": round(composed, 2),
+                    # canonical stride-248 sliding-window WSI mode
+                    "wsi_sliding_tiles_per_sec": round(
+                        n_windows / sliding_sec, 2
+                    ),
+                    "wsi_sliding_windows": int(n_windows),
+                    "wsi_sliding_sec": round(sliding_sec, 3),
+                    "wsi_sliding_segment_loop_sec": round(seg_loop_sec, 3),
+                    "wsi_sliding_stitch_finalize_sec": round(
+                        sliding_sec - seg_loop_sec, 3
+                    ),
+                    "wsi_sliding_nuclei": int(len(sliding_nuclei)),
+                    **flops_detail,
+                    "wsi_run_secs": [round(s, 3) for s, _, _ in runs],
                     "wsi_e2e_sec": round(wsi_sec, 3),
                     "wsi_tiles": int(wsi_tiles),
                     "wsi_tiles_per_sec": round(wsi_rate, 2),
@@ -511,12 +680,17 @@ def main() -> None:
                     "head_fit_sec": round(head_fit_sec, 2),
                     "planar_feed": bool(planar_feed),
                     # north star (BASELINE.md): 100k-tile WSI < 300 s on
-                    # v5e-8 — from the MEASURED ≥10k-tile streamed rate
-                    # (tile-axis DP scales linearly: zero collectives in
-                    # the per-tile chain, stitch/graph are per-shard)
+                    # v5e-8 — from the MEASURED ≥10k-tile streamed rate;
+                    # the linear-scaling premise is itself measured, not
+                    # asserted: dp_scaling_evidence below (zero collectives
+                    # in the compiled 8-device per-tile chain, exact 1/8
+                    # FLOP partition, no sharding wall-time tax)
                     "wsi_100k_sec_v5e8_extrapolated": round(
                         100_000 / (8 * wsi_rate), 1
                     ),
+                    **({"dp_scaling_evidence": dp_evidence}
+                       if dp_evidence else {}),
+                    **(full_run or {}),
                     "graph_nuclei": int(len(pts)),
                     "instances_in_pp_workload": n_found,
                     "target_tiles_per_sec_per_chip": round(

@@ -108,6 +108,11 @@ def test_convnextv2_parity():
     assert cfg.depths == depths and cfg.dims == dims
     variables, leftover = convert_convnextv2(sd, cfg)
     assert leftover == {}
+    # bit-level parity vs torch's erf GELU; production default is tanh
+    # (drift bound pinned in test_hovernext_parity.test_tanh_gelu_drift)
+    from dataclasses import replace as dc_replace
+
+    cfg = dc_replace(cfg, exact_gelu=True)
     rng = np.random.default_rng(0)
     x = rng.normal(size=(2, 64, 64, 3)).astype(np.float32)
     ours = ConvNeXtV2(cfg, dtype=jnp.float32).apply(variables, jnp.asarray(x))
