@@ -97,7 +97,8 @@ class EmbeddingConfig:
     batch_size: int = 512
     # the ViT-H Virchow2 tower measures 272 t/s at 64 on v5e but DEGRADES
     # to 205 at 128 (activation pressure) — its own knee, clamped in
-    # pipeline/embed.py when model_type startswith "virchow"
+    # pipeline/embed.py when model_type startswith "virchow". Tracked
+    # every round as bench detail embed_virchow2_tiles_per_sec (r5: 271)
     virchow2_batch_size: int = 64
     dtype: str = "bfloat16"
     # ship JPEG tiles to the device as raw 4:2:0 planes (half the
@@ -151,7 +152,8 @@ class MolecularConfig:
 
     tasks: tuple[str, ...] = tuple(DEFAULT_MOLECULAR_TASKS)
     # reference uses 64; 256 is the measured v5e knee for the 6-model
-    # vmapped sweep (882→1933 t/s)
+    # vmapped sweep (882→1933 t/s isolated). Tracked every round as bench
+    # detail molecular_tiles_per_sec (r5: 1575 on tissue tiles)
     batch_size: int = 256
     thumb_power: float = 4.0
     save_prob_maps: bool = False
