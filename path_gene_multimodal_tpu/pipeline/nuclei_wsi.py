@@ -251,9 +251,26 @@ def run_hovernext_wsi(
     from path_gene_multimodal_tpu.ops.instances import instance_features_batch
     from path_gene_multimodal_tpu.ops.pallas.flood import pallas_supported as _pallas_ok
 
+    import jax
     import jax.numpy as jnp
 
-    def _process(chunk, inst_maps, type_maps) -> None:
+    # Instance features computed ON DEVICE from the arrays segment()
+    # already produced (single-device mode): the maps cross the link once
+    # instead of three times (D2H → re-upload for features → feature D2H),
+    # and the jitted program replaces ~40 eager op dispatches per batch —
+    # both costs are per-batch round-trips the sliding-window loop pays
+    # 9+ times per slide. Mesh mode keeps the host hop: GSPMD cannot
+    # partition the Pallas stats custom call over sharded inputs.
+    feats_on_device = getattr(model, "_mesh", None) is None
+
+    @jax.jit
+    def _feats_dev_fn(lbl, tp):
+        return instance_features_batch(
+            lbl.astype(jnp.int32), tp.astype(jnp.int32),
+            max_instances=model.max_instances, use_pallas=_pallas_ok(),
+        )
+
+    def _process(chunk, inst_maps, type_maps, feats_dev=None) -> None:
         inst_np = np.asarray(inst_maps).astype(np.int32)
         type_np = np.asarray(type_maps).astype(np.int32)
         if inst_np.max(initial=0) >= model.max_instances:
@@ -262,14 +279,13 @@ def run_hovernext_wsi(
                 "dropped (raise cfg.hovernext.max_instances_per_tile)",
                 model.max_instances,
             )
-        chunk_feats = {
-            k: np.asarray(v)
-            for k, v in instance_features_batch(
+        if feats_dev is None:  # mesh mode: compute from the host copies
+            feats_dev = instance_features_batch(
                 jnp.asarray(inst_np), jnp.asarray(type_np),
                 max_instances=model.max_instances,
                 use_pallas=_pallas_ok(),
-            ).items()
-        }
+            )
+        chunk_feats = {k: np.asarray(v) for k, v in feats_dev.items()}
         for bi, (wx, wy) in enumerate(chunk):
             inst = inst_np[bi]
             feats_bi = {k: v[bi] for k, v in chunk_feats.items()}
@@ -348,7 +364,15 @@ def run_hovernext_wsi(
             tiles = payload[1]
         dispatch = getattr(model, "segment_async", model.segment)
         lbl_dev, tp_dev = dispatch(tiles)
-        return chunk, lbl_dev, tp_dev
+        if not feats_on_device:
+            return chunk, lbl_dev, tp_dev
+        feats_dev = _feats_dev_fn(lbl_dev, tp_dev)
+        # the driver only async-copies top-level array args — enqueue the
+        # dict's arrays here so every transfer rides behind this batch's
+        # compute like the maps do
+        for v in feats_dev.values():
+            v.copy_to_host_async()
+        return chunk, lbl_dev, tp_dev, feats_dev
 
     def _on_batch(i, args):
         if rec is not None:
