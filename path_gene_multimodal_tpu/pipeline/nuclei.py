@@ -500,28 +500,58 @@ def run_hovernet_pipeline_on_wsi_tiles(
     # by instance_features_batch; count the affected tiles (nuclei_wsi warns
     # for the identical cap)
 
-    def _process(chunk, offsets, lbl_dev, tp_dev) -> None:
-        # materialize (overlaps with the NEXT batch's device compute) and
-        # crop to the tile frame; labels are already dense per tile
-        inst_maps = np.asarray(lbl_dev).astype(np.int32)
-        type_maps = np.asarray(tp_dev).astype(np.int32)
-        insts = np.zeros((len(chunk), tile_size, tile_size), np.int32)
-        typs = np.zeros((len(chunk), tile_size, tile_size), np.int32)
-        for bi in range(len(chunk)):
-            off = offsets[bi]
-            insts[bi] = inst_maps[bi, off : off + tile_size, off : off + tile_size]
-            typs[bi] = type_maps[bi, off : off + tile_size, off : off + tile_size]
+    # Crop to the tile frame and compute instance features ON DEVICE
+    # (single-device mode): the maps cross the link once, already cropped
+    # (tile² instead of input² bytes), instead of padded-D2H → host crop →
+    # re-upload → feature D2H. Offsets are uniform in practice (every tile
+    # is tile_size → one pad value); a mixed-offset chunk falls back to
+    # the host path. Mesh mode also falls back: GSPMD cannot partition the
+    # Pallas stats custom call.
+    feats_on_device = getattr(model, "_mesh", None) is None
+
+    @partial(jax.jit, static_argnames=("off",))
+    def _crop_feats_dev(lbl, tp, off: int):
+        li = jax.lax.slice_in_dim(
+            jax.lax.slice_in_dim(lbl, off, off + tile_size, axis=1),
+            off, off + tile_size, axis=2,
+        ).astype(jnp.int32)
+        ti = jax.lax.slice_in_dim(
+            jax.lax.slice_in_dim(tp, off, off + tile_size, axis=1),
+            off, off + tile_size, axis=2,
+        ).astype(jnp.int32)
+        feats = instance_features_batch(
+            li, ti, max_instances=model.max_instances,
+            use_pallas=_pallas_ok(),
+        )
+        return li, ti, feats
+
+    def _process(chunk, offsets, lbl_dev, tp_dev, pre=None) -> None:
+        # materialize (overlaps with the NEXT batch's device compute)
+        if pre is not None:
+            li_dev, ti_dev, feats_dev = pre
+            insts = np.asarray(li_dev)[: len(chunk)]
+            typs = np.asarray(ti_dev)[: len(chunk)]
+            chunk_feats = {k: np.asarray(v) for k, v in feats_dev.items()}
+        else:
+            inst_maps = np.asarray(lbl_dev).astype(np.int32)
+            type_maps = np.asarray(tp_dev).astype(np.int32)
+            insts = np.zeros((len(chunk), tile_size, tile_size), np.int32)
+            typs = np.zeros((len(chunk), tile_size, tile_size), np.int32)
+            for bi in range(len(chunk)):
+                off = offsets[bi]
+                insts[bi] = inst_maps[bi, off : off + tile_size, off : off + tile_size]
+                typs[bi] = type_maps[bi, off : off + tile_size, off : off + tile_size]
+            chunk_feats = {
+                k: np.asarray(v)
+                for k, v in instance_features_batch(
+                    jnp.asarray(insts), jnp.asarray(typs),
+                    max_instances=model.max_instances,
+                    use_pallas=_pallas_ok(),
+                ).items()
+            }
         capped["tiles"] += int(
             (insts.max(axis=(1, 2)) >= model.max_instances).sum()
         )
-        chunk_feats = {
-            k: np.asarray(v)
-            for k, v in instance_features_batch(
-                jnp.asarray(insts), jnp.asarray(typs),
-                max_instances=model.max_instances,
-                use_pallas=_pallas_ok(),
-            ).items()
-        }
         for bi, (x, y) in enumerate(chunk):
             feats_bi = {k: v[bi] for k, v in chunk_feats.items()}
             rows.extend(
@@ -547,7 +577,14 @@ def run_hovernet_pipeline_on_wsi_tiles(
         # synchronous segment()
         dispatch = getattr(model, "segment_async", model.segment)
         lbl_dev, tp_dev = dispatch(batch_u8)
-        return chunk, offsets, lbl_dev, tp_dev
+        if not (feats_on_device and len(set(offsets)) == 1):
+            return chunk, offsets, lbl_dev, tp_dev
+        pre = _crop_feats_dev(lbl_dev, tp_dev, off=int(offsets[0]))
+        # enqueue the nested arrays' D2H behind this batch's compute (the
+        # driver only async-copies top-level array args)
+        for t in jax.tree_util.tree_leaves(pre):
+            t.copy_to_host_async()
+        return chunk, offsets, lbl_dev, tp_dev, pre
 
     pipelined_batches(chunks, _decode_chunk, _step, _process)
     n_over = getattr(model, "cc_overflow_tiles", lambda **_: 0)(reset=True)
