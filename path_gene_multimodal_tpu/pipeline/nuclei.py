@@ -500,17 +500,34 @@ def run_hovernet_pipeline_on_wsi_tiles(
     # by instance_features_batch; count the affected tiles (nuclei_wsi warns
     # for the identical cap)
 
-    # Crop to the tile frame and compute instance features ON DEVICE
-    # (single-device mode): the maps cross the link once, already cropped
-    # (tile² instead of input² bytes), instead of padded-D2H → host crop →
-    # re-upload → feature D2H. Offsets are uniform in practice (every tile
+    # Crop to the tile frame, compute instance features AND a sparse
+    # encoding of the label maps ON DEVICE (single-device mode): only the
+    # nonzero pixels + live feature slots cross the link, riding behind the
+    # batch's compute (the axon tunnel moves ~25 MB/s — a batch of dense
+    # maps is seconds of D2H that serializes with the next batch's compute
+    # on the device stream). Offsets are uniform in practice (every tile
     # is tile_size → one pad value); a mixed-offset chunk falls back to
-    # the host path. Mesh mode also falls back: GSPMD cannot partition the
-    # Pallas stats custom call.
+    # the dense host path. Mesh mode also falls back: GSPMD cannot
+    # partition the Pallas stats custom call.
     feats_on_device = getattr(model, "_mesh", None) is None
 
-    @partial(jax.jit, static_argnames=("off",))
-    def _crop_feats_dev(lbl, tp, off: int):
+    from path_gene_multimodal_tpu.ops.instances import (
+        pack_features_sparse,
+        pack_labels_sparse,
+        unpack_features_sparse,
+        unpack_labels_sparse,
+    )
+
+    n_px = batch * tile_size * tile_size
+    n_slots = batch * model.max_instances
+    # budget ladders: start near typical nuclei occupancy, ratchet ×4 when
+    # a batch overflows (that batch refetches dense; ≤2 dense batches/slide)
+    lbl_budgets = [max(n_px // 32, 4096), n_px // 8, n_px // 2]
+    feat_budgets = [max(n_slots // 16, 512), n_slots // 4]
+    pack_level = {"lbl": 0, "feat": 0}
+
+    @partial(jax.jit, static_argnames=("off", "lbl_budget", "feat_budget"))
+    def _crop_pack_dev(lbl, tp, off: int, lbl_budget: int, feat_budget: int):
         li = jax.lax.slice_in_dim(
             jax.lax.slice_in_dim(lbl, off, off + tile_size, axis=1),
             off, off + tile_size, axis=2,
@@ -523,16 +540,44 @@ def run_hovernet_pipeline_on_wsi_tiles(
             li, ti, max_instances=model.max_instances,
             use_pallas=_pallas_ok(),
         )
-        return li, ti, feats
+        cnt, idx, ids = pack_labels_sparse(li, lbl_budget)
+        fcnt, fidx, fpacked = pack_features_sparse(feats, feat_budget)
+        return cnt, idx, ids, fcnt, fidx, fpacked, li, feats
 
-    def _process(chunk, offsets, lbl_dev, tp_dev, pre=None) -> None:
+    class _DenseFallback:
+        """Keeps the dense device arrays alive (NOT transferred) so an
+        overflowing batch can refetch them."""
+
+        __slots__ = ("li", "feats", "lbl_budget", "feat_budget")
+
+        def __init__(self, li, feats, lbl_budget, feat_budget):
+            self.li, self.feats = li, feats
+            self.lbl_budget, self.feat_budget = lbl_budget, feat_budget
+
+    def _process(chunk, offsets, *rest) -> None:
         # materialize (overlaps with the NEXT batch's device compute)
-        if pre is not None:
-            li_dev, ti_dev, feats_dev = pre
-            insts = np.asarray(li_dev)[: len(chunk)]
-            typs = np.asarray(ti_dev)[: len(chunk)]
-            chunk_feats = {k: np.asarray(v) for k, v in feats_dev.items()}
-        else:
+        if len(rest) == 7:  # sparse path
+            cnt, idx, ids, fcnt, fidx, fpacked, fb = rest
+            n = int(cnt)
+            if n > fb.lbl_budget:  # truncated encoding → dense refetch
+                insts = np.asarray(fb.li)[: len(chunk)]
+                if pack_level["lbl"] < len(lbl_budgets) - 1:
+                    pack_level["lbl"] += 1
+            else:
+                insts = unpack_labels_sparse(
+                    cnt, idx, ids, (batch, tile_size, tile_size)
+                )[: len(chunk)]
+            if int(fcnt) > fb.feat_budget:
+                chunk_feats = {k: np.asarray(v) for k, v in fb.feats.items()}
+                if pack_level["feat"] < len(feat_budgets) - 1:
+                    pack_level["feat"] += 1
+            else:
+                chunk_feats = unpack_features_sparse(
+                    fcnt, fidx, fpacked, batch, model.max_instances
+                )
+            typs = None
+        else:  # dense path (mesh mode / mixed-offset chunk)
+            lbl_dev, tp_dev = rest
             inst_maps = np.asarray(lbl_dev).astype(np.int32)
             type_maps = np.asarray(tp_dev).astype(np.int32)
             insts = np.zeros((len(chunk), tile_size, tile_size), np.int32)
@@ -550,12 +595,13 @@ def run_hovernet_pipeline_on_wsi_tiles(
                 ).items()
             }
         capped["tiles"] += int(
-            (insts.max(axis=(1, 2)) >= model.max_instances).sum()
+            (insts.max(axis=(1, 2), initial=0) >= model.max_instances).sum()
         )
         for bi, (x, y) in enumerate(chunk):
             feats_bi = {k: v[bi] for k, v in chunk_feats.items()}
             rows.extend(
-                _tile_rows(insts[bi], typs[bi], int(x), int(y), out_dir,
+                _tile_rows(insts[bi], typs[bi] if typs is not None else None,
+                           int(x), int(y), out_dir,
                            stem, model.max_instances, save_tile_artifacts, cfg,
                            feats=feats_bi)
             )
@@ -579,12 +625,21 @@ def run_hovernet_pipeline_on_wsi_tiles(
         lbl_dev, tp_dev = dispatch(batch_u8)
         if not (feats_on_device and len(set(offsets)) == 1):
             return chunk, offsets, lbl_dev, tp_dev
-        pre = _crop_feats_dev(lbl_dev, tp_dev, off=int(offsets[0]))
-        # enqueue the nested arrays' D2H behind this batch's compute (the
-        # driver only async-copies top-level array args)
-        for t in jax.tree_util.tree_leaves(pre):
-            t.copy_to_host_async()
-        return chunk, offsets, lbl_dev, tp_dev, pre
+        lb = lbl_budgets[pack_level["lbl"]]
+        fbu = feat_budgets[pack_level["feat"]]
+        cnt, idx, ids, fcnt, fidx, fpacked, li_dev, feats_dev = _crop_pack_dev(
+            lbl_dev, tp_dev, off=int(offsets[0]),
+            lbl_budget=lb, feat_budget=fbu,
+        )
+        # the driver async-copies the top-level sparse arrays; enqueue the
+        # dict's arrays here so every transfer rides behind this batch's
+        # compute. The full lbl/tp maps and the dense crop stay ON DEVICE
+        # (the fallback holder has no copy_to_host_async) — nothing dense
+        # crosses the link unless a budget overflows.
+        for v in fpacked.values():
+            v.copy_to_host_async()
+        return (chunk, offsets, cnt, idx, ids, fcnt, fidx, fpacked,
+                _DenseFallback(li_dev, feats_dev, lb, fbu))
 
     pipelined_batches(chunks, _decode_chunk, _step, _process)
     n_over = getattr(model, "cc_overflow_tiles", lambda **_: 0)(reset=True)
@@ -653,7 +708,7 @@ def pipelined_batches(chunks, decode_fn, step_fn, process_fn, on_batch=None):
 
 def _tile_rows(
     inst: np.ndarray,
-    types: np.ndarray,
+    types: np.ndarray | None,  # only consumed when ``feats`` is None
     tile_x: int,
     tile_y: int,
     out_dir: Path,
@@ -671,9 +726,14 @@ def _tile_rows(
     tile_name = f"{tile_x}_{tile_y}"
     rows = []
     class_inst: dict[str, list] = {}
-    for inst_id in range(1, max_instances):
-        if feats["area"][inst_id] <= 0:
+    # iterate LIVE slots only: the slot vector is max_instances wide (512)
+    # but a typical window holds a handful of nuclei — scanning every slot
+    # with scalar numpy reads costs ~0.5M iterations per slide in the
+    # sliding-window mode
+    for inst_id in np.flatnonzero(np.asarray(feats["area"]) > 0):
+        if inst_id == 0:
             continue
+        inst_id = int(inst_id)
         t = int(feats["type"][inst_id])
         cx = float(feats["centroid_x"][inst_id])
         cy = float(feats["centroid_y"][inst_id])

@@ -248,52 +248,125 @@ def run_hovernext_wsi(
             out[int(uid)] = (ys[lo:hi], xs[lo:hi])
         return out
 
-    from path_gene_multimodal_tpu.ops.instances import instance_features_batch
+    from functools import partial
+
+    from path_gene_multimodal_tpu.ops.instances import (
+        groups_from_sparse,
+        instance_features_batch,
+        pack_features_sparse,
+        pack_labels_sparse,
+        unpack_features_sparse,
+        unpack_labels_sparse,
+    )
     from path_gene_multimodal_tpu.ops.pallas.flood import pallas_supported as _pallas_ok
 
     import jax
     import jax.numpy as jnp
 
-    # Instance features computed ON DEVICE from the arrays segment()
-    # already produced (single-device mode): the maps cross the link once
-    # instead of three times (D2H → re-upload for features → feature D2H),
-    # and the jitted program replaces ~40 eager op dispatches per batch —
-    # both costs are per-batch round-trips the sliding-window loop pays
-    # 9+ times per slide. Mesh mode keeps the host hop: GSPMD cannot
-    # partition the Pallas stats custom call over sharded inputs.
+    # Single-device mode: instance features AND a sparse encoding of the
+    # label maps are computed ON DEVICE from the arrays segment() already
+    # produced. Only the sparse pixels + live feature slots cross the link
+    # (the axon tunnel moves ~25 MB/s; a batch of dense maps is seconds of
+    # D2H that serializes with the next batch's compute on the device
+    # stream — measured 7.7 s of 20.9 s for a 1089-window slide). Mesh
+    # mode keeps the dense host hop: GSPMD cannot partition the Pallas
+    # stats custom call over sharded inputs.
     feats_on_device = getattr(model, "_mesh", None) is None
 
-    @jax.jit
-    def _feats_dev_fn(lbl, tp):
-        return instance_features_batch(
+    n_px = batch * window * window
+    n_slots = batch * model.max_instances
+    # budget ladders: start near the typical nuclei occupancy, ratchet ×4
+    # when a batch overflows (that batch falls back to a dense transfer;
+    # later batches re-pack at the larger size — ≤2 dense batches/slide)
+    lbl_budgets = [max(n_px // 32, 4096), n_px // 8, n_px // 2]
+    feat_budgets = [max(n_slots // 16, 512), n_slots // 4]
+    pack_level = {"lbl": 0, "feat": 0}
+
+    @partial(jax.jit, static_argnums=(2, 3))
+    def _feats_pack_fn(lbl, tp, lbl_budget: int, feat_budget: int):
+        feats = instance_features_batch(
             lbl.astype(jnp.int32), tp.astype(jnp.int32),
             max_instances=model.max_instances, use_pallas=_pallas_ok(),
         )
+        cnt, idx, ids = pack_labels_sparse(lbl, lbl_budget)
+        fcnt, fidx, fpacked = pack_features_sparse(feats, feat_budget)
+        return cnt, idx, ids, fcnt, fidx, fpacked, feats
 
-    def _process(chunk, inst_maps, type_maps, feats_dev=None) -> None:
-        inst_np = np.asarray(inst_maps).astype(np.int32)
-        type_np = np.asarray(type_maps).astype(np.int32)
-        if inst_np.max(initial=0) >= model.max_instances:
+    class _DenseFallback:
+        """Keeps the dense device arrays alive (NOT transferred) so an
+        overflowing batch can refetch them; carries the budgets the batch
+        was packed with."""
+
+        __slots__ = ("lbl", "feats", "lbl_budget", "feat_budget")
+
+        def __init__(self, lbl, feats, lbl_budget, feat_budget):
+            self.lbl, self.feats = lbl, feats
+            self.lbl_budget, self.feat_budget = lbl_budget, feat_budget
+
+    def _warn_cap(inst_max: int) -> None:
+        if inst_max >= model.max_instances:
             logger.warning(
                 "window batch has >= %d instances; ids beyond the cap are "
                 "dropped (raise cfg.hovernext.max_instances_per_tile)",
                 model.max_instances,
             )
-        if feats_dev is None:  # mesh mode: compute from the host copies
-            feats_dev = instance_features_batch(
-                jnp.asarray(inst_np), jnp.asarray(type_np),
-                max_instances=model.max_instances,
-                use_pallas=_pallas_ok(),
+
+    def _process_sparse(chunk, cnt, idx, ids, fcnt, fidx, fpacked, fb) -> None:
+        n = int(cnt)
+        if n > fb.lbl_budget:  # truncated encoding → dense refetch
+            inst_np = np.asarray(fb.lbl).astype(np.int32)
+            groups_bw = None
+            if pack_level["lbl"] < len(lbl_budgets) - 1:
+                pack_level["lbl"] += 1
+                logger.info(
+                    "sparse label budget %d overflowed (%d px); next "
+                    "batches pack at %d", fb.lbl_budget, n,
+                    lbl_budgets[pack_level["lbl"]],
+                )
+        else:
+            inst_np = unpack_labels_sparse(cnt, idx, ids, (batch, window, window))
+            groups_bw = (
+                groups_from_sparse(cnt, idx, ids, batch, window, window)
+                if write_instance_map else None
             )
+        _warn_cap(int(inst_np.max(initial=0)))
+        fn = int(fcnt)
+        if fn > fb.feat_budget:
+            chunk_feats = {k: np.asarray(v) for k, v in fb.feats.items()}
+            if pack_level["feat"] < len(feat_budgets) - 1:
+                pack_level["feat"] += 1
+        else:
+            chunk_feats = unpack_features_sparse(
+                fcnt, fidx, fpacked, batch, model.max_instances
+            )
+        _emit_rows(chunk, inst_np, None, chunk_feats, groups_bw)
+
+    def _process_dense(chunk, inst_maps, type_maps) -> None:
+        # mesh mode: dense maps cross the link; features from host copies
+        inst_np = np.asarray(inst_maps).astype(np.int32)
+        type_np = np.asarray(type_maps).astype(np.int32)
+        _warn_cap(int(inst_np.max(initial=0)))
+        feats_dev = instance_features_batch(
+            jnp.asarray(inst_np), jnp.asarray(type_np),
+            max_instances=model.max_instances,
+            use_pallas=_pallas_ok(),
+        )
         chunk_feats = {k: np.asarray(v) for k, v in feats_dev.items()}
+        _emit_rows(chunk, inst_np, type_np, chunk_feats, None)
+
+    def _emit_rows(chunk, inst_np, type_np, chunk_feats, groups_bw) -> None:
         for bi, (wx, wy) in enumerate(chunk):
             inst = inst_np[bi]
             feats_bi = {k: v[bi] for k, v in chunk_feats.items()}
             sub_rows = _tile_rows(
-                inst, type_np[bi], wx, wy, out_dir, stem,
+                inst, type_np[bi] if type_np is not None else None,
+                wx, wy, out_dir, stem,
                 model.max_instances, False, cfg, feats=feats_bi,
             )
-            groups = _group_instance_pixels(inst) if write_instance_map else {}
+            if groups_bw is not None:
+                groups = groups_bw[bi]
+            else:
+                groups = _group_instance_pixels(inst) if write_instance_map else {}
             for r in sub_rows:
                 bx0 = r["wsi_bbox_xmin"]
                 by0 = r["wsi_bbox_ymin"]
@@ -366,20 +439,29 @@ def run_hovernext_wsi(
         lbl_dev, tp_dev = dispatch(tiles)
         if not feats_on_device:
             return chunk, lbl_dev, tp_dev
-        feats_dev = _feats_dev_fn(lbl_dev, tp_dev)
+        lb = lbl_budgets[pack_level["lbl"]]
+        fb = feat_budgets[pack_level["feat"]]
+        cnt, idx, ids, fcnt, fidx, fpacked, feats_dev = _feats_pack_fn(
+            lbl_dev, tp_dev, lb, fb
+        )
         # the driver only async-copies top-level array args — enqueue the
         # dict's arrays here so every transfer rides behind this batch's
-        # compute like the maps do
-        for v in feats_dev.values():
+        # compute like the sparse arrays do
+        for v in fpacked.values():
             v.copy_to_host_async()
-        return chunk, lbl_dev, tp_dev, feats_dev
+        return (chunk, cnt, idx, ids, fcnt, fidx, fpacked,
+                _DenseFallback(lbl_dev, feats_dev, lb, fb))
 
     def _on_batch(i, args):
         if rec is not None:
             rec.items = i * batch + len(args[0])
             rec.seconds = time.perf_counter() - t_seg0
 
-    pipelined_batches(chunks, _decode_chunk, _step, _process, on_batch=_on_batch)
+    pipelined_batches(
+        chunks, _decode_chunk, _step,
+        _process_sparse if feats_on_device else _process_dense,
+        on_batch=_on_batch,
+    )
 
     n_over = getattr(model, "cc_overflow_tiles", lambda **_: 0)(reset=True)
     if n_over:
