@@ -193,10 +193,17 @@ def synthetic_wsi(
     multi-type population. Default (None) keeps the original single purple
     fill AND the exact original rng stream, so existing goldens are
     unchanged."""
+    # NOTE: every change here must keep the output BYTE-IDENTICAL for a
+    # given seed (rng call order, float dtypes, cast order) — tests and
+    # bench baselines treat these slides as golden fixtures. The work is
+    # restricted to blob bboxes / tissue pixels (the original full-frame
+    # formulation cost minutes at 8192²: per-blob 67-MP ellipse evals, a
+    # float64 kron texture and a full float32 frame), but the per-pixel
+    # arithmetic is the exact original expression.
     rng = np.random.default_rng(seed)
     img = np.full((height, width, 3), 243, dtype=np.uint8)
-    yy = np.arange(height, dtype=np.float32)[:, None]
-    xx = np.arange(width, dtype=np.float32)[None, :]
+    yy = np.arange(height, dtype=np.float32)
+    xx = np.arange(width, dtype=np.float32)
     tissue_mask = np.zeros((height, width), dtype=bool)
     for _ in range(n_blobs):
         cx = rng.uniform(0.15, 0.85) * width
@@ -204,19 +211,29 @@ def synthetic_wsi(
         rx = rng.uniform(0.08, 0.22) * width
         ry = rng.uniform(0.08, 0.22) * height
         theta = rng.uniform(0, np.pi)
-        dx, dy = xx - cx, yy - cy
+        # the ellipse fits in the disk of radius max(rx, ry) around its
+        # center — evaluate only that bbox (identical elementwise math on
+        # the identical coordinate values → identical mask bits)
+        r = max(rx, ry)
+        by0, by1 = max(int(cy - r) - 1, 0), min(int(cy + r) + 2, height)
+        bx0, bx1 = max(int(cx - r) - 1, 0), min(int(cx + r) + 2, width)
+        dx = xx[bx0:bx1][None, :] - cx
+        dy = yy[by0:by1][:, None] - cy
         u = dx * np.cos(theta) + dy * np.sin(theta)
         v = -dx * np.sin(theta) + dy * np.cos(theta)
         blob = (u / rx) ** 2 + (v / ry) ** 2 <= 1.0
-        tissue_mask |= blob
-    # eosin-pink tissue with low-frequency texture
-    tex = rng.normal(0, 6, size=(height // 16 + 1, width // 16 + 1, 3))
-    tex = np.kron(tex, np.ones((16, 16, 1)))[:height, :width]
+        tissue_mask[by0:by1, bx0:bx1] |= blob
+    # eosin-pink tissue with low-frequency texture: the texture grid is
+    # gathered per tissue pixel ((y//16, x//16) block lookup — what the
+    # original kron-upsampled frame evaluated to), and the original cast
+    # chain (f64 clip → f32 frame → u8) is reproduced exactly
+    tex_small = rng.normal(0, 6, size=(height // 16 + 1, width // 16 + 1, 3))
     tissue_color = np.array([228, 160, 185], dtype=np.float32)
-    img_f = img.astype(np.float32)
-    img_f[tissue_mask] = np.clip(tissue_color + tex[tissue_mask], 0, 255)
-    # purple nuclei: small filled disks inside tissue
     tis_y, tis_x = np.nonzero(tissue_mask)
+    if len(tis_y):
+        vals = np.clip(tissue_color + tex_small[tis_y >> 4, tis_x >> 4], 0, 255)
+        img[tis_y, tis_x] = vals.astype(np.float32).astype(np.uint8)
+    # purple nuclei: small filled disks inside tissue
     if len(tis_y):
         n_nuc = n_blobs * nuclei_per_blob
         pick = rng.integers(0, len(tis_y), size=n_nuc)
@@ -231,14 +248,26 @@ def synthetic_wsi(
             types = rng.integers(0, len(palette), size=n_nuc)
         else:
             types = np.zeros(n_nuc, dtype=np.int64)
+        palette_u8 = palette.astype(np.uint8)  # exact ints in f32 → u8
+        disk_cache = {
+            rr: (
+                (np.arange(2 * rr + 1)[:, None] - rr) ** 2
+                + (np.arange(2 * rr + 1)[None, :] - rr) ** 2
+                <= rr * rr
+            )
+            for rr in range(3, 8)
+        }
         for cy, cx, r, t in zip(tis_y[pick], tis_x[pick], radii, types):
             y0, y1 = max(cy - r, 0), min(cy + r + 1, height)
             x0, x1 = max(cx - r, 0), min(cx + r + 1, width)
-            py = np.arange(y0, y1)[:, None] - cy
-            px = np.arange(x0, x1)[None, :] - cx
-            disk = py**2 + px**2 <= r**2
-            img_f[y0:y1, x0:x1][disk] = palette[t]
-    return ArraySlide(img_f.astype(np.uint8), mpp=mpp)
+            if y1 - y0 == 2 * r + 1 and x1 - x0 == 2 * r + 1:
+                disk = disk_cache[int(r)]  # unclipped: shared mask
+            else:
+                py = np.arange(y0, y1)[:, None] - cy
+                px = np.arange(x0, x1)[None, :] - cx
+                disk = py**2 + px**2 <= r**2
+            img[y0:y1, x0:x1][disk] = palette_u8[t]
+    return ArraySlide(img, mpp=mpp)
 
 
 def open_slide(path: str | Path) -> SlideReader:

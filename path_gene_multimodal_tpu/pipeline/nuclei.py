@@ -829,7 +829,12 @@ def _solidity(poly: np.ndarray, area: float) -> float:
     if len(hull) < 3:
         return 1.0
     x, y = hull[:, 0], hull[:, 1]
-    hull_area = 0.5 * abs(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
+    # shoelace via the cross-sum identity: Σ(x·y₊ − x₊·y) = Σ x·y₊ − Σ x₊·y
+    # with concatenated rotations (np.roll's axis plumbing costs more than
+    # the arithmetic at these ~10-20-vertex hulls, ~10⁴ calls per slide)
+    x1 = np.concatenate([x[1:], x[:1]])
+    y1 = np.concatenate([y[1:], y[:1]])
+    hull_area = 0.5 * abs(np.sum(x * y1 - x1 * y))
     if hull_area <= 0:
         return 1.0
     return float(min(area / hull_area, 1.0))

@@ -507,15 +507,27 @@ def run_hovernext_wsi(
 
             map_path = out_dir / f"{stem}_pinst_pp.npz"
             if inst_map_wsi is not None:
-                savez_fast(map_path, inst_map=inst_map_wsi)
                 # reference-contract sidecar: zarr zip (1, H, W) uint32
                 # (consumers: aggregated_hovernet_run.py:163-166,
-                # hovernet_plotting.py:44-73); sparse maps stay npz-only
+                # hovernet_plotting.py:44-73); sparse maps stay npz-only.
+                # The npz and the zip each deflate the full map (hundreds
+                # of MB on big slides) — run both compressions in parallel
+                # threads (zlib releases the GIL), halving the serial
+                # finalize tail after the segment loop
+                from concurrent.futures import ThreadPoolExecutor
+
                 from path_gene_multimodal_tpu.io.zarrzip import write_zarr_zip
 
-                write_zarr_zip(
-                    out_dir / f"{stem}_pinst_pp.zip", inst_map_wsi[None]
-                )
+                with ThreadPoolExecutor(max_workers=2) as wpool:
+                    fut_npz = wpool.submit(
+                        savez_fast, map_path, inst_map=inst_map_wsi
+                    )
+                    fut_zip = wpool.submit(
+                        write_zarr_zip,
+                        out_dir / f"{stem}_pinst_pp.zip", inst_map_wsi[None],
+                    )
+                    fut_npz.result()
+                    fut_zip.result()
             else:
                 # the sparse path IS the huge-map case (dense map too big
                 # to materialize) — its coordinate arrays are the largest

@@ -118,6 +118,13 @@ def main() -> None:
     out["overlapped_sec"] = round(one_run("timed"), 3)
 
     # --- serial driver with per-stage timers ------------------------------
+    # PROF_CPROFILE=1 additionally cProfiles the host process stage and
+    # prints its top functions to stderr
+    import cProfile
+    import os
+    import pstats
+
+    prof = cProfile.Profile() if os.environ.get("PROF_CPROFILE") else None
     stages = {"decode": 0.0, "device": 0.0, "d2h": 0.0, "process": 0.0}
     n_batches = [0]
 
@@ -144,7 +151,13 @@ def main() -> None:
                 else:
                     new_args.append(a)
             stages["d2h"] += pc() - t
-            t = pc(); process_fn(*new_args); stages["process"] += pc() - t
+            t = pc()
+            if prof is not None:
+                prof.enable()
+            process_fn(*new_args)
+            if prof is not None:
+                prof.disable()
+            stages["process"] += pc() - t
 
     orig = nuclei_mod.pipelined_batches
     nuclei_mod.pipelined_batches = serial_driver
@@ -153,6 +166,8 @@ def main() -> None:
     finally:
         nuclei_mod.pipelined_batches = orig
 
+    if prof is not None:
+        pstats.Stats(prof, stream=sys.stderr).sort_stats("tottime").print_stats(18)
     out["serial_stages_sec"] = {k: round(v, 3) for k, v in stages.items()}
     out["n_batches"] = n_batches[0]
     out["backend"] = jax.default_backend()
